@@ -1,0 +1,3 @@
+"""Scalar/array/vector function surface (SURVEY.md §2.3 + extensions)."""
+
+from spark_ml_showcase_spark.functions import strings, text, vectors  # noqa: F401

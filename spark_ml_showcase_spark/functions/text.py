@@ -1,0 +1,123 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.12 X4):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions — they run inside
+whole-stage codegen, shuffle nothing, and scale linearly with a parquet
+scan. Each returns a Column so callers compose them into one Project.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately ASCII-only and deterministic.
+_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+}
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_token_count(col: str | Column) -> Column:
+    """Token count by whitespace runs; 0 for empty/blank strings."""
+    trimmed = F.trim(_c(col))
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Regex sub-word token count approximating a BPE tokenizer's granularity:
+    word pieces, digit runs, and single non-space symbols each count as one
+    token (a GPT-2-style pre-tokenizer pattern, simplified to the
+    Java/RE2-common regex subset)."""
+    pieces = F.regexp_extract_all(
+        _c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    )
+    return F.size(pieces)
+
+
+def char_count(col: str | Column) -> Column:
+    return F.length(_c(col))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    c = _c(col)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        punct.cast("double") / F.length(c)
+    )
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords for ``lang``."""
+    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    stops = F.array(*[F.lit(s) for s in _LANG_STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite heuristic quality score in [0, 1]: rewards moderate length,
+    low punctuation density, mid-range mean word length — the standard
+    cheap pre-filters of web-scale corpus cleaning (C4-style)."""
+    c = _c(col)
+    n_tok = whitespace_token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    mean_word_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(n_chars / n_tok)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    word_len_score = F.when(
+        (mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    return F.round((len_score + word_len_score + punct_score) / 3.0, 6)
+
+
+def lang_id(col: str | Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts;
+    'und' (undetermined) when no list scores > 0. Deterministic tie-break
+    by language-code order of the scores struct comparison."""
+    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Unrolled argmax keeps everything in one codegen'd expression tree.
+    for lang in sorted(_LANG_STOPWORDS):
+        stops = F.array(*[F.lit(s) for s in _LANG_STOPWORDS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: str | Column, *, normalize: bool = True) -> Column:
+    """64-bit document fingerprint (xxhash64 of normalized text) for exact
+    dedup at scale: grouping on a fixed-width long beats grouping on the
+    raw text (smaller shuffle keys, no giant string comparisons)."""
+    c = _c(col)
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(c)
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) — the MinHash/Jaccard input.
+    Built with transform over a token-index sequence: JVM-side, no UDF."""
+    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+    )

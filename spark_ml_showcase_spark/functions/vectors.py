@@ -1,0 +1,44 @@
+"""Vector math over ``array<float>`` embedding columns — JVM-side via
+higher-order functions (no Python in the hot path).
+
+These power the similarity-search extension (SURVEY.md §2.12 X3/X5) on the
+``embeddings`` testdata table. ``zip_with`` + ``aggregate`` stay inside
+whole-stage codegen; for very wide vectors (≥~1k dims) a vectorized Pandas
+UDF over Arrow batches can win — see ``similarity.py`` which offers both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Elementwise product summed: aggregate(zip_with(a, b, *), 0.0, +)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(F.aggregate(_c(a), F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity; null-safe-ish (0/0 → NaN, callers filter)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: str | Column, b: str | Column) -> Column:
+    diffs = F.zip_with(_c(a), _c(b), lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def normalize(a: str | Column) -> Column:
+    """Unit-normalize so downstream cosine becomes a plain dot product —
+    do this ONCE at ingest, not per-pair in an O(n²) join."""
+    n = norm(a)
+    return F.transform(_c(a), lambda x: x / n)

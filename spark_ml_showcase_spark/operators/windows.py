@@ -1,0 +1,95 @@
+"""Window functions and event-time windows (SURVEY.md §2.10 — absent from
+the reference, added as first-class engine surface).
+
+- Analytic windows: row_number/rank/lag/lead/percent_rank/running aggregates
+  over ``Window.partitionBy().orderBy()``.
+- Event-time windows (batch): tumbling/sliding via ``F.window``, session via
+  ``F.session_window`` — the same functions power the streaming surface
+  (streaming/events.py) so batch and stream share semantics.
+
+Scale notes: a window spec with ``partitionBy`` shuffles once on the
+partition keys and sorts within partitions. A window WITHOUT partitionBy
+collapses everything to one task — never do that at scale; when a global
+ordering is required (percent_rank for splits) Spark uses a range
+repartition, which is acceptable but still a global sort: prefer windows
+keyed by a real partition column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+
+def ordered_window(partition_by: list[str], order_by: list[tuple[str, str]]) -> WindowSpec:
+    cols = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_by
+    ]
+    return Window.partitionBy(*partition_by).orderBy(*cols)
+
+
+def with_row_number(df: DataFrame, partition_by: list[str],
+                    order_by: list[tuple[str, str]], alias: str = "rn") -> DataFrame:
+    return df.withColumn(alias, F.row_number().over(ordered_window(partition_by, order_by)))
+
+
+def with_lag_lead(df: DataFrame, col: str, partition_by: list[str],
+                  order_by: list[tuple[str, str]], offset: int = 1) -> DataFrame:
+    w = ordered_window(partition_by, order_by)
+    return df.withColumns({
+        f"{col}_lag": F.lag(col, offset).over(w),
+        f"{col}_lead": F.lead(col, offset).over(w),
+    })
+
+
+def running_agg(df: DataFrame, col: str, partition_by: list[str],
+                order_by: list[tuple[str, str]], agg=F.sum,
+                alias: str | None = None) -> DataFrame:
+    """Cumulative aggregate (rows unbounded-preceding → current)."""
+    w = ordered_window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(alias or f"running_{col}", agg(col).over(w))
+
+
+def tumbling(df: DataFrame, ts_col: str, duration: str, keys: list[str],
+             **aggs: Column) -> DataFrame:
+    """Tumbling event-time window aggregation, e.g. duration='1 hour'.
+    Output carries ``window_start``/``window_end`` timestamps."""
+    g = df.groupBy(F.window(ts_col, duration).alias("_w"), *keys)
+    out = g.agg(*(e.alias(n) for n, e in aggs.items()))
+    return out.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def sliding(df: DataFrame, ts_col: str, duration: str, slide: str,
+            keys: list[str], **aggs: Column) -> DataFrame:
+    """Sliding (hopping) event-time window; each row lands in
+    duration/slide windows."""
+    g = df.groupBy(F.window(ts_col, duration, slide).alias("_w"), *keys)
+    out = g.agg(*(e.alias(n) for n, e in aggs.items()))
+    return out.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def session(df: DataFrame, ts_col: str, gap: str, keys: list[str],
+            **aggs: Column) -> DataFrame:
+    """Session window (gap-based). Batch mode: Spark computes sessions via
+    a sort within key partitions — one shuffle on the keys."""
+    g = df.groupBy(F.session_window(ts_col, gap).alias("_w"), *keys)
+    out = g.agg(*(e.alias(n) for n, e in aggs.items()))
+    return out.select(
+        F.col("_w.start").alias("session_start"),
+        F.col("_w.end").alias("session_end"),
+        *keys,
+        *aggs.keys(),
+    )

@@ -1,0 +1,65 @@
+"""Query plans: the engine's headline queries + DuckDB oracle SQL.
+
+Each query is registered with :func:`query` and exposed through
+``registry()`` / ``oracles()``, which ``__spark_entry__.py`` re-exports to
+the driver. Cross-engine determinism rules (why these queries hash-match
+DuckDB bit-for-bit):
+
+- **Money sums are decimal-exact**: doubles carrying 2-decimal values are
+  cast to DECIMAL before SUM (exact, order-independent) and back to double
+  after — a float sum's result depends on partition order, a decimal sum's
+  doesn't.
+- **Derived integers are BIGINT on both sides** (DuckDB's count/date_part
+  default to int64).
+- **Every ordering has a unique tie-break column** — LIMIT without a total
+  order is nondeterministic under partitioning.
+- **Transcendental outputs are rounded** (round 6) — ln/cosine differ in
+  the last ulp between libm implementations.
+- **Timestamps are compared as epoch seconds (BIGINT)** — both engines
+  truncate the parquet ns values to µs, and epoch-int output dodges
+  timestamp formatting/precision drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a (spark, sf_dir) -> DataFrame query; ``oracle`` is the
+    equivalent DuckDB SQL (omit for non-SQL-expressible ops — the driver
+    then records a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+def _load_all() -> None:
+    # Import side-effect registration; deferred so `import plans` stays cheap.
+    from spark_ml_showcase_spark.plans import (  # noqa: F401
+        extensions,
+        ml_queries,
+        relational,
+    )

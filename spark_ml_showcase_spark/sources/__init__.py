@@ -1,0 +1,20 @@
+"""Sources and sinks (SURVEY.md §2.1)."""
+
+from spark_ml_showcase_spark.sources.io import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text,
+    write_parquet,
+)
+from spark_ml_showcase_spark.sources.catalog import Catalog, TESTDATA_TABLES
+
+__all__ = [
+    "Catalog",
+    "TESTDATA_TABLES",
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "read_text",
+    "write_parquet",
+]

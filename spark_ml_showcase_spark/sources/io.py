@@ -1,0 +1,109 @@
+"""Readers and writers.
+
+The reference reads everything schema-less (all-string) and then casts
+column-by-column (``higgs_ensemble_analysis.py:62-66``,
+``Claims_Prediction.py:24,30-32``, ``als_clustering_analysis.py:28-35``,
+``log_mining_analysis.py:21``). That pattern costs a full extra pass when
+``inferSchema`` is on and loses parquet-style predicate pushdown. The engine
+keeps capability parity (headerless/headered CSV, text-line scans of gzip)
+but prefers explicit schemas and columnar formats:
+
+- explicit ``schema=`` skips inference entirely (zero extra passes);
+- parquet is the first-class interchange format — column pruning and
+  predicate/row-group pushdown reach the scan (verify with
+  ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    header: bool = False,
+    sep: str = ",",
+    schema: T.StructType | str | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan (reference S1/S2).
+
+    With ``schema`` given, no inference pass runs. With neither ``schema``
+    nor ``infer``, all columns land as string (the reference's behavior,
+    ``higgs_ensemble_analysis.py:62``) for explicit downstream casting.
+    """
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Text-line scan (reference S3, ``log_mining_analysis.py:21``).
+
+    One ``value: string`` row per line. Gzip is decompressed transparently
+    but a ``.gz`` file is NOT splittable — it becomes a single partition.
+    At scale, repartition immediately after scanning gzipped logs so the
+    regex-extraction stage parallelizes (see ``logs.parse_clf``).
+    """
+    return spark.read.text(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """JSON-lines scan. Always pass ``schema`` at scale — inference reads
+    the whole dataset once before the real job."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str, *columns: str) -> DataFrame:
+    """Parquet scan (S7). Optional column list prunes at the reader."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def cast_columns(df: DataFrame, casts: dict[str, str | T.DataType]) -> DataFrame:
+    """Bulk cast named columns (reference P3 cast loops,
+    ``higgs_ensemble_analysis.py:64-65``) in a single projection so Catalyst
+    sees one Project node, not N nested ones."""
+    return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+) -> None:
+    """Parquet sink — the engine's first-class sink (the reference only has
+    driver-side print/plot sinks, ``log_mining_analysis.py:88,128``).
+
+    ``partition_by`` enables dynamic partition pruning downstream;
+    ``bucket_by`` (requires ``saveAsTable``) pre-shuffles on the join key so
+    later joins/aggs on that key are exchange-free.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer.bucketBy(n, *cols).option("path", path).saveAsTable(
+            path.rstrip("/").rsplit("/", 1)[-1]
+        )
+        return
+    writer.parquet(path)
