@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _fresh(base: str, taken: set[str]) -> str:
+    """A helper-column name guaranteed not to collide with input columns."""
+    name = base
+    while name in taken:
+        name += "_"
+    taken.add(name)
+    return name
+
+
 def equi_join(left: DataFrame, right: DataFrame, on, how: str = "inner") -> DataFrame:
     """J1/J2. Prefer ``on="key"`` (same-name USING join — dedups the key
     column, no rename dance) over the reference's rename+drop pattern."""
@@ -89,18 +98,23 @@ def as_of_join(
     values forward with ``last(ignorenulls=True)`` over an ordered window.
     """
     rcols = right_cols or [c for c in right.columns if c not in (on, right_time)]
-    l_tagged = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
+    taken = set(left.columns) | set(right.columns)
+    t_c, side_c, rt_c = (
+        _fresh("_t", taken), _fresh("_side", taken), _fresh("_rt", taken)
+    )
+    l_tagged = left.withColumn(t_c, F.col(left_time)).withColumn(side_c, F.lit(1))
+    r_select = [on, right_time] + [c for c in rcols if c not in (on, right_time)]
     r_tagged = (
-        right.select(on, right_time, *rcols)
-        .withColumn("_t", F.col(right_time))
-        .withColumn("_side", F.lit(0))
+        right.select(*r_select)
+        .withColumn(t_c, F.col(right_time))
+        .withColumn(side_c, F.lit(0))
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    # _side asc puts the right row first on exact-timestamp ties, so a right
+    # side asc puts the right row first on exact-timestamp ties, so a right
     # row at t is visible to a left row at the same t (<= semantics).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_t"), F.col("_side"))
+        .orderBy(F.col(t_c), F.col(side_c))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumns(
@@ -108,15 +122,22 @@ def as_of_join(
     )
     if tolerance_seconds is not None:
         r_t = F.last(F.col(right_time), ignorenulls=True).over(w)
-        carried = carried.withColumn("_rt", r_t)
+        carried = carried.withColumn(rt_c, r_t)
+        # Cast to double seconds (µs precision), not unix_timestamp (whole
+        # seconds) — sub-second tolerances must not truncate to 0.
         in_tol = (
-            F.unix_timestamp(F.col("_t")) - F.unix_timestamp(F.col("_rt"))
-            <= F.lit(tolerance_seconds)
+            F.col(t_c).cast("double") - F.col(rt_c).cast("double")
+            <= F.lit(float(tolerance_seconds))
         )
         carried = carried.withColumns(
             {c: F.when(in_tol, F.col(c)) for c in rcols}
-        ).drop("_rt")
-    return carried.filter(F.col("_side") == 1).drop("_t", "_side")
+        ).drop(rt_c)
+    out = carried.filter(F.col(side_c) == 1).drop(t_c, side_c)
+    if right_time not in left.columns and right_time not in rcols:
+        # The union surfaced right_time as an all-null column on left rows;
+        # it isn't carried (pass it via right_cols to keep the matched time).
+        out = out.drop(right_time)
+    return out
 
 
 def range_join(

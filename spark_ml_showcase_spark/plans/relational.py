@@ -505,7 +505,9 @@ def running_spend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tumbling_hourly_counts",
     oracle="""
-    SELECT (CAST(epoch(ts) AS BIGINT) // 3600) * 3600 AS window_start_epoch,
+    -- floor(epoch()): duckdb's CAST(double AS BIGINT) rounds; Spark's
+    -- unix_timestamp truncates. floor makes both floor.
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start_epoch,
            event_type AS event_type, COUNT(*) AS cnt,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
@@ -528,7 +530,7 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_quarter_hour_counts",
     oracle="""
     WITH buckets AS (
-        SELECT (CAST(epoch(ts) AS BIGINT) // 900) * 900 AS b15 FROM events
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS b15 FROM events
     ), offsets AS (SELECT UNNEST([0, 1, 2, 3]) AS k)
     SELECT b15 - k * 900 AS window_start_epoch, COUNT(*) AS cnt
     FROM buckets CROSS JOIN offsets
@@ -550,8 +552,11 @@ def sliding_quarter_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts,
+               -- >= not >: Spark's session_window is half-open [ts, ts+gap),
+               -- so an event exactly `gap` after the previous one starts a
+               -- NEW session.
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_new
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
@@ -561,7 +566,7 @@ def sliding_quarter_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flagged
     )
     SELECT user_id AS user_id,
-           CAST(epoch(MIN(ts)) AS BIGINT) AS session_start_epoch,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
            COUNT(*) AS n_events
     FROM sessions GROUP BY user_id, sid
     """,
@@ -586,7 +591,7 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regex_extract_props",
     oracle="""
     SELECT event_id AS event_id,
-           CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k
+           TRY_CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k
     FROM events
     """,
 )
@@ -606,7 +611,7 @@ def regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_get_props",
     oracle="""
     SELECT event_id AS event_id,
-           CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k
+           TRY_CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k
     FROM events
     """,
 )

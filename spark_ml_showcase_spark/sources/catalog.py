@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 TESTDATA_TABLES = (
     "region",
@@ -43,7 +44,20 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in TESTDATA_TABLES:
             raise KeyError(f"unknown table {name!r}; have {TESTDATA_TABLES}")
-        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS); Spark 4.x refuses it
+            # (PARQUET_TYPE_ILLEGAL) unless read as a raw long. The config is
+            # runtime-settable, so it works regardless of who built the
+            # session (ours or the driver's).
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            # ns epoch → µs timestamp. Integer DIV, not float division: the
+            # ns value exceeds double's 53-bit mantissa, so a float path
+            # rounds the microseconds and hash-mismatches DuckDB (which
+            # floor-truncates ns→µs when reading the same file).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TESTDATA_TABLES:

@@ -55,8 +55,10 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    verbose = "--verbose" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
@@ -105,7 +107,7 @@ def main() -> int:
         if problems:
             n_fail += 1
             print(f"FAIL  {name}: {'; '.join(problems)}")
-            if "--verbose" in sys.argv or True:
+            if verbose or only:
                 sidx = sorted(range(len(scols)), key=lambda i: scols[i])
                 didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
                 sset = sorted("|".join(norm_cell(r[i]) for i in sidx) for r in map(tuple, srows))
