@@ -1,0 +1,141 @@
+"""Train/test splits (SURVEY.md §2.8 R1-R3).
+
+Reference citations: R1 seeded ``randomSplit([0.01,0.99], 40)``
+(``Higgs Ensemble Analysis/higgs_ensemble_analysis.py:69-70,157``); R2
+stratified split as an O(strata)-jobs driver loop of filter + randomSplit +
+unionAll (``Insurance Claim Predictions/Claims_Prediction.py:43-54``); R3
+temporal prefix split via sort+limit+subtract
+(``Collaborative Filtering Analysis/als_clustering_analysis.py:47-49``).
+
+Scale posture:
+
+- ``random_split`` wraps Spark's native ``randomSplit`` — correct
+  proportions, but the row→split assignment depends on partitioning
+  (per-partition RNG streams), so it is *not* stable across cluster
+  layouts.
+- ``hash_split`` / ``stratified_split`` assign each row by
+  ``xxhash64(key, seed) mod 10_000`` against a fraction threshold: a pure
+  narrow projection — **no shuffle, no driver loop, no partition
+  dependence**. The same row lands in the same split on 1 executor or
+  1000. This replaces the reference's per-stratum driver loop
+  (``Claims_Prediction.py:43-54``) with a single pass.
+- ``temporal_split`` offers the exact path (global ``row_number`` with a
+  deterministic tie-break — fixes the tie nondeterminism of
+  ``als_clustering_analysis.py:48``) and a cutoff path
+  (``approxQuantile`` on the time column + filter) that needs no global
+  sort and is the one to use at 100 TB.
+
+The reference's ``subtract`` complement (``als_clustering_analysis.py:49``)
+silently deduplicates (EXCEPT DISTINCT); we complement by key anti-join
+instead, which preserves duplicates and is broadcast-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_BUCKETS = 10_000
+
+
+def random_split(
+    df: DataFrame, weights: list[float], seed: int = 40
+) -> list[DataFrame]:
+    """R1: Spark-native seeded random split (reference semantics,
+    ``higgs_ensemble_analysis.py:69-70``). Proportions are exact in
+    expectation; assignment is partitioning-dependent."""
+    return df.randomSplit(weights, seed)
+
+
+def _bucket(key_cols: list[str | Column], seed: int) -> Column:
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str | Column],
+    train_frac: float,
+    seed: int = 40,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic split on a hash of ``key_cols``: same row → same side
+    regardless of partitioning or cluster size. Narrow (no shuffle)."""
+    b = _bucket(key_cols, seed)
+    thresh = int(round(train_frac * _BUCKETS))
+    return df.filter(b < thresh), df.filter(b >= thresh)
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    key_cols: list[str | Column],
+    train_frac: float | dict[object, float],
+    seed: int = 40,
+) -> tuple[DataFrame, DataFrame]:
+    """R2: per-stratum split in ONE narrow pass (vs the reference's
+    O(strata) jobs, ``Claims_Prediction.py:43-54``).
+
+    ``train_frac`` may be a scalar (same fraction per stratum) or a
+    dict {stratum_value: fraction} like ``sampleBy``. Salting the hash
+    with the stratum value decorrelates assignments across strata.
+    """
+    b = F.pmod(
+        F.xxhash64(
+            *[F.col(c) if isinstance(c, str) else c for c in key_cols],
+            F.col(strata_col).cast("string"),
+            F.lit(seed),
+        ),
+        F.lit(_BUCKETS),
+    )
+    if isinstance(train_frac, dict):
+        thresh: Column = F.lit(0)
+        for value, frac in sorted(train_frac.items(), key=lambda kv: str(kv[0])):
+            thresh = F.when(
+                F.col(strata_col) == F.lit(value), F.lit(int(round(frac * _BUCKETS)))
+            ).otherwise(thresh)
+    else:
+        thresh = F.lit(int(round(train_frac * _BUCKETS)))
+    return df.filter(b < thresh), df.filter(b >= thresh)
+
+
+def sample_by(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 40
+) -> DataFrame:
+    """Spark-native stratified sample (``df.stat.sampleBy``) — the
+    idiomatic one-liner for the reference's loop when only the sampled
+    side is needed."""
+    return df.stat.sampleBy(strata_col, fractions, seed)
+
+
+def temporal_split(
+    df: DataFrame,
+    time_col: str,
+    tie_break: str,
+    train_frac: float,
+    *,
+    exact: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """R3: earliest ``train_frac`` of rows → train, rest → test
+    (``als_clustering_analysis.py:47-49`` sort+limit+subtract, minus its
+    tie nondeterminism and its subtract-dedups-the-test-set bug).
+
+    ``exact=True``: global ``row_number`` over (time, tie_break) —
+    bit-deterministic, but a single-partition window; fine to ~10^7 rows.
+    ``exact=False``: cutoff = approxQuantile(time, train_frac) and a plain
+    filter — a narrow plan that scales to any size, approximate at the
+    boundary. At 100 TB use the cutoff path.
+    """
+    if exact:
+        w = Window.orderBy(F.col(time_col).asc(), F.col(tie_break).asc())
+        n = df.count()
+        k = int(n * train_frac)
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+        train = ranked.filter(F.col("_rn") <= k).drop("_rn")
+        test = ranked.filter(F.col("_rn") > k).drop("_rn")
+        return train, test
+    # approxQuantile needs a numeric column; cast timestamps to epoch seconds.
+    numeric = df.select(F.col(time_col).cast("double").alias("_t"))
+    cutoff = numeric.approxQuantile("_t", [train_frac], 0.001)[0]
+    t = F.col(time_col).cast("double")
+    return df.filter(t <= cutoff), df.filter(t > cutoff)

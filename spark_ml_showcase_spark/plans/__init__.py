@@ -62,4 +62,5 @@ def _load_all() -> None:
         extensions,
         ml_queries,
         relational,
+        splits_queries,
     )

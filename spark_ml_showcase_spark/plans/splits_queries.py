@@ -1,0 +1,78 @@
+"""Split queries (SURVEY.md §2.8 R1-R3).
+
+``temporal_split_train`` is deterministic (row_number with tie-break) and
+oracle-checked; the random/stratified splits are seed-dependent, so their
+queries return *invariant summaries* (sizes, disjointness, per-stratum
+fractions) under rows-only checks, with the hard invariants asserted in
+``tests/test_splits.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.operators import splits
+from spark_ml_showcase_spark.plans import query
+from spark_ml_showcase_spark.sources.catalog import Catalog
+
+
+# R3: temporal prefix split (als_clustering_analysis.py:47-49), exact path
+# with (ts, event_id) tie-break — deterministic, hence fully oracle-checked.
+@query(
+    "temporal_split_train",
+    oracle="""
+    SELECT event_id AS event_id, ts_sec AS ts_sec FROM (
+        SELECT event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+               row_number() OVER (ORDER BY ts, event_id) AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ) WHERE rn <= floor(0.8 * n)
+    """,
+)
+def temporal_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    train, _ = splits.temporal_split(ev, "ts", "event_id", 0.8, exact=True)
+    return train.select(
+        "event_id", F.col("ts").cast("long").alias("ts_sec")
+    )
+
+
+# R1: seeded randomSplit (higgs_ensemble_analysis.py:69-70). Assignment is
+# partitioning-dependent → rows-only invariant summary (2 rows; sizes sum
+# to the input count, fractions near the weights).
+@query("random_split_sizes")
+def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    train, test = splits.random_split(li, [0.7, 0.3], seed=40)
+    t = train.agg(F.count(F.lit(1)).alias("n")).withColumn("split", F.lit("train"))
+    s = test.agg(F.count(F.lit(1)).alias("n")).withColumn("split", F.lit("test"))
+    return t.unionByName(s).select("split", "n")
+
+
+# R2: stratified split, single-pass hash assignment (replaces the
+# O(strata)-jobs loop of Claims_Prediction.py:43-54). Per-stratum summary:
+# train/test counts and realized train fraction. Deterministic (xxhash64)
+# but not SQL-expressible in DuckDB → rows-only.
+@query("stratified_split_summary")
+def stratified_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    train, test = splits.stratified_split(
+        orders, "o_orderpriority", ["o_orderkey"], 0.7, seed=40
+    )
+    tr = train.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_train"))
+    te = test.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_test"))
+    return (
+        tr.join(te, "o_orderpriority", "full_outer")
+        .na.fill(0, ["n_train", "n_test"])
+        .select(
+            "o_orderpriority",
+            "n_train",
+            "n_test",
+            F.round(
+                F.col("n_train") / (F.col("n_train") + F.col("n_test")), 3
+            ).alias("train_frac"),
+        )
+        .orderBy("o_orderpriority")
+    )

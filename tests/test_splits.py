@@ -1,0 +1,82 @@
+"""Split invariants (SURVEY.md §2.8): disjointness, completeness,
+proportions, determinism — the properties the reference printed by hand
+(Claims_Prediction.py:62-77) asserted mechanically."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.operators import splits
+
+
+def _orders(spark):
+    return spark.createDataFrame(
+        [(i, f"p{i % 5}", float(i)) for i in range(1000)],
+        "okey bigint, prio string, price double",
+    )
+
+
+def test_hash_split_disjoint_complete_deterministic(spark):
+    df = _orders(spark)
+    train, test = splits.hash_split(df, ["okey"], 0.7, seed=40)
+    n, nt, ns = df.count(), train.count(), test.count()
+    assert nt + ns == n
+    assert train.join(test, "okey", "inner").count() == 0
+    # proportions within a loose Bernoulli band
+    assert 0.6 < nt / n < 0.8
+    # determinism: re-evaluating after a repartition gives the same rows
+    train2, _ = splits.hash_split(df.repartition(7), ["okey"], 0.7, seed=40)
+    assert train2.select("okey").subtract(train.select("okey")).count() == 0
+    assert train.select("okey").subtract(train2.select("okey")).count() == 0
+
+
+def test_stratified_split_per_stratum_fractions(spark):
+    df = _orders(spark)
+    train, test = splits.stratified_split(df, "prio", ["okey"], 0.8, seed=40)
+    assert train.count() + test.count() == df.count()
+    per = (
+        train.groupBy("prio").agg(F.count(F.lit(1)).alias("nt"))
+        .join(df.groupBy("prio").agg(F.count(F.lit(1)).alias("n")), "prio")
+        .select((F.col("nt") / F.col("n")).alias("frac"))
+        .collect()
+    )
+    for row in per:
+        assert 0.68 <= row.frac <= 0.92  # 200/stratum → ±~3σ band
+
+
+def test_stratified_split_dict_fractions(spark):
+    df = _orders(spark)
+    fracs = {"p0": 0.1, "p1": 0.9, "p2": 0.5, "p3": 0.5, "p4": 0.5}
+    train, _ = splits.stratified_split(df, "prio", ["okey"], fracs, seed=40)
+    got = {
+        r.prio: r.n
+        for r in train.groupBy("prio").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got.get("p0", 0) < got["p2"] < got["p1"]
+
+
+def test_temporal_split_exact_order_and_sizes(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 100) for i in range(200)], "eid bigint, t bigint"
+    )
+    train, test = splits.temporal_split(df, "t", "eid", 0.75, exact=True)
+    assert train.count() == 150 and test.count() == 50
+    max_train = train.agg(F.max("t")).first()[0]
+    min_test = test.agg(F.min("t")).first()[0]
+    assert max_train <= min_test
+    # tie-break determinism: boundary rows with equal t split by eid
+    both = train.select("eid").intersect(test.select("eid"))
+    assert both.count() == 0
+
+
+def test_temporal_split_cutoff_path(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "eid bigint, t double")
+    train, test = splits.temporal_split(df, "t", "eid", 0.6, exact=False)
+    assert train.count() + test.count() == 1000
+    assert 500 <= train.count() <= 700
+
+
+def test_random_split_seeded_sizes(spark):
+    df = _orders(spark)
+    a, b = splits.random_split(df, [0.5, 0.5], seed=40)
+    assert a.count() + b.count() == 1000
