@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12 X3):
+brute-force cosine top-k as the correctness baseline, random-hyperplane
+LSH bucketing as the scale path, and an Arrow-vectorized Pandas-UDF cosine
+for very wide vectors.
+
+Scale posture: brute-force is O(|queries|·|candidates|) — correct, and
+fine when the query side is small enough to broadcast (the plan below
+broadcasts it explicitly, so the candidate table streams once with NO
+shuffle). For corpus×corpus at 100 TB, bucket both sides with
+``lsh_bucket`` first: the join becomes equi-join on the bucket id and
+each bucket reranks exactly. Recall < 1.0 by design; raise ``n_planes``
+bands or probe neighboring buckets to trade compute for recall.
+
+Embeddings should be unit-normalized ONCE at ingest
+(``functions.vectors.normalize``) — then cosine is a plain dot product
+(the testdata ``embeddings.embedding`` vectors are already unit-norm).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_ml_showcase_spark.functions import vectors as V
+
+
+def as_double(col: str | Column) -> Column:
+    """Cast array<float> → array<double> so score arithmetic matches
+    engines that compute in double (and avoids float32 summation drift)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast(queries) × candidates →
+    score → per-query rank window. Returns (query_id, cand_id, cosine,
+    rank). Ranking uses the ROUNDED score with an id tie-break so the
+    result is deterministic across partitionings and float ulp drift."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(V.cosine("_qv", "_cv"), score_decimals))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 40) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded Gaussian) for sign-LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_bucket(
+    vec_col: str | Column, planes: list[list[float]]
+) -> Column:
+    """Sign-LSH bucket id: bit i = [dot(v, plane_i) >= 0], packed into an
+    int. Pure higher-order-function expression — JVM-side, no UDF.
+    Cosine-similar vectors collide with probability 1 - θ/π per bit."""
+    v = as_double(vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for plane in planes:
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(V.dot(v, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def ann_topk_lsh(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 40,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k: equi-join on the LSH bucket, exact rerank inside
+    the bucket. 2^n_planes buckets; the join shuffles on a small long key
+    instead of forming any cross product."""
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("_qv"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        as_double(vec_col).alias("_cv"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(V.cosine("_qv", "_cv"), score_decimals))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_reps(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 40,
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup: a row survives unless a LOWER-id
+    row in the same LSH bucket has cosine ≥ threshold (min-id
+    representative per near-dup neighborhood). Bucketed, not all-pairs."""
+    planes = hyperplanes(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        as_double(vec_col).alias("_v"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    dominated = (
+        a.join(b, "_bucket")
+        .filter(
+            (F.col("id_b") < F.col("id_a"))
+            & (V.cosine("_va", "_vb") >= threshold)
+        )
+        .select(F.col("id_a").alias("_dead"))
+        .distinct()
+    )
+    return df.join(
+        dominated, df[id_col] == dominated["_dead"], "left_anti"
+    )
+
+
+def cosine_pandas_udf():
+    """Arrow-vectorized cosine for very wide vectors (≥~1k dims), where
+    per-element codegen expressions lose to numpy BLAS over Arrow
+    batches. Returns a (array, array) -> double pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy())
+        bm = np.stack(b.to_numpy())
+        num = (am * bm).sum(axis=1)
+        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        return pd.Series(num / den)
+
+    return _cos

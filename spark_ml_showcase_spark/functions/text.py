@@ -38,8 +38,10 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     word pieces, digit runs, and single non-space symbols each count as one
     token (a GPT-2-style pre-tokenizer pattern, simplified to the
     Java/RE2-common regex subset)."""
+    # idx=0 (whole match): Spark 4.x defaults idx to 1 and rejects it when
+    # the pattern has no capture group.
     pieces = F.regexp_extract_all(
-        _c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        _c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
     )
     return F.size(pieces)
 

@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.12
+X1/X2): exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Not present in the reference (its closest relative is ``distinct()`` at
+``als_clustering_analysis.py:127``); these are the north-star extensions,
+built Spark-first:
+
+- **Exact dedup** groups on a 64-bit ``xxhash64`` fingerprint of normalized
+  text (``functions.text.fingerprint``) — the shuffle key is a fixed-width
+  long, never the document body. At 100 TB this is ONE hash-partitioned
+  shuffle of (key, id) pairs; the text column itself is only carried for
+  the surviving rows.
+- **MinHash LSH** is banded, never all-pairs: signature → band hashes →
+  explode(bands) → self-join on (band, band_hash). Candidate volume is
+  sum over buckets of |bucket|², bounded by ``max_bucket`` (hot-bucket
+  guard — a degenerate shingle set would otherwise quadratically explode
+  one bucket). Exact Jaccard verification runs only on candidates.
+- **SimHash** packs a 32-bit sign-vector into a long; banding on 8-bit
+  sub-bands finds hamming-near candidates with the same
+  explode-and-equi-join shape (no cartesian anywhere).
+
+All signature math is ``pyspark.sql.functions`` higher-order expressions —
+JVM-side, codegen-friendly, zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_ml_showcase_spark.functions import text as T
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    normalize: bool = True,
+) -> DataFrame:
+    """X1: keep exactly one row (lowest ``id_col``) per distinct normalized
+    text. Window on the 64-bit fingerprint → one shuffle on a long key."""
+    fp = T.fingerprint(text_col, normalize=normalize)
+    w = Window.partitionBy(fp).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature as array<bigint>:
+    sig[i] = min over shingles of xxhash64(shingle, i). Null when the
+    shingle set is empty."""
+
+    def hash_with_seed(i: int):
+        # NB: a one-arg lambda, with the seed bound via closure. A
+        # `lambda s, i=i:` would match PySpark's TWO-argument transform
+        # form, silently passing the array INDEX as the second argument.
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, hash_with_seed(i)))
+            for i in range(k)
+        ]
+    )
+
+
+def _band_structs(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bh:bigint>> — one LSH bucket key per band."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    F.lit(j),
+                    *[
+                        F.element_at(sig, j * rows_per_band + i + 1)
+                        for i in range(rows_per_band)
+                    ],
+                ).alias("bh"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """X2: near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold)
+    via banded MinHash LSH. Returns (id_a, id_b, jaccard).
+
+    Plan shape: shingle+signature projection (narrow) → explode bands →
+    self-equi-join on (band, bh) → distinct pair ids → verify exact
+    Jaccard on the candidate pairs only. ``max_bucket`` drops hot buckets
+    (skew guard) before the join blows up.
+    """
+    rows_per_band = k // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        T.shingles(text_col, ngram).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sig = base.select(
+        "_id", "_sh", minhash_signature(F.col("_sh"), k).alias("_sig")
+    )
+    buckets = sig.select(
+        "_id", F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("_b")
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    # Hot-bucket guard: a bucket of size B yields B(B-1)/2 candidates.
+    wb = Window.partitionBy("band", "bh")
+    buckets = buckets.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
+        F.col("_bsz") <= max_bucket
+    )
+    a = buckets.select(F.col("_id").alias("id_a"), "band", "bh")
+    b = buckets.select(F.col("_id").alias("id_b"), "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = sig.select("_id", "_sh")
+    verified = (
+        cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard (id_a < id_b, jaccard ≥ threshold).
+
+    O(n²) BY DESIGN — the small-data oracle/verification path that the
+    banded ``minhash_near_dup`` approximates at scale. Never run this on
+    an unfiltered 100 TB corpus; bound the input (a partition, a source,
+    an LSH bucket) first.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), T.shingles(text_col, ngram).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def simhash(
+    text_col: str | Column, *, bits: int = _SIMHASH_BITS, ngram: int = 3
+) -> Column:
+    """SimHash of the n-gram shingle set: per-shingle xxhash64 votes ±1 on
+    each of ``bits`` bit positions; the packed sign vector is the hash.
+    Near-duplicate texts differ in few bits (hamming distance).
+
+    Shingles (not unigram tokens) as the feature set: on a small-vocab
+    corpus nearly all documents share most unigrams, which collapses
+    unigram SimHash to hamming≈0 for everything; trigram space is large
+    enough to discriminate."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = T.shingles(c, ngram)
+
+    def bit_votes(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+                for i in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v),
+    )
+    signs = F.transform(votes, lambda v: F.when(v >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.aggregate(
+        signs, F.lit(0).cast("bigint"), lambda acc, s: acc * 2 + s
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed hashes via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """X2 (SimHash variant): candidate pairs sharing ≥1 of ``bands``
+    8-bit sub-bands of the simhash, verified by exact hamming distance.
+    Same banded explode-join shape as MinHash — no cartesian."""
+    band_width = _SIMHASH_BITS // bands
+    mask = (1 << band_width) - 1
+    h = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_h"))
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("_h"), j * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = h.select("_id", "_h", F.explode(bands_col).alias("_b")).select(
+        "_id", "_h", F.col("_b.band").alias("band"), F.col("_b.bv").alias("bv")
+    )
+    a = buckets.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "band", "bv")
+    b = buckets.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("_ha"), F.col("_hb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

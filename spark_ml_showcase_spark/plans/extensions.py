@@ -1,6 +1,224 @@
 """Training-data pipeline extension queries (SURVEY.md §2.12 X1-X5):
-dedup, similarity search, text analysis, multimodal plumbing, log mining.
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force + LSH ANN), text analysis, multimodal binary plumbing.
 
-Filled in incrementally; see dedup.py / similarity.py / multimodal.py for
-the operator implementations.
+Implementations: ``operators/dedup.py``, ``functions/similarity.py``,
+``operators/multimodal.py``, ``functions/text.py``. Deterministic queries
+with a DuckDB-expressible shape carry oracles; hash-based ones (xxhash64
+signatures have no DuckDB twin) are rows-only and covered by property
+tests in ``tests/test_dedup.py`` / ``tests/test_similarity.py``.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions import similarity, text as TX
+from spark_ml_showcase_spark.operators import dedup, multimodal
+from spark_ml_showcase_spark.plans import query
+from spark_ml_showcase_spark.sources.catalog import Catalog
+
+
+# X1: exact dedup, keep-first by doc_id per normalized text. The Spark
+# plan groups on a 64-bit fingerprint (fixed-width shuffle key); the
+# oracle groups on the normalized text itself — identical partitions
+# unless xxhash64 collides (2^-64 per pair).
+@query(
+    "exact_dedup_docs",
+    oracle=r"""
+    SELECT doc_id AS doc_id, source AS source, n_chars AS n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# X2 (verification path): all-pairs trigram Jaccard over a bounded slice
+# (doc_id < 200) — the exact form the banded MinHash approximates. O(n²)
+# by design, so the input is scoped; the testdata plants ~5% near-dup
+# pairs at jaccard ≥ 0.9, several inside this slice.
+@query(
+    "ngram_jaccard_pairs",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, len(toks) - 2)]) AS s
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE doc_id < 200)
+        WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(a.s || b.s)) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.5)
+
+
+# X2 (scale path): banded MinHash LSH near-dup pairs over the full
+# documents table. xxhash64 signatures — rows-only.
+@query("minhash_near_dup_pairs")
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.minhash_near_dup(
+        docs, "doc_id", "text", ngram=3, k=32, bands=8, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+# X2 (SimHash variant): hamming-near candidate pairs via 8-bit banding.
+@query("simhash_near_dup_pairs")
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.simhash_near_dup(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# X3: exact cosine top-3 for 5 query vectors against the whole embeddings
+# table. Both sides rank by the ROUNDED score with a cand_id tie-break, so
+# float ulp drift between engines cannot flip the selection.
+@query(
+    "cosine_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+               FROM embeddings)
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT query_id, cand_id,
+               ROUND(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(list_dot_product(qv, cv)
+                                  / (sqrt(list_dot_product(qv, qv))
+                                     * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                            cand_id ASC) AS rank
+        FROM c, q WHERE cand_id != query_id
+    ) WHERE rank <= 3
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, queries, 3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# X3 (scale path): LSH-bucketed approximate top-k — equi-join on bucket id
+# instead of a cross product. Recall < 1 by design; rows-only.
+@query("ann_topk_lsh")
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_lsh(emb, queries, 3, n_planes=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+# X1/X3 hybrid: embedding-cosine near-dup dedup (min-id representative per
+# LSH-bucket neighborhood). Rows-only.
+@query("embedding_near_dup_survivors")
+def embedding_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    return (
+        similarity.embedding_near_dup_reps(emb, threshold=0.9, n_planes=4)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+# X4: text statistics as pure column expressions — token counts, punct
+# density. Fully SQL-expressible → oracle-checked.
+@query(
+    "text_stats",
+    oracle=r"""
+    SELECT doc_id AS doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           ROUND(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text)
+                       - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE
+                      / length(text) END, 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        TX.whitespace_token_count("text").cast("bigint").alias("n_tokens"),
+        TX.char_count("text").cast("bigint").alias("n_chars"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+# X4: composite quality score, heuristic language ID, BPE-ish token count.
+# The scoring heuristics are engine-defined (no SQL twin) → rows-only;
+# exactness is covered by tests/test_text.py on known fixtures.
+@query("text_quality_lang")
+def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_guess"),
+        "lang",
+        TX.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+# X5: binary payload → mapInPandas feature extraction. The byte counts and
+# fake dimensions are arithmetic on octet_length, so the full round-trip
+# through Arrow/pandas is oracle-checked end-to-end.
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(1 + strlen(text) % 64 AS INT) AS width,
+           CAST(1 + (strlen(text) // 64) % 64 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    blobs = multimodal.attach_binary(docs, "text", id_col="doc_id")
+    feats = multimodal.extract_features(blobs, decode_stub=True)
+    return feats.select("id", "n_bytes", "width", "height")
+
+
+# X5: frame-sampling fan-out shape (video stand-in) — per-frame rows from
+# binary payloads, aggregated to a compact deterministic summary.
+@query("frame_sample_stats")
+def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    blobs = multimodal.attach_binary(docs, "text", id_col="doc_id")
+    frames = multimodal.frame_sample(blobs, every_n_bytes=64, max_frames=8)
+    return (
+        frames.groupBy("frame_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_hash").alias("hash_sum"),
+        )
+        .orderBy("frame_no")
+    )

@@ -1,0 +1,115 @@
+"""Dedup operator properties (SURVEY.md §2.12 X1/X2): exact-dup recall,
+idempotence, near-dup recall on planted pairs, no-cartesian candidate
+bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.operators import dedup
+
+
+def _docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "The Quick  Brown fox jumps over the lazy dog near the river bank"),  # case/ws dup of 0
+        (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 0
+        (4, "completely different text about spark shuffles and hash partitions"),
+        (5, "completely different text about spark shuffles and hash partitions today"),  # near dup of 4
+        (6, "unrelated short document"),
+    ]
+    return spark.createDataFrame(base, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_first_and_is_idempotent(spark):
+    df = _docs(spark)
+    out = dedup.exact_dedup(df, "text", "doc_id")
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # 1 and 2 are normalized-dups of 0 → only 0 survives
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert {3, 4, 5, 6} <= ids
+    again = dedup.exact_dedup(out, "text", "doc_id")
+    assert again.count() == out.count()
+
+
+def test_exact_dedup_no_normalize_keeps_case_variant(spark):
+    df = _docs(spark)
+    out = dedup.exact_dedup(df, "text", "doc_id", normalize=False)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 2 in ids  # differs by case/whitespace only
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    df = _docs(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", ngram=3, threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.5 <= pairs[(0, 3)] < 1.0
+    assert (4, 5) in pairs
+    assert not any({a, b} == {0, 4} for a, b in pairs)
+
+
+def test_minhash_matches_exact_on_planted(spark):
+    df = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", ngram=3, threshold=0.5
+        ).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_dup(
+            df, "doc_id", "text", ngram=3, k=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    # high-jaccard pairs must be recalled; verification stage guarantees
+    # precision (every reported pair has exact jaccard >= threshold)
+    assert exact == mh
+
+
+def test_minhash_signature_uses_independent_seeds(spark):
+    # Regression: the seed must be bound per-hash-function; two docs with
+    # ~equal shingle SETS but different element ORDER must still agree.
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l"), (1, "k l a b c d e f g h i j")],
+        "doc_id bigint, text string",
+    )
+    from spark_ml_showcase_spark.functions import text as T
+
+    sig = df.select(
+        dedup.minhash_signature(T.shingles("text", 1), 16).alias("s")
+    ).collect()
+    # same unigram set → identical signatures regardless of order
+    assert sig[0].s == sig[1].s
+    # and the 16 positions are not all the same value (independent seeds)
+    assert len(set(sig[0].s)) > 1
+
+
+def test_simhash_near_dup_recall_and_hamming(spark):
+    df = _docs(spark)
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dup(
+            df, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    assert out.get((0, 1)) == 0  # identical text → identical simhash
+    assert (0, 4) not in out  # unrelated docs stay apart
+
+
+def test_minhash_hot_bucket_guard(spark):
+    # 60 identical docs → one bucket of 60 > max_bucket=50 → guarded out
+    df = spark.createDataFrame(
+        [(i, "same text repeated many times for the bucket guard test") for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    out = dedup.minhash_near_dup(
+        df, "doc_id", "text", ngram=3, threshold=0.5, max_bucket=50
+    )
+    assert out.count() == 0

@@ -1,0 +1,113 @@
+"""Similarity-search properties (SURVEY.md §2.12 X3): brute-force top-k
+exactness vs numpy, ANN recall on clustered vectors, pandas-UDF parity."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions import similarity, vectors as V
+
+
+def _vecs(spark, n=40, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    raw = rng.randn(n, dim)
+    raw /= np.linalg.norm(raw, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in raw[i]]) for i in range(n)]
+    return rng, raw, spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng, raw, df = _vecs(spark)
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=5)
+    got = {
+        (r.query_id, r.rank): (r.cand_id, r.cosine) for r in out.collect()
+    }
+    raw64 = raw.astype(np.float32).astype(np.float64)  # match Spark's float storage
+    for q in range(3):
+        sims = raw64 @ raw64[q] / (
+            np.linalg.norm(raw64, axis=1) * np.linalg.norm(raw64[q])
+        )
+        order = sorted(
+            (i for i in range(len(raw)) if i != q),
+            key=lambda i: (-round(sims[i], 6), i),
+        )
+        for rank in range(1, 6):
+            cand, cos = got[(q, rank)]
+            assert cand == order[rank - 1]
+            assert math.isclose(cos, round(sims[cand], 6), abs_tol=2e-6)
+
+
+def test_ann_lsh_recall_on_near_dup(spark):
+    # plant a near-identical pair; LSH must bucket them together
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 8)
+    base[1] = base[0] + 0.001 * rng.randn(8)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.ann_topk_lsh(
+        df, df.filter(F.col("vec_id") == 0), k=3, n_planes=4, dim=8
+    )
+    top = [r.cand_id for r in out.orderBy("rank").collect()]
+    assert top and top[0] == 1  # the planted twin is found in-bucket
+
+
+def test_lsh_bucket_deterministic_and_bounded(spark):
+    _, _, df = _vecs(spark, n=30)
+    planes = similarity.hyperplanes(8, 5, seed=40)
+    b1 = df.select(similarity.lsh_bucket("embedding", planes).alias("b")).collect()
+    b2 = df.repartition(5).select(
+        similarity.lsh_bucket("embedding", planes).alias("b")
+    ).collect()
+    assert sorted(r.b for r in b1) == sorted(r.b for r in b2)
+    assert all(0 <= r.b < 32 for r in b1)
+
+
+def test_embedding_near_dup_reps_removes_twin(spark):
+    rng = np.random.RandomState(5)
+    base = rng.randn(10, 8)
+    base[7] = base[2] + 1e-4 * rng.randn(8)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.embedding_near_dup_reps(df, threshold=0.999, n_planes=3, dim=8)
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    assert 2 in ids and 7 not in ids  # min-id representative survives
+
+
+def test_cosine_pandas_udf_matches_expression(spark):
+    _, _, df = _vecs(spark, n=15)
+    pudf = similarity.cosine_pandas_udf()
+    paired = df.alias("a").crossJoin(df.alias("b")).select(
+        F.col("a.embedding").alias("ea"), F.col("b.embedding").alias("eb")
+    )
+    both = paired.select(
+        F.round(V.cosine(similarity.as_double("ea"), similarity.as_double("eb")), 5).alias("expr_cos"),
+        F.round(pudf(F.col("ea"), F.col("eb")), 5).alias("udf_cos"),
+    )
+    diff = both.filter(F.abs(F.col("expr_cos") - F.col("udf_cos")) > 1e-4).count()
+    assert diff == 0
+
+
+def test_vector_functions_basic(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [4.0, 3.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        V.dot("a", "b").alias("d"),
+        V.norm("a").alias("n"),
+        V.l2_distance("a", "b").alias("l2"),
+        V.normalize("a").alias("u"),
+    ).first()
+    assert row.d == 24.0
+    assert row.n == 5.0
+    assert math.isclose(row.l2, math.sqrt(2.0))
+    assert math.isclose(sum(x * x for x in row.u), 1.0, abs_tol=1e-12)

@@ -1,0 +1,105 @@
+"""Text-analysis column functions (X4) and multimodal binary plumbing (X5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions import text as T
+from spark_ml_showcase_spark.operators import multimodal
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("  spaced   out  ",), ("",), ("   ",), ("one",)],
+        "t string",
+    )
+    rows = df.select(
+        T.whitespace_token_count("t").alias("ws"),
+        T.bpe_ish_token_count("t").alias("bpe"),
+    ).collect()
+    assert [r.ws for r in rows] == [2, 2, 0, 0, 1]
+    assert rows[0].bpe == 2
+    # bpe splits punctuation and digit runs
+    r = (
+        spark.createDataFrame([("don't add 42!",)], "t string")
+        .select(T.bpe_ish_token_count("t").alias("n"))
+        .first()
+    )
+    assert r.n == 6  # don / ' / t / add / 42 / !
+
+
+def test_punct_and_stopword_ratio(spark):
+    df = spark.createDataFrame([("a,b.c!",), ("abc",)], "t string")
+    rows = df.select(F.round(T.punct_ratio("t"), 4).alias("p")).collect()
+    assert rows[0].p == 0.5 and rows[1].p == 0.0
+    r = (
+        spark.createDataFrame([("the cat and the dog",)], "t string")
+        .select(F.round(T.stopword_ratio("t"), 4).alias("s"))
+        .first()
+    )
+    assert r.s == 0.6  # the, and, the
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is warm",),
+            ("der hund ist nicht in das haus und die katze",),
+            ("le chat est dans la maison et les chiens",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "t string",
+    )
+    langs = [r.l for r in df.select(T.lang_id("t").alias("l")).collect()]
+    assert langs == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [("a decent length sentence with normal words in it " * 5,), ("!!!???;;;",)],
+        "t string",
+    )
+    rows = df.select(T.quality_score("t").alias("q")).collect()
+    assert 0.0 <= rows[1].q < rows[0].q <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("different",)], "t string"
+    )
+    fps = [r.f for r in df.select(T.fingerprint("t").alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_shingles(spark):
+    r = (
+        spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+        .select(T.shingles("t", 3).alias("s"))
+        .collect()
+    )
+    assert r[0].s == ["a b c", "b c d"]
+    assert r[1].s == []  # shorter than n → empty, not null
+
+
+def test_multimodal_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "x" * 200)], "doc_id bigint, text string"
+    )
+    blobs = multimodal.attach_binary(df, "text")
+    assert dict(blobs.dtypes)["payload"] == "binary"
+    feats = multimodal.extract_features(blobs).orderBy("id").collect()
+    assert feats[0].n_bytes == 5 and feats[1].n_bytes == 200
+    assert feats[0].width == 1 + 5 % 64
+    assert len(feats[0].feat) == 4
+    frames = multimodal.frame_sample(blobs, every_n_bytes=64, max_frames=8)
+    per = {r.id: r.n for r in frames.groupBy("id").agg(F.count("*").alias("n")).collect()}
+    assert per[1] == 1 and per[2] == 3  # 200 // 64 = 3 frames
+
+
+def test_multimodal_stub_raises_without_decoder(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    blobs = multimodal.attach_binary(df, "text")
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(blobs, decode_stub=False).collect()
