@@ -1,0 +1,137 @@
+"""ML surface tests (SURVEY.md §2.11): DataFrame-native metrics math,
+feature pipeline shapes, fixture determinism, cluster-profiling flow
+on crafted inputs. Heavy fits are smoke-level (tiny data, few iters);
+metric exactness is asserted only where it is closed-form."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.ml import (
+    ensembles,
+    evaluate,
+    features,
+    fixtures,
+    recommend,
+    regressions,
+)
+
+
+def _preds(spark):
+    # (label, prediction): tp=3, fp=1, fn=2, tn=4
+    rows = (
+        [(1.0, 1.0)] * 3 + [(0.0, 1.0)] * 1 + [(1.0, 0.0)] * 2 + [(0.0, 0.0)] * 4
+    )
+    return spark.createDataFrame(rows, "label double, prediction double")
+
+
+def test_confusion_matrix_counts(spark):
+    cm = {
+        (r.label, r.prediction): r.n
+        for r in evaluate.confusion_matrix(_preds(spark)).collect()
+    }
+    assert cm == {(1.0, 1.0): 3, (0.0, 1.0): 1, (1.0, 0.0): 2, (0.0, 0.0): 4}
+
+
+def test_precision_recall_f1_closed_form(spark):
+    r = evaluate.precision_recall_f1(_preds(spark)).first()
+    assert math.isclose(r.precision, 3 / 4)
+    assert math.isclose(r.recall, 3 / 5)
+    assert math.isclose(r.f1, 2 * 3 / (2 * 3 + 1 + 2))
+
+
+def test_accuracy_matches_evaluator(spark):
+    df = _preds(spark)
+    assert math.isclose(evaluate.accuracy(df), 7 / 10)
+
+
+def test_fixtures_deterministic(spark):
+    a = fixtures.higgs(spark, n=100).agg(F.sum("f1")).first()[0]
+    b = fixtures.higgs(spark, n=100).agg(F.sum("f1")).first()[0]
+    assert a == b
+    assert fixtures.claims(spark, n=50).count() == 50
+    r = fixtures.ratings(spark, n_ratings=100)
+    assert r.select("timestamp").distinct().count() == 100  # no split ties
+
+
+def test_claims_targets_and_pipeline_shape(spark):
+    data = regressions.derive_targets(fixtures.claims(spark, n=400))
+    assert "ClaimNb" not in data.columns
+    row = data.filter(F.col("PP_ClaimNb") == 0.5).select("LogClaimNb").first()
+    assert math.isclose(row.LogClaimNb, math.log(0.5))
+    stages = features.indexed_ohe_scaled_stages(
+        regressions.CATEGORICAL_COLS, regressions.NUMERIC_COLS
+    )
+    pipe = features.pipeline(stages)
+    out = pipe.fit(data).transform(data)
+    vec = out.select("features").first().features
+    # 6 scaled numerics + OHE sizes (5-1)+(4-1)+(2-1)+(5-1) = 6+12 = 18
+    assert vec.size == 18
+
+
+def test_rf_pipeline_deterministic_under_seed(spark):
+    data = fixtures.higgs(spark, n=300)
+    pipe = features.pipeline(
+        [features.assembler(fixtures.HIGGS_FEATURES)], ensembles.rf(numTrees=5)
+    )
+    p1 = pipe.fit(data).transform(data).agg(F.sum("prediction")).first()[0]
+    p2 = pipe.fit(data).transform(data).agg(F.sum("prediction")).first()[0]
+    assert p1 == p2
+    acc = evaluate.accuracy(
+        pipe.fit(data).transform(data).select("label", "prediction")
+    )
+    assert acc > 0.55  # separable blobs → better than chance
+
+
+def test_reference_grids_shape(spark):
+    m = ensembles.rf()
+    assert len(ensembles.reference_rf_grid(m)) == 27
+    g = ensembles.gbt()
+    assert len(ensembles.reference_gbt_grid(g)) == 27
+    assert len(ensembles.small_rf_grid(m)) == 4
+
+
+def test_regressions_model_factory():
+    glm = regressions.model("glm_poisson", 0.01)
+    assert glm.getFamily() == "poisson" and glm.getMaxIter() == 50
+    l1 = regressions.model("linear_l1")
+    assert l1.getElasticNetParam() == 1.0
+    lg = regressions.model("logistic_l2", 0.1)
+    assert lg.getElasticNetParam() == 0.0 and lg.getRegParam() == 0.1
+    import pytest
+
+    with pytest.raises(ValueError):
+        regressions.model("nope")
+
+
+def test_largest_cluster_genre_flow(spark):
+    # crafted: cluster 7 is largest {users 1,2}; they rate movies 0,1 high
+    # and movie 2 low; movie 0=Action|Drama, 1=Action, 2=Horror
+    clustered = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 4)], "id int, prediction int"
+    )
+    ratings = spark.createDataFrame(
+        [
+            (1.0, 0.0, 5.0), (2.0, 0.0, 4.0),
+            (1.0, 1.0, 4.5), (2.0, 2.0, 1.0), (3.0, 2.0, 5.0),
+        ],
+        "userId double, movieId double, rating double",
+    )
+    movies = spark.createDataFrame(
+        [("0", "M0", "Action|Drama"), ("1", "M1", "Action"), ("2", "M2", "Horror")],
+        "movieId string, title string, genres string",
+    )
+    out = recommend.largest_cluster_genre_top10(clustered, ratings, movies)
+    got = [(r.genre, r.n_movies) for r in out.collect()]
+    # movie 2 avg over cluster users = 1.0 < 4 → Horror excluded
+    assert got == [("Action", 2), ("Drama", 1)]
+
+
+def test_als_reference_params():
+    a = recommend.als(custom=True)
+    assert a.getRank() == 14 and a.getMaxIter() == 17
+    assert a.getColdStartStrategy() == "drop"
+    d = recommend.als()
+    assert d.getSeed() == 40
