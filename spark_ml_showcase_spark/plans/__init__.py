@@ -60,6 +60,7 @@ def _load_all() -> None:
     # Import side-effect registration; deferred so `import plans` stays cheap.
     from spark_ml_showcase_spark.plans import (  # noqa: F401
         extensions,
+        logs_queries,
         ml_queries,
         relational,
         splits_queries,

@@ -1,0 +1,182 @@
+"""Log-analytics + non-parquet source queries (SURVEY.md §2.1 S1-S3, M2).
+
+S1/S2/S3 are the reference's ONLY input formats
+(``higgs_ensemble_analysis.py:62`` headerless CSV,
+``Claims_Prediction.py:24`` headered CSV, ``log_mining_analysis.py:21``
+gzipped text); each gets a deterministic committed fixture under
+``tests/data/`` and a DuckDB ``read_csv`` oracle, so the source readers
+themselves are correctness-gated, not just the parquet catalog.
+
+The fixture files are fixed-size by design (format coverage, not scale
+coverage) — ``sf_dir`` is accepted per the driver contract but unused.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark import logs
+from spark_ml_showcase_spark.plans import query
+from spark_ml_showcase_spark.sources import io
+
+_DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "data",
+)
+_CSV_NOHEADER = os.path.join(_DATA_DIR, "sample_noheader.csv")
+_CSV_HEADER = os.path.join(_DATA_DIR, "sample_header.csv")
+_CLF_GZ = os.path.join(_DATA_DIR, "access_log_sample.gz")
+
+
+# S1: headerless CSV scan, all-string then cast — the higgs read pattern
+# (higgs_ensemble_analysis.py:62-66). Aggregates per label class.
+@query(
+    "csv_scan_noheader",
+    oracle=f"""
+    SELECT CAST(column0 AS DOUBLE) AS label,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(column1 AS DOUBLE)), 4) AS sum_f1
+    FROM read_csv('{_CSV_NOHEADER}', header=false, all_varchar=true)
+    GROUP BY 1 ORDER BY label
+    """,
+)
+def csv_scan_noheader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = io.read_csv(spark, _CSV_NOHEADER, header=False)
+    cast = df.select(
+        F.col("_c0").cast("double").alias("label"),
+        F.col("_c1").cast("double").alias("f1"),
+    )
+    return (
+        cast.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("f1").cast("decimal(18,4)")).cast("double"), 4).alias("sum_f1"),
+        )
+        .orderBy("label")
+    )
+
+
+# S2: headered CSV scan (Claims_Prediction.py:24, als_clustering_analysis.py:28-29).
+@query(
+    "csv_scan_header",
+    oracle=f"""
+    SELECT category AS category,
+           COUNT(*) AS n,
+           SUM(CAST(qty AS BIGINT)) AS total_qty,
+           ROUND(SUM(CAST(price AS DECIMAL(18,2)))::DOUBLE, 2) AS total_price
+    FROM read_csv('{_CSV_HEADER}', header=true, all_varchar=true)
+    GROUP BY category ORDER BY category
+    """,
+)
+def csv_scan_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = io.read_csv(spark, _CSV_HEADER, header=True)
+    return (
+        df.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("qty").cast("bigint")).alias("total_qty"),
+            F.round(
+                F.sum(F.col("price").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .orderBy("category")
+    )
+
+
+# S3 + F1 + A2 + O1/O2: gzipped CLF text scan → regex field extraction →
+# top-9 German hosts (log_mining_analysis.py:21-51). DuckDB reads the
+# same gz as a one-column CSV with an absent delimiter.
+@query(
+    "clf_top_hosts_de",
+    oracle=rf"""
+    SELECT host, n FROM (
+        SELECT regexp_extract(value, '^(.*) - -.*', 1) AS host, COUNT(*) AS n
+        FROM read_csv('{_CLF_GZ}', columns={{'value': 'VARCHAR'}},
+                      header=false, delim='|', quote='')
+        WHERE ends_with(regexp_extract(value, '^(.*) - -.*', 1), '.de')
+        GROUP BY 1
+    ) ORDER BY n DESC, host ASC LIMIT 9
+    """,
+)
+def clf_top_hosts_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = io.read_text(spark, _CLF_GZ)
+    parsed = logs.parse_clf(lines)
+    return logs.top_hosts(logs.country_filter(parsed, ".de"), 9).select(
+        "host", F.col("count").cast("bigint").alias("n")
+    )
+
+
+# M2 country report: request totals + unique hosts per country suffix
+# (log_mining_analysis.py:36-62) in ONE pass over the parsed log
+# (conditional aggregation), not three filtered re-scans.
+@query(
+    "clf_country_report",
+    oracle=rf"""
+    WITH parsed AS (
+        SELECT regexp_extract(value, '^(.*) - -.*', 1) AS host,
+               CAST(list_extract(string_split(value, ' '), -2) AS BIGINT) AS code,
+               CAST(list_extract(string_split(value, ' '), -1) AS BIGINT) AS bytes
+        FROM read_csv('{_CLF_GZ}', columns={{'value': 'VARCHAR'}},
+                      header=false, delim='|', quote='')
+    )
+    SELECT country, COUNT(*) AS n_requests,
+           COUNT(DISTINCT host) AS n_hosts,
+           SUM(bytes) AS total_bytes
+    FROM (
+        SELECT CASE WHEN ends_with(host, '.de') THEN 'de'
+                    WHEN ends_with(host, '.ca') THEN 'ca'
+                    WHEN ends_with(host, '.sg') THEN 'sg'
+                    ELSE 'other' END AS country, host, bytes
+        FROM parsed
+    ) GROUP BY country ORDER BY country
+    """,
+)
+def clf_country_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = logs.parse_clf(io.read_text(spark, _CLF_GZ))
+    country = (
+        F.when(F.col("host").endswith(".de"), "de")
+        .when(F.col("host").endswith(".ca"), "ca")
+        .when(F.col("host").endswith(".sg"), "sg")
+        .otherwise("other")
+    )
+    return (
+        parsed.withColumn("country", country)
+        .groupBy("country")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum(F.col("bytes_in_reply").cast("bigint")).alias("total_bytes"),
+        )
+        .orderBy("country")
+    )
+
+
+# M2 heatmap input: day×hour counts carved from the timestamp STRING with
+# the reference's exact regexes (log_mining_analysis.py:114-117).
+@query(
+    "clf_day_hour_counts",
+    oracle=rf"""
+    SELECT regexp_extract(ts, '^(\d{{2}})', 1) AS day,
+           regexp_extract(ts, '^\d{{2}}/\w{{3}}/\d{{4}}:(\d{{2}})', 1) AS hour,
+           COUNT(*) AS n
+    FROM (
+        SELECT regexp_extract(value, '.* - - \[(.*)\].*', 1) AS ts,
+               regexp_extract(value, '^(.*) - -.*', 1) AS host
+        FROM read_csv('{_CLF_GZ}', columns={{'value': 'VARCHAR'}},
+                      header=false, delim='|', quote='')
+    ) WHERE ends_with(host, '.de')
+    GROUP BY day, hour ORDER BY day, hour
+    """,
+)
+def clf_day_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = logs.parse_clf(io.read_text(spark, _CLF_GZ))
+    de = logs.day_hour_by_regex(logs.country_filter(parsed, ".de"))
+    return (
+        de.groupBy("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day", "hour")
+    )
