@@ -59,6 +59,7 @@ def oracles() -> dict[str, str]:
 def _load_all() -> None:
     # Import side-effect registration; deferred so `import plans` stays cheap.
     from spark_ml_showcase_spark.plans import (  # noqa: F401
+        coverage_queries,
         extensions,
         logs_queries,
         ml_queries,

@@ -1,0 +1,182 @@
+"""Coverage queries for operators that existed as library surface but had
+no CORRECTNESS entry (VERDICT r1 §"What's missing" item 9/10): O3 top-1,
+O4 sorted prefix, semi/outer joins, the approx-count-distinct scale path,
+the parquet sink (S5), and the cache hint (S4).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.operators import aggregates, joins, topk
+from spark_ml_showcase_spark.plans import query
+from spark_ml_showcase_spark.sources import io
+from spark_ml_showcase_spark.sources.catalog import Catalog
+
+
+# O3: top-1 under a total order (als_clustering_analysis.py:123-125
+# `.first()`), kept as a 1-row DataFrame for the driver contract.
+@query(
+    "top1_order",
+    oracle="""
+    SELECT o_orderkey AS order_key, o_totalprice AS total_price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+    """,
+)
+def top1_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    return topk.top_k(
+        orders.select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+        ),
+        1,
+        [("total_price", "desc"), ("order_key", "asc")],
+    )
+
+
+# O4: sorted prefix — first 100 orders by date with a unique tie-break
+# (als_clustering_analysis.py:47-48 sort+limit). TakeOrderedAndProject.
+@query(
+    "sorted_prefix_orders",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 100
+    """,
+)
+def sorted_prefix_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    pref = topk.sorted_prefix(
+        orders, 100, [("o_orderdate", "asc"), ("o_orderkey", "asc")]
+    )
+    # o_orderdate is TIMESTAMP_NTZ: compare as a wall-clock date string,
+    # which is timezone-independent on both engines.
+    return pref.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+# J+: left-semi join — customers that have ≥1 urgent order (EXISTS), the
+# idiomatic form of the reference's join+distinct membership check
+# (als_clustering_analysis.py:127-129).
+@query(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_custkey AS c_custkey, c_name AS c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    urgent = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return joins.semi_join(cat.customer, urgent, "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+# J+: left-outer join preserved through aggregation — customers per nation
+# INCLUDING order-less nations (count(col) null semantics: count skips
+# the null-extended rows).
+@query(
+    "outer_join_nation_customers",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(c.c_custkey) AS n_customers
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+)
+def outer_join_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    # bind each table ONCE — Catalog.__getattr__ returns a fresh DataFrame
+    # per access, so column refs must come from the same instance
+    nation, customer = cat.nation, cat.customer
+    joined = joins.equi_join(
+        nation,
+        customer,
+        nation.n_nationkey == customer.c_nationkey,
+        "left_outer",
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy("nation")
+    )
+
+
+# A7 scale path: approx_count_distinct — the documented 100 TB-safe
+# variant of suppliers_per_part (aggregates.count_distinct(approx=True)).
+# HLL estimates are engine-specific → rows-only; exactness of the exact
+# path is oracle-checked by suppliers_per_part.
+@query("approx_distinct_suppliers")
+def approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.approx_count_distinct("l_suppkey", 0.02).alias("approx_suppliers"))
+        .orderBy("l_partkey")
+    )
+
+
+# S5: parquet sink round-trip — write a filtered projection, read it back,
+# aggregate. The oracle computes the same aggregate straight from the
+# source table, so a sink that drops/corrupts rows fails the hash.
+@query(
+    "parquet_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "spark_ml_showcase_sink", "orders_roundtrip"
+    )
+    io.write_parquet(
+        orders.filter(F.col("o_totalprice") > 100000), out_dir, mode="overwrite"
+    )
+    back = io.read_parquet(spark, out_dir)
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("status")
+    )
+
+
+# S4: cache hint — one cached scan feeding two branches of a union
+# (the reference caches every reused input, e.g. Claims_Prediction.py:24).
+@query(
+    "cached_two_branch_report",
+    oracle="""
+    SELECT 'high' AS band, COUNT(*) AS n FROM lineitem WHERE l_quantity >= 40
+    UNION ALL
+    SELECT 'low' AS band, COUNT(*) AS n FROM lineitem WHERE l_quantity < 10
+    ORDER BY band
+    """,
+)
+def cached_two_branch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_quantity").cache()
+    high = li.filter(F.col("l_quantity") >= 40).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("band", F.lit("high"))
+    low = li.filter(F.col("l_quantity") < 10).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("band", F.lit("low"))
+    return high.unionByName(low).select("band", "n").orderBy("band")

@@ -1,0 +1,48 @@
+"""Source/sink coverage (SURVEY.md §2.1): empty relation with copied
+schema (S6), explicit-schema CSV reads, parquet round-trip fidelity."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.sources import io
+
+
+def test_empty_relation_with_copied_schema(spark):
+    # S6 (Claims_Prediction.py:44-45): the stratified-split accumulator seed
+    src = spark.createDataFrame([(1, "a", 2.0)], "k bigint, s string, v double")
+    empty = spark.createDataFrame([], src.schema)
+    assert empty.count() == 0
+    assert empty.schema == src.schema
+    assert empty.unionAll(src).count() == 1  # U1 positional union
+
+
+def test_read_csv_explicit_schema_skips_inference(spark, tmp_path):
+    p = str(tmp_path / "x.csv")
+    with open(p, "w") as f:
+        f.write("1,2.5\n2,3.5\n")
+    df = io.read_csv(spark, p, schema="a int, b double")
+    assert df.dtypes == [("a", "int"), ("b", "double")]
+    assert df.agg(F.sum("b")).first()[0] == 6.0
+    # no schema, no infer → all strings (the reference's read pattern)
+    raw = io.read_csv(spark, p)
+    assert all(t == "string" for _, t in raw.dtypes)
+
+
+def test_write_parquet_partition_by(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "k bigint, part string"
+    )
+    out = str(tmp_path / "pq")
+    io.write_parquet(df, out, partition_by=["part"])
+    # hive-style layout → downstream partition pruning
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("part=")
+    ) == ["part=x", "part=y"]
+    back = io.read_parquet(spark, out)
+    assert back.count() == 3
+    pruned = back.filter(F.col("part") == "x")
+    assert pruned.count() == 2
