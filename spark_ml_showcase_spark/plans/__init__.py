@@ -65,4 +65,5 @@ def _load_all() -> None:
         ml_queries,
         relational,
         splits_queries,
+        streaming_queries,
     )

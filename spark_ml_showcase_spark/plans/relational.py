@@ -552,11 +552,13 @@ def sliding_quarter_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts,
-               -- >= not >: Spark's session_window is half-open [ts, ts+gap),
-               -- so an event exactly `gap` after the previous one starts a
-               -- NEW session.
+               -- strictly > : Spark merges session windows that TOUCH —
+               -- an event exactly `gap` after the previous one stays
+               -- IN-session (verified empirically: events at 00:00 and
+               -- 00:30 under a 30-min gap coalesce into one session;
+               -- tests/test_windows_sessions.py pins this).
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_new
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (

@@ -1,0 +1,58 @@
+"""Streaming queries run to completion (Trigger.AvailableNow) so their
+results are batch DataFrames the driver can oracle-check — the streaming
+engine (file source → watermarked event-time agg → memory sink) is in the
+loop, but the answer is deterministic because the stream is finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.plans import query
+from spark_ml_showcase_spark.streaming import events as se
+
+
+# Streaming twin of tumbling_hourly_counts with the SAME oracle shape:
+# hourly event counts, window start as epoch seconds. Complete output
+# mode (finite stream → final state is the full answer).
+@query(
+    "stream_tumbling_hourly_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT)
+               AS window_start_sec,
+           COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = se.stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = se.tumbling_counts(stream, window="1 hour", watermark=None)
+    result = se.run_to_memory(agg, spark, output_mode="complete")
+    return result.select(
+        F.col("window_start").cast("long").alias("window_start_sec"), "n"
+    ).orderBy("window_start_sec")
+
+
+# Custom stateful operator (applyInPandasWithState) run to completion:
+# per-user totals must equal the plain batch aggregate. Update output
+# mode emits one row per user per micro-batch; the LAST row per user is
+# the final state (single batch here → exactly one row each).
+@query(
+    "stream_user_running_totals",
+    oracle="""
+    SELECT user_id AS user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = se.stream_events(spark, f"{sf_dir}/events.parquet")
+    totals = se.running_totals_stateful(stream)
+    result = se.run_to_memory(totals, spark, output_mode="update")
+    # decimal-exact re-round for cross-engine float-sum determinism
+    return result.select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("decimal(28,6)").cast("double").alias("total_value"),
+    ).orderBy("user_id")

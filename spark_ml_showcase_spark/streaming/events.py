@@ -1,0 +1,197 @@
+"""Streaming event-time processing over the ``events`` table shape
+(event_id, ts, user_id, event_type, value, props).
+
+The reference has NO streaming (SURVEY §2.10); this is engine surface the
+brief requires. The batch twins of these aggregations
+(``plans/relational.py`` tumbling/sliding/session queries) are
+oracle-checked; the streaming path is verified by running file-source
+streams to completion (``Trigger.AvailableNow``) and comparing against
+the batch results (``tests/test_streaming.py``), plus a registered
+stream-vs-oracle query (``plans/streaming_queries.py``).
+
+Semantics notes:
+- ``with_watermark(delay)`` bounds state: windows older than
+  (max event time seen − delay) are finalized and their state dropped;
+  events arriving later than that are DISCARDED. In append output mode a
+  window emits only once its end passes the watermark.
+- ``session_window`` windows that TOUCH are merged: an event exactly
+  ``gap`` after the previous one stays IN-session (pinned by
+  tests/test_windows_sessions.py; the batch oracle splits on
+  strictly-greater gaps).
+- State stores shuffle on the grouping key; at scale size
+  ``spark.sql.shuffle.partitions`` to the key cardinality and prefer
+  RocksDB state store for large state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructType
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _as_stream_dir(path: str) -> str:
+    """The file-stream source requires a DIRECTORY; testdata ships single
+    parquet files. Stage a per-path temp dir containing a symlink (copy
+    fallback) to the file. Idempotent across runs."""
+    if os.path.isdir(path):
+        return path
+    digest = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), "spark_ml_showcase_stream", digest)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        try:
+            os.symlink(os.path.abspath(path), link)
+        except OSError:
+            shutil.copyfile(path, link)
+    return d
+
+
+def stream_events(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over events parquet (driver testdata stores
+    ``ts`` as TIMESTAMP(NANOS) → read as long + convert, exactly like
+    ``sources.catalog.Catalog``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(_as_stream_dir(path))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Streaming twin of plans/relational.tumbling_hourly_counts."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Streaming sliding-window counts (batch twin:
+    sliding_quarter_hour_counts)."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming session windows per user (batch twin:
+    session_windows_30m). Session aggregation REQUIRES a watermark in
+    streaming — unbounded session state cannot be finalized without one."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count + value sum maintained in explicit state —
+    the extension point for operators Spark's built-in windows can't
+    express (the brief's 'custom stateful streaming' item).
+
+    Output (per user per micro-batch): user_id, n_events, total_value.
+    """
+    import pandas as pd
+
+    output_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = StructType.fromDDL("n bigint, total double")
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    *,
+    output_mode: str = "complete",
+    name: str | None = None,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Run a streaming DataFrame to exhaustion (AvailableNow) into a
+    memory sink and return the result as a BATCH DataFrame. Test/driver
+    harness — a production job would writeStream to parquet/Kafka with a
+    checkpoint dir instead."""
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
