@@ -8,9 +8,12 @@ event-time windows).
 
 from spark_ml_showcase_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     joins,
+    multimodal,
     relational,
     setops,
+    splits,
     topk,
     windows,
 )

@@ -54,22 +54,79 @@ def exact_dedup(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Universal-hash permutation family over a single base hash (the
+# datasketch approach): pi_i(h) = (a_i·h + b_i) mod p, p = 2^31−1
+# (Mersenne prime). h < 2^31 and a_i < 2^31 keep a_i·h < 2^62 — no ANSI
+# long overflow — and DISTINCT multipliers per permutation keep the k
+# min-hashes properly decorrelated (a shared-argmin shortcut like
+# h1 + i·h2 correlates bands and silently loses recall).
+_MH_PRIME = 2_147_483_647
+
+
+def _perm_constants(k: int, seed: int = 40) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MH_PRIME, size=k, dtype=np.int64)
+    b = rng.randint(0, _MH_PRIME, size=k, dtype=np.int64)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
 def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
-    """k-permutation MinHash signature as array<bigint>:
-    sig[i] = min over shingles of xxhash64(shingle, i). Null when the
-    shingle set is empty."""
+    """k-permutation MinHash signature as array<bigint>. Null when the
+    shingle set is empty.
 
-    def hash_with_seed(i: int):
-        # NB: a one-arg lambda, with the seed bound via closure. A
-        # `lambda s, i=i:` would match PySpark's TWO-argument transform
-        # form, silently passing the array INDEX as the second argument.
-        return lambda s: F.xxhash64(s, F.lit(i))
+    Column-expression form (composable; per-row higher-order functions —
+    NOT codegen'd). The ``minhash_near_dup`` operator uses the faster
+    explode→hash-aggregate formulation; both produce identical values.
 
-    return F.array(
+    NB the transform lambdas are one-arg closures; a `lambda s, i=i:`
+    would match PySpark's TWO-argument (element, index) form and silently
+    hash with the array index."""
+    base = F.transform(
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+    )
+
+    def min_i(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MH_PRIME))
+            )
+        )
+
+    return F.array(*[min_i(a, b) for a, b in _perm_constants(k)])
+
+
+def _minhash_signatures_agg(
+    df: DataFrame, id_col: str, text_col: str, *, ngram: int, k: int
+) -> DataFrame:
+    """(id, _sig array<bigint>) via explode → groupBy(id).agg(k mins).
+
+    Same values as ``minhash_signature``, but the whole pipeline is
+    whole-stage-codegen'd: one narrow explode projection, then a hash
+    aggregate with MAP-SIDE partial mins — the shuffle carries k longs
+    per doc, not the shingle set. This is the 100 TB path."""
+    # repartition first: a small single-file scan is ONE partition, which
+    # would serialize the (expensive) shingle explode onto one core. A
+    # round-robin shuffle of raw docs is cheap; the explode then fans out
+    # in parallel. At 100 TB the scan has thousands of splits already and
+    # AQE coalesces — the repartition is still harmless (narrow input).
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ex = src.select("_id", F.explode(T.shingles("_t", ngram)).alias("_s"))
+    hashed = ex.select(
+        "_id", F.pmod(F.xxhash64("_s"), F.lit(_MH_PRIME)).alias("_h")
+    )
+    mins = hashed.groupBy("_id").agg(
         *[
-            F.array_min(F.transform(shingle_col, hash_with_seed(i)))
-            for i in range(k)
+            F.min(
+                F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MH_PRIME))
+            ).alias(f"_m{i}")
+            for i, (a, b) in enumerate(_perm_constants(k))
         ]
+    )
+    return mins.select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("_sig")
     )
 
 
@@ -112,13 +169,7 @@ def minhash_near_dup(
     (skew guard) before the join blows up.
     """
     rows_per_band = k // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        T.shingles(text_col, ngram).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    sig = base.select(
-        "_id", "_sh", minhash_signature(F.col("_sh"), k).alias("_sig")
-    )
+    sig = _minhash_signatures_agg(df, id_col, text_col, ngram=ngram, k=k)
     buckets = sig.select(
         "_id", F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("_b")
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
@@ -135,7 +186,13 @@ def minhash_near_dup(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = sig.select("_id", "_sh")
+    # exact-jaccard verification recomputes shingles only for candidate
+    # ids (the candidate set is tiny relative to the corpus)
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select("_id", T.shingles("_t", ngram).alias("_sh"))
+    )
     verified = (
         cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
@@ -165,9 +222,12 @@ def ngram_jaccard_pairs(
     an unfiltered 100 TB corpus; bound the input (a partition, a source,
     an LSH bucket) first.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), T.shingles(text_col, ngram).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select("_id", T.shingles("_t", ngram).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     return (
@@ -203,9 +263,13 @@ def simhash(
     enough to discriminate."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = T.shingles(c, ngram)
+    # Hash each shingle ONCE up front — the per-bit vote extraction below
+    # then works on the precomputed long (shiftright+mask), instead of
+    # re-evaluating xxhash64 `bits` times per shingle (Catalyst does not
+    # CSE across the unrolled bit expressions).
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def bit_votes(t: Column) -> Column:
-        h = F.xxhash64(t)
+    def bit_votes(h: Column) -> Column:
         return F.array(
             *[
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
@@ -216,9 +280,9 @@ def simhash(
         )
 
     votes = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v),
     )
     signs = F.transform(votes, lambda v: F.when(v >= 0, F.lit(1)).otherwise(F.lit(0)))
     return F.aggregate(
@@ -231,6 +295,36 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _simhash_agg(
+    df: DataFrame, id_col: str, text_col: str, *, ngram: int, bits: int
+) -> DataFrame:
+    """(_id, _h) simhash via explode → conditional-sum hash aggregate.
+
+    Same bit semantics as the ``simhash`` Column expression, but fully
+    whole-stage-codegen'd: per (doc, shingle) row ONE xxhash64, then
+    ``bits`` conditional sums with map-side partial aggregation. Docs
+    with no shingles (< ngram tokens) drop out (explode of empty)."""
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ex = src.select(
+        "_id", F.explode(T.shingles("_t", ngram)).alias("_s")
+    ).select("_id", F.xxhash64("_s").alias("_th"))
+    votes = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_th"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("bigint")
+    for i in range(bits):  # bit 0 first → MSB, matching simhash()
+        packed = packed * 2 + F.when(F.col(f"_v{i}") >= 0, 1).otherwise(0)
+    return votes.select("_id", packed.alias("_h"))
+
+
 def simhash_near_dup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -238,13 +332,14 @@ def simhash_near_dup(
     *,
     max_hamming: int = 3,
     bands: int = 4,
+    ngram: int = 3,
 ) -> DataFrame:
     """X2 (SimHash variant): candidate pairs sharing ≥1 of ``bands``
     8-bit sub-bands of the simhash, verified by exact hamming distance.
     Same banded explode-join shape as MinHash — no cartesian."""
     band_width = _SIMHASH_BITS // bands
     mask = (1 << band_width) - 1
-    h = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_h"))
+    h = _simhash_agg(df, id_col, text_col, ngram=ngram, bits=_SIMHASH_BITS)
     bands_col = F.array(
         *[
             F.struct(

@@ -91,6 +91,42 @@ def test_minhash_signature_uses_independent_seeds(spark):
     assert len(set(sig[0].s)) > 1
 
 
+def test_signature_forms_agree(spark):
+    # the codegen'd explode-agg path must produce EXACTLY the values of
+    # the composable Column-expression path
+    from spark_ml_showcase_spark.functions import text as T
+
+    df = _docs(spark)
+    col_form = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", dedup.minhash_signature(T.shingles("text", 3), 16).alias("sig")
+        )
+        .filter(F.size(T.shingles("text", 3)) > 0)
+        .collect()
+    }
+    agg_form = {
+        r._id: r._sig
+        for r in dedup._minhash_signatures_agg(
+            df, "doc_id", "text", ngram=3, k=16
+        ).collect()
+    }
+    assert col_form == agg_form
+    sh_col = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", dedup.simhash("text").alias("h"))
+        .filter(F.size(T.shingles("text", 3)) > 0)
+        .collect()
+    }
+    sh_agg = {
+        r._id: r._h
+        for r in dedup._simhash_agg(
+            df, "doc_id", "text", ngram=3, bits=32
+        ).collect()
+    }
+    assert sh_col == sh_agg
+
+
 def test_simhash_near_dup_recall_and_hamming(spark):
     df = _docs(spark)
     out = {
