@@ -37,12 +37,18 @@ def attach_binary(
     metadata (media_type, n_bytes) the planner can filter on WITHOUT
     touching the payload."""
     payload = F.encode(F.col(src_col), "UTF-8")
-    return df.select(
+    out = df.select(
         F.col(id_col).alias("id"),
         payload.alias("payload"),
         F.lit("application/octet-stream").alias("media_type"),
         F.octet_length(payload).alias("n_bytes"),
     )
+    # small single-file sources scan as ONE partition, which would
+    # serialize every downstream mapInPandas batch onto one core
+    sc = df.sparkSession.sparkContext
+    if out.rdd.getNumPartitions() < sc.defaultParallelism:
+        out = out.repartition(sc.defaultParallelism)
+    return out
 
 
 def _fake_decode(buf: bytes) -> tuple[int, int, list[float]]:

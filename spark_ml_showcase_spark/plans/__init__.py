@@ -61,6 +61,7 @@ def _load_all() -> None:
     from spark_ml_showcase_spark.plans import (  # noqa: F401
         coverage_queries,
         extensions,
+        joins_queries,
         logs_queries,
         ml_queries,
         relational,

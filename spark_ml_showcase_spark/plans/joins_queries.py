@@ -1,0 +1,133 @@
+"""Temporal/range join queries (engine surface the reference lacks;
+SURVEY.md §2.6 "not present" list). Both are custom COMPOSITIONS of
+built-in operators — no Catalyst changes:
+
+- as-of join = tag + unionByName + last(ignorenulls) over an ordered
+  window: ONE shuffle on the join key, no range cross-product;
+- range join (bucketed) = interval side exploded onto a grid → hash
+  equi-join on bucket id + residual filter.
+
+DuckDB has native ASOF JOIN and practical inequality joins, so both are
+fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.operators import joins
+from spark_ml_showcase_spark.plans import query
+from spark_ml_showcase_spark.sources.catalog import Catalog
+
+
+# As-of join: each purchase matched to the user's latest prior-or-equal
+# click. Oracle: DuckDB native ASOF JOIN (>= semantics, matching the
+# operator's tie rule: a right row at the same instant is visible).
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_sec,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = joins.as_of_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_cols=["click_ts", "click_value"],
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("long").alias("purchase_sec"),
+        F.col("click_ts").cast("long").alias("click_sec"),
+        "click_value",
+    )
+
+
+# Bucketed range join: event values binned into value bands via the
+# grid-bucketed equi-join (the scalable form; naive cartesian-with-filter
+# is the fallback the operator documents).
+_BANDS = [
+    ("tiny", 0.0, 50.0),
+    ("small", 50.0, 120.0),
+    ("medium", 120.0, 250.0),
+    ("large", 250.0, 500.0),
+]
+
+
+@query(
+    "range_join_value_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('tiny', 0.0, 50.0), ('small', 50.0, 120.0),
+               ('medium', 120.0, 250.0), ('large', 250.0, 500.0)
+    )
+    SELECT b.band AS band, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band ORDER BY band
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    joined = joins.range_join(
+        ev, bands, "value", "lo", "hi", bucket_width=50.0
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+# W1 extensions: percent_rank + ntile over per-user spend — the analytic
+# window surface beyond row_number/lag (SURVEY §2.10).
+@query(
+    "user_spend_percentiles",
+    oracle="""
+    SELECT user_id,
+           ROUND(percent_rank() OVER (ORDER BY total, user_id), 6) AS pct_rank,
+           CAST(ntile(10) OVER (ORDER BY total, user_id) AS BIGINT) AS decile
+    FROM (
+        SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM events GROUP BY user_id
+    ) ORDER BY user_id
+    """,
+)
+def user_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).events
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total")
+    )
+    # Global window over the small AGGREGATED set (|users| rows), not the
+    # raw events — single-partition is fine at this cardinality.
+    w = Window.orderBy("total", "user_id")
+    return per_user.select(
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    ).orderBy("user_id")

@@ -180,3 +180,37 @@ def clf_day_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("day", "hour")
     )
+
+
+_JSONL = os.path.join(_DATA_DIR, "sample_events.jsonl")
+
+
+# JSON-lines scan (engine surface beyond the reference's CSV/text; the
+# explicit schema skips the whole-dataset inference pass — io.read_json).
+# Array column exercised via explode-free aggregation on its size.
+@query(
+    "json_scan_agg",
+    oracle=f"""
+    SELECT kind AS kind, COUNT(*) AS n,
+           ROUND(SUM(CAST(score AS DECIMAL(18,3)))::DOUBLE, 3) AS total_score,
+           SUM(len(tags)) AS total_tags
+    FROM read_json_auto('{_JSONL}')
+    GROUP BY kind ORDER BY kind
+    """,
+)
+def json_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = io.read_json(
+        spark, _JSONL,
+        schema="id bigint, kind string, score double, tags array<string>",
+    )
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,3)")).cast("double"), 3
+            ).alias("total_score"),
+            F.sum(F.size("tags").cast("bigint")).alias("total_tags"),
+        )
+        .orderBy("kind")
+    )
