@@ -25,12 +25,16 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens with empties filtered — robust to leading/
+    trailing whitespace of ANY kind (F.trim strips only spaces, so a
+    leading tab would otherwise yield a phantom '' token)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
 def whitespace_token_count(col: str | Column) -> Column:
     """Token count by whitespace runs; 0 for empty/blank strings."""
-    trimmed = F.trim(_c(col))
-    return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    )
+    return F.size(_tokens(_c(col)))
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:
@@ -61,7 +65,7 @@ def punct_ratio(col: str | Column) -> Column:
 
 def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
     """Fraction of whitespace tokens that are stopwords for ``lang``."""
-    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    toks = _tokens(F.lower(_c(col)))
     stops = F.array(*[F.lit(s) for s in _LANG_STOPWORDS[lang]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
@@ -89,7 +93,7 @@ def lang_id(col: str | Column) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit counts;
     'und' (undetermined) when no list scores > 0. Deterministic tie-break
     by language-code order of the scores struct comparison."""
-    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    toks = _tokens(F.lower(_c(col)))
     best = F.lit("und")
     best_score = F.lit(0)
     # Unrolled argmax keeps everything in one codegen'd expression tree.
@@ -108,14 +112,18 @@ def fingerprint(col: str | Column, *, normalize: bool = True) -> Column:
     raw text (smaller shuffle keys, no giant string comparisons)."""
     c = _c(col)
     if normalize:
-        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+        # regexp trim, not F.trim — F.trim strips SPACES only, so a
+        # leading tab/newline would survive and split dup groups
+        c = F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"^\s+|\s+$", ""), r"\s+", " "
+        )
     return F.xxhash64(c)
 
 
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) — the MinHash/Jaccard input.
     Built with transform over a token-index sequence: JVM-side, no UDF."""
-    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    toks = _tokens(F.lower(_c(col)))
     n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), n_sh - 1)
     return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(

@@ -30,7 +30,9 @@ from spark_ml_showcase_spark.sources.catalog import Catalog
     SELECT doc_id AS doc_id, source AS source, n_chars AS n_chars FROM (
         SELECT doc_id, source, n_chars,
                row_number() OVER (
-                   PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                   PARTITION BY regexp_replace(
+                       regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+                       '\s+', ' ', 'g')
                    ORDER BY doc_id) AS rn
         FROM documents
     ) WHERE rn = 1
@@ -151,9 +153,8 @@ def embedding_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_stats",
     oracle=r"""
     SELECT doc_id AS doc_id,
-           CAST(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
-               AS n_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars,
            ROUND(CASE WHEN length(text) = 0 THEN 0.0
                  ELSE (length(text)

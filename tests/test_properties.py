@@ -1,0 +1,84 @@
+"""Property-based tests (SURVEY.md §5 item 4, hypothesis): text-function
+parity with Python reference implementations over adversarial strings,
+dedup idempotence / exact-dup recall over generated corpora.
+
+Each example batches many generated strings into ONE DataFrame so a
+property costs one Spark job, not |strings| jobs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions import text as T
+from spark_ml_showcase_spark.operators import dedup
+
+# printable ASCII incl. whitespace variety — the adversarial cases are
+# leading/trailing tabs/newlines and punctuation-only strings
+_texts = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefgh XYZ.,!?:;()[]'\"-_0123456789\t\n")
+    ),
+    max_size=60,
+)
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=40))
+def test_token_count_matches_python_split(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "t string")
+    got = [r.n for r in df.select(T.whitespace_token_count("t").alias("n")).collect()]
+    want = [len(s.split()) for s in strings]
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=40))
+def test_punct_ratio_bounded(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "t string")
+    rows = df.select(
+        T.punct_ratio("t").alias("p"), T.quality_score("t").alias("q")
+    ).collect()
+    assert all(0.0 <= r.p <= 1.0 and 0.0 <= r.q <= 1.0 for r in rows)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=40))
+def test_shingle_count_formula(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "t string")
+    got = [r.n for r in df.select(F.size(T.shingles("t", 3)).alias("n")).collect()]
+    for s, n in zip(strings, got):
+        toks = s.lower().split()
+        distinct = {" ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))}
+        assert n == len(distinct)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=30))
+def test_fingerprint_equality_iff_normalized_equal(spark, strings):
+    import re
+
+    df = spark.createDataFrame(list(enumerate(strings)), "i bigint, t string")
+    rows = df.select("i", T.fingerprint("t").alias("f")).collect()
+    fps = {r.i: r.f for r in rows}
+    norm = {i: re.sub(r"\s+", " ", s.lower().strip()) for i, s in enumerate(strings)}
+    for i in fps:
+        for j in fps:
+            if norm[i] == norm[j]:
+                assert fps[i] == fps[j]
+            else:
+                assert fps[i] != fps[j]  # xxhash64 collision ~2^-64
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=2, max_size=30))
+def test_exact_dedup_idempotent_and_complete(spark, strings):
+    import re
+
+    df = spark.createDataFrame(list(enumerate(strings)), "doc_id bigint, text string")
+    out = dedup.exact_dedup(df, "text", "doc_id")
+    n_norm = len({re.sub(r"\s+", " ", s.lower().strip()) for s in strings})
+    assert out.count() == n_norm  # exactly one survivor per normalized text
+    assert dedup.exact_dedup(out, "text", "doc_id").count() == n_norm
