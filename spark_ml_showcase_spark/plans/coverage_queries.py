@@ -180,3 +180,25 @@ def cached_two_branch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     ).withColumn("band", F.lit("low"))
     return high.unionByName(low).select("band", "n").orderBy("band")
+
+
+# SQL-text surface: the same engine through spark.sql over registered
+# temp views (Catalog.register_views) — identical Catalyst plan as the
+# DataFrame form, proving the SQL entry point end-to-end.
+@query(
+    "sql_api_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def sql_api_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_orderpriority ORDER BY priority
+        """
+    )

@@ -129,6 +129,25 @@ def test_largest_cluster_genre_flow(spark):
     assert got == [("Action", 2), ("Drama", 1)]
 
 
+def test_feature_importances_df_coefficients_branch(spark):
+    # M19 coefficients path (Claims_Prediction.py:102-103): linear models
+    # expose .coefficients, not .featureImportances
+    data = fixtures.higgs(spark, n=200)
+    from pyspark.ml.classification import LogisticRegression
+
+    pipe = features.pipeline(
+        [features.assembler(fixtures.HIGGS_FEATURES)],
+        LogisticRegression(labelCol="label", maxIter=5),
+    )
+    model = pipe.fit(data).stages[-1]
+    out = evaluate.feature_importances_df(
+        spark, model, list(fixtures.HIGGS_FEATURES)
+    )
+    rows = out.collect()
+    assert len(rows) == 28
+    assert any(abs(r.importance) > 0 for r in rows)
+
+
 def test_als_reference_params():
     a = recommend.als(custom=True)
     assert a.getRank() == 14 and a.getMaxIter() == 17
