@@ -202,3 +202,60 @@ def sql_api_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderpriority ORDER BY priority
         """
     )
+
+
+# A-surface extension: collect_set + sort_array (SURVEY §2.4 "not present
+# in reference" list). Emitted as a joined string so the cross-engine
+# value-hash compares scalars, not array encodings.
+@query(
+    "statuses_per_customer",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+               AS statuses,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey ORDER BY custkey
+    """,
+)
+def statuses_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# Datetime surface: date_trunc month rollup (SURVEY §2.3 — the engine's
+# idiomatic replacement for the reference's string-sliced dates).
+# TIMESTAMP_NTZ → compare as formatted wall-clock strings.
+@query(
+    "orders_per_month",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1 ORDER BY month
+    """,
+)
+def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month")
+    )
