@@ -74,6 +74,31 @@ def small_rf_grid(model: RandomForestClassifier):
     )
 
 
+def retrain_with_best(cv_model, estimator_cls, train_df, *, label_col="label",
+                      features_col="features"):
+    """The reference's full-data retrain tail
+    (higgs_ensemble_analysis.py:152-171): extract the CV winner's params
+    and refit a fresh estimator on a (larger) training set. Returns the
+    fitted model."""
+    best = cv_model.bestModel.stages[-1]
+    if hasattr(best, "getNumTrees"):  # RandomForestClassificationModel
+        params = dict(
+            numTrees=best.getNumTrees,
+            featureSubsetStrategy=best.getFeatureSubsetStrategy(),
+            subsamplingRate=best.getSubsamplingRate(),
+        )
+    else:
+        params = dict(
+            maxIter=best.getMaxIter(),
+            maxDepth=best.getMaxDepth(),
+            subsamplingRate=best.getSubsamplingRate(),
+        )
+    model = estimator_cls(
+        labelCol=label_col, featuresCol=features_col, seed=SEED, **params
+    )
+    return model.fit(train_df)
+
+
 def cross_validate(
     estimator: Pipeline,
     grid,

@@ -198,6 +198,34 @@ def ml_als_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# M12 default-vs-custom across the reference's three temporal splits
+# (als_clustering_analysis.py:41-78: train_splits=[0.4,0.6,0.8], default
+# ALS vs custom rank/maxIter) — reduced iters for bounded runtime, same
+# comparison shape. 2 variants × 3 splits × 3 metrics = 18 rows.
+@query("ml_als_default_vs_custom")
+def ml_als_default_vs_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data = fixtures.ratings(spark, n_ratings=3000)
+    rows = []
+    for split in [0.4, 0.6, 0.8]:
+        train, test = splits.temporal_split(
+            data, "timestamp", "userId", split, exact=True
+        )
+        train = train.cache()
+        for variant, model in (
+            ("default", recommend.als(maxIter=5)),
+            ("custom", recommend.als(custom=True, rank=8, maxIter=8)),
+        ):
+            pred = model.fit(train).transform(test)
+            m = evaluate.regression_metrics(pred, label_col="rating")
+            rows += [
+                (variant, float(split), name, round(v, 4))
+                for name, v in m.items()
+            ]
+    return spark.createDataFrame(
+        rows, "variant string, split double, metric string, value double"
+    )
+
+
 # M13+M14 + the cluster-profiling report: KMeans over ALS user factors,
 # largest-cluster genre top-10 (als_clustering_analysis.py:105-146),
 # driver-loop-free. ≤10 rows.

@@ -1,0 +1,67 @@
+"""Scale-path proofs (SCALE.md claims made checkable): bucketed tables
+join without an exchange on the bucket key; full-data retrain extracts
+the CV winner's params; broadcast hints land in the plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.operators import joins
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(1000)], "k bigint, lv string"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(1000)], "k bigint, rv string"
+    )
+    left.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt_left")
+    right.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt_right")
+    joined = spark.table("bt_left").join(spark.table("bt_right"), "k")
+    # disable auto-broadcast so the co-located join is what we observe
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucket co-location
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_broadcast_hint_in_plan(spark):
+    big = spark.createDataFrame([(i % 5, i) for i in range(1000)], "k bigint, v bigint")
+    small = spark.createDataFrame([(i, f"n{i}") for i in range(5)], "k bigint, name string")
+    plan = _plan(joins.broadcast_join(big, small, "k"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_retrain_with_best_extracts_cv_params(spark):
+    from pyspark.ml.classification import RandomForestClassifier
+
+    from spark_ml_showcase_spark.ml import ensembles, features, fixtures
+
+    data = fixtures.higgs(spark, n=300)
+    model = ensembles.rf()
+    pipe = features.pipeline([features.assembler(fixtures.HIGGS_FEATURES)], model)
+    cv = ensembles.cross_validate(
+        pipe, ensembles.small_rf_grid(model), num_folds=2, parallelism=4
+    )
+    fitted_cv = cv.fit(data)
+    assembled = features.assembler(fixtures.HIGGS_FEATURES).transform(data)
+    full = ensembles.retrain_with_best(fitted_cv, RandomForestClassifier, assembled)
+    best = fitted_cv.bestModel.stages[-1]
+    assert full.getNumTrees == best.getNumTrees
+    assert full.getSubsamplingRate() == best.getSubsamplingRate()
+    assert full.transform(assembled).count() == 300
