@@ -130,6 +130,80 @@ def ann_topk_lsh(
     )
 
 
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 40,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions candidates into ``n_lists`` cells; each query probes its
+    ``n_probe`` nearest centroids and reranks exactly inside those cells.
+
+    vs sign-LSH (``ann_topk_lsh``): IVF adapts cell boundaries to the
+    data distribution (better recall on clustered corpora) at the cost
+    of a training pass. The cell assignment is ONE KMeans transform; the
+    probe join is an equi-join on the cell id — no cross product. At
+    100 TB: train the quantizer on a sample, broadcast the centroids
+    (tiny: n_lists × dim), and the probe join shuffles on a small int key.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        as_double(vec_col).alias("_cv"),
+        array_to_vector(as_double(vec_col)).alias("_feat"),
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("cand_id", "_cv", "_cell")
+    # centroid table (n_lists rows) — query-side probe assignment happens
+    # against this broadcast-small table
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    cent_df = candidates.sparkSession.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_d", V.l2_distance("_qv", "centroid"))
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_d").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", F.col("cell").alias("_cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "_cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(V.cosine("_qv", "_cv"), score_decimals))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_reps(
     df: DataFrame,
     *,

@@ -223,3 +223,72 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frame_no")
     )
+
+
+# X3 (IVF variant): KMeans coarse quantizer + n_probe cell rerank — the
+# data-adaptive counterpart of the sign-LSH path. Seeded KMeans →
+# deterministic; centroid training is engine-side → rows-only.
+@query("ivf_topk")
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, queries, 3, n_lists=8, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
+# X4 (MLlib text featurization): RegexTokenizer → StopWordsRemover →
+# CountVectorizer → IDF over documents, reported as the corpus's top-20
+# terms by total TF-IDF weight. Fits are engine-side → rows-only.
+@query("tfidf_top_terms")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, CountVectorizer, RegexTokenizer, StopWordsRemover
+    from pyspark.ml.functions import vector_to_array
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="_tok", pattern=r"\s+"),
+            StopWordsRemover(inputCol="_tok", outputCol="_filt"),
+            CountVectorizer(inputCol="_filt", outputCol="_tf", vocabSize=1024),
+            IDF(inputCol="_tf", outputCol="_tfidf"),
+        ]
+    )
+    model = pipe.fit(docs)
+    vocab = model.stages[2].vocabulary
+    out = model.transform(docs).select(vector_to_array("_tfidf").alias("_w"))
+    # total weight per vocab slot: one posexplode + sum — no driver loop
+    totals = (
+        out.select(F.posexplode("_w").alias("term_idx", "w"))
+        .groupBy("term_idx")
+        .agg(F.round(F.sum("w"), 4).alias("total_tfidf"))
+    )
+    vocab_df = spark.createDataFrame(
+        list(enumerate(vocab)), "term_idx int, term string"
+    )
+    return (
+        totals.join(F.broadcast(vocab_df), "term_idx")
+        .select("term", "total_tfidf")
+        .orderBy(F.col("total_tfidf").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+# Sketch surface: t-digest-style approximate percentiles of order value
+# (approx_percentile). Sketch estimates are engine-specific → rows-only;
+# the exact-percentile twin is available through the oracle-checked
+# aggregate queries.
+@query("quantile_sketch_prices")
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    pcts = [0.5, 0.9, 0.99]
+    qs = orders.agg(
+        F.percentile_approx("o_totalprice", pcts, 10000).alias("_q")
+    )
+    return qs.select(
+        *[
+            F.round(F.element_at("_q", i + 1), 2).alias(f"p{int(p*100)}")
+            for i, p in enumerate(pcts)
+        ]
+    )

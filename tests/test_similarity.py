@@ -111,3 +111,23 @@ def test_vector_functions_basic(spark):
     assert row.n == 5.0
     assert math.isclose(row.l2, math.sqrt(2.0))
     assert math.isclose(sum(x * x for x in row.u), 1.0, abs_tol=1e-12)
+
+
+def test_ivf_topk_finds_planted_twin(spark):
+    import numpy as np
+    from pyspark.sql import functions as FF
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, 8)
+    base[4] = base[0] + 0.001 * rng.randn(8)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.ivf_topk(
+        df, df.filter(FF.col("vec_id") == 0), k=3, n_lists=4, n_probe=2
+    )
+    top = [r.cand_id for r in out.orderBy("rank").collect()]
+    # twin is near-identical → same KMeans cell → found at rank 1
+    assert top and top[0] == 4
