@@ -259,3 +259,29 @@ def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# GROUPING SETS — completes the rollup/cube family (SURVEY §2.4 engine
+# surface). The DataFrame API exposes only rollup/cube; arbitrary sets go
+# through the SQL surface, same Catalyst Expand operator underneath.
+@query(
+    "grouping_sets_qty",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY flag NULLS FIRST, status NULLS FIRST
+    """,
+)
+def grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY flag NULLS FIRST, status NULLS FIRST
+        """
+    )
