@@ -12,7 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_ml_showcase_spark.operators import aggregates, joins, topk
+from spark_ml_showcase_spark.operators import joins, topk
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources import io
 from spark_ml_showcase_spark.sources.catalog import Catalog
@@ -284,4 +284,32 @@ def grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY flag NULLS FIRST, status NULLS FIRST
         """
+    )
+
+
+# A-surface: min/max/stddev/variance (SURVEY §2.4 engine additions).
+# Sample stddev/variance on both engines; rounded — sum-of-squares
+# accumulation order drifts in the last ulps.
+@query(
+    "price_stats_per_flag",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_extendedprice), 4) AS var_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    """,
+)
+def price_stats_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        )
+        .orderBy("flag")
     )
