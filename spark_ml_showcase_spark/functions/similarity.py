@@ -161,7 +161,12 @@ def ivf_topk(
         as_double(vec_col).alias("_cv"),
         array_to_vector(as_double(vec_col)).alias("_feat"),
     )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_cell")
+    # a coarse quantizer does not need convergence — a few Lloyd rounds
+    # position cells well enough for probing (default maxIter=20 would
+    # double the training cost for no recall gain)
+    km = KMeans(
+        k=n_lists, seed=seed, maxIter=5, featuresCol="_feat", predictionCol="_cell"
+    )
     model = km.fit(c)
     assigned = model.transform(c).select("cand_id", "_cv", "_cell")
     # centroid table (n_lists rows) — query-side probe assignment happens
