@@ -39,7 +39,9 @@ def main() -> int:
     spark = get_session("bench")
     qs = entrymod.queries()
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    # best-of-2 by default: the first run pays plan compilation + code
+    # generation; the second measures steady-state execution
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
 
     # Warm-up: JVM JIT, parquet footer caches, codegen.
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()

@@ -178,7 +178,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactness is covered by tests/test_text.py on known fixtures.
 @query("text_quality_lang")
 def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
+    # repartition: single-file scan = one partition, and the quality/
+    # lang-ID higher-order expressions are the interpreted slow path —
+    # fan them out across cores
+    docs = Catalog(spark, sf_dir).documents.repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id",
         TX.quality_score("text").alias("quality"),

@@ -45,7 +45,7 @@ def ml_rf_cv_higgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = ensembles.rf()
     pipe = features.pipeline([features.assembler(fixtures.HIGGS_FEATURES)], model)
     cv = ensembles.cross_validate(
-        pipe, ensembles.small_rf_grid(model), num_folds=3, parallelism=4
+        pipe, ensembles.small_rf_grid(model), num_folds=3, parallelism=8
     )
     fitted = cv.fit(train)
     best = fitted.bestModel.stages[-1]
