@@ -56,3 +56,39 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("decimal(28,6)").cast("double").alias("total_value"),
     ).orderBy("user_id")
+
+
+# Session windows through the STREAMING engine (the hardest state shape:
+# variable-length merging windows), run to completion — same oracle logic
+# as the batch session_windows_30m (split on strictly-greater gaps;
+# touching sessions merge).
+@query(
+    "stream_session_windows_30m",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id AS user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_sec,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = se.stream_events(spark, f"{sf_dir}/events.parquet")
+    sessions = se.session_counts(stream, gap="30 minutes")
+    result = se.run_to_memory(sessions, spark, output_mode="complete")
+    return result.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_sec"),
+        "n_events",
+    ).orderBy("user_id", "session_start_sec")
