@@ -297,3 +297,38 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(pcts)
         ]
     )
+
+
+# The composed training-data pipeline — what the X-operators exist FOR:
+# exact dedup → near-dup removal (MinHash LSH, keep min-id of each pair)
+# → quality + language filter. One funnel-summary row per stage so the
+# attrition at each step is visible. Deterministic; engine-defined
+# hashes/heuristics → rows-only (each stage is oracle-checked or
+# property-tested individually).
+@query("clean_corpus_funnel")
+def clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    exact = dedup.exact_dedup(docs, "text", "doc_id").cache()
+    near_pairs = dedup.minhash_near_dup(
+        exact, "doc_id", "text", ngram=3, k=32, bands=8, threshold=0.8
+    )
+    # drop the HIGHER id of every near-dup pair (min-id representative)
+    losers = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    after_near = exact.join(losers, "doc_id", "left_anti").cache()
+    cleaned = after_near.filter(
+        (TX.quality_score("text") >= 0.5) & (TX.lang_id("text") == "en")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+            "stage", F.lit(name)
+        )
+
+    return (
+        stage("0_input", docs)
+        .unionByName(stage("1_exact_dedup", exact))
+        .unionByName(stage("2_near_dedup", after_near))
+        .unionByName(stage("3_quality_lang", cleaned))
+        .select("stage", "n_docs")
+        .orderBy("stage")
+    )

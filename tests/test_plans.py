@@ -1,0 +1,51 @@
+"""Plan-shape regression tests: pin the physical properties SCALE.md
+claims — top-k without global sort, filters pushed to the scan, explicit
+broadcasts, single-exchange dedup. These catch silent plan regressions
+(a lost broadcast hint, a filter that stops pushing) that row-level
+correctness checks cannot see."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_plans_take_ordered(spark):
+    qs = entry.queries()
+    plan = _plan(qs["topk_suppliers_by_qty"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_project_cast_rename_pushes_filter_and_prunes(spark):
+    qs = entry.queries()
+    plan = _plan(qs["project_cast_rename"](spark, SF))
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+    # column pruning: the scan must NOT read the full 16-col lineitem
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" not in read and "l_shipdate" not in read
+
+
+def test_revenue_by_region_broadcasts_dims(spark):
+    qs = entry.queries()
+    plan = _plan(qs["revenue_by_region"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_single_exchange(spark):
+    qs = entry.queries()
+    plan = _plan(qs["exact_dedup_docs"](spark, SF))
+    # one hash-partitioning exchange on the fingerprint, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    qs = entry.queries()
+    plan = _plan(qs["cosine_topk_bruteforce"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # candidates stream once
