@@ -7,6 +7,10 @@ Each query is forced with a `noop` sink write (full pipeline execution on
 executors, no driver-side materialization cost), after one warm-up action to
 amortize JVM/codegen startup. Output format (driver contract):
 {"metric": "suite_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The printed line is kept SHORT (the driver captures it via `tail`, which
+truncated round 2's 70-query map): `queries` holds only the slowest
+TOP_N_PRINTED entries; the full per-query map goes to BENCH_LOCAL.json.
 """
 
 from __future__ import annotations
@@ -25,6 +29,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # Queries excluded from the bench (iterative ML fits — minutes, not seconds;
 # they have their own rows-only correctness entries).
 SLOW_PREFIXES = ("ml_",)
+
+# The printed JSON line includes only the slowest N queries (full map in
+# BENCH_LOCAL.json) so the line stays within the driver's tail capture.
+TOP_N_PRINTED = 8
 
 
 def _sf_of(path: str) -> float:
@@ -65,16 +73,35 @@ def main() -> int:
         times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
+    sf = _sf_of(SF_DIR)
+    detail = {
+        "metric": "suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "cpus": int(CPUS),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:TOP_N_PRINTED]
+    )
     print(
         json.dumps(
             {
                 "metric": "suite_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "sf": _sf_of(SF_DIR),
+                "queries": slowest,
+                "sf": sf,
                 "n_queries": len(times),
-                "cpus": int(CPUS),
+                "detail": "BENCH_LOCAL.json",
             }
         )
     )

@@ -215,23 +215,59 @@ def embedding_near_dup_reps(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
-    n_planes: int = 6,
+    n_planes: int = 8,
     dim: int = 64,
     seed: int = 40,
+    bands: int = 2,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Embedding-cosine near-dup dedup: a row survives unless a LOWER-id
-    row in the same LSH bucket has cosine ≥ threshold (min-id
-    representative per near-dup neighborhood). Bucketed, not all-pairs."""
-    planes = hyperplanes(dim, n_planes, seed)
+    row in any shared LSH bucket has cosine ≥ threshold (min-id
+    representative per near-dup neighborhood). Bucketed, not all-pairs.
+
+    Scale posture (mirrors ``operators.dedup.minhash_near_dup``):
+
+    - ``bands`` INDEPENDENT plane sets, each hashing to 2^n_planes
+      buckets. Candidates are the union across bands, so raising
+      ``n_planes`` (smaller buckets → fewer comparisons) does not crater
+      recall the way a single larger plane set would: a true near-dup
+      pair splits in one band with prob ≈ n_planes·θ/π but must split in
+      ALL bands to be missed.
+    - Hot-bucket guard: a (band, bucket) with more than ``max_bucket``
+      rows is dropped before the self-join (those rows conservatively
+      survive). Candidate count is hard-bounded at
+      bands · 2^n_planes · max_bucket², never O((N/buckets)²) on a
+      skewed corpus.
+    """
+    planes_by_band = [
+        hyperplanes(dim, n_planes, seed + 7919 * j) for j in range(bands)
+    ]
     base = df.select(
-        F.col(id_col).alias("_id"),
-        as_double(vec_col).alias("_v"),
-        lsh_bucket(vec_col, planes).alias("_bucket"),
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
     )
-    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
-    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    keyed = base.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        lsh_bucket(F.col("_v"), planes_by_band[j]).alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("_k"),
+    ).select("_id", "_v", F.col("_k.band").alias("_band"), F.col("_k.bh").alias("_bh"))
+    wb = Window.partitionBy("_band", "_bh")
+    keyed = keyed.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
+        F.col("_bsz") <= max_bucket
+    )
+    a = keyed.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_bh")
+    b = keyed.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band", "_bh")
     dominated = (
-        a.join(b, "_bucket")
+        a.join(b, ["_band", "_bh"])
         .filter(
             (F.col("id_b") < F.col("id_a"))
             & (V.cosine("_va", "_vb") >= threshold)

@@ -80,8 +80,13 @@ def retrain_with_best(cv_model, estimator_cls, train_df, *, label_col="label",
     (higgs_ensemble_analysis.py:152-171): extract the CV winner's params
     and refit a fresh estimator on a (larger) training set. Returns the
     fitted model."""
+    from pyspark.ml.classification import RandomForestClassificationModel
+
     best = cv_model.bestModel.stages[-1]
-    if hasattr(best, "getNumTrees"):  # RandomForestClassificationModel
+    # isinstance, NOT hasattr(getNumTrees): GBTClassificationModel inherits
+    # _TreeEnsembleModel's getNumTrees too, which would route GBT winners
+    # down the RF branch and crash on GBTClassifier(numTrees=...).
+    if isinstance(best, RandomForestClassificationModel):
         params = dict(
             numTrees=best.getNumTrees,
             featureSubsetStrategy=best.getFeatureSubsetStrategy(),

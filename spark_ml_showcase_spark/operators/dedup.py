@@ -73,12 +73,14 @@ def _perm_constants(k: int, seed: int = 40) -> list[tuple[int, int]]:
 
 
 def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
-    """k-permutation MinHash signature as array<bigint>. Null when the
-    shingle set is empty.
+    """k-permutation MinHash signature as array<bigint>. NULL when the
+    shingle set is empty (matching ``_minhash_signatures_agg``, which
+    drops empty docs — neither form emits a signature for them).
 
     Column-expression form (composable; per-row higher-order functions —
     NOT codegen'd). The ``minhash_near_dup`` operator uses the faster
-    explode→hash-aggregate formulation; both produce identical values.
+    explode→hash-aggregate formulation; both produce identical values
+    on every non-empty shingle set.
 
     NB the transform lambdas are one-arg closures; a `lambda s, i=i:`
     would match PySpark's TWO-argument (element, index) form and silently
@@ -94,7 +96,8 @@ def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
             )
         )
 
-    return F.array(*[min_i(a, b) for a, b in _perm_constants(k)])
+    sig = F.array(*[min_i(a, b) for a, b in _perm_constants(k)])
+    return F.when(F.size(shingle_col) > 0, sig)
 
 
 def _minhash_signatures_agg(

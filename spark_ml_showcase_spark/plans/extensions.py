@@ -56,7 +56,13 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                list_distinct([array_to_string(toks[i:i+2], ' ')
                               for i in generate_series(1, len(toks) - 2)]) AS s
-        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM (SELECT doc_id,
+                     -- list_filter mirrors the Spark side's phantom-token
+                     -- filter: DuckDB trim() strips spaces only, so a
+                     -- leading tab/newline yields an empty first token.
+                     list_filter(
+                         string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
               FROM documents WHERE doc_id < 200)
         WHERE len(toks) >= 3
     )

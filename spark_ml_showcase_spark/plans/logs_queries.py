@@ -4,7 +4,8 @@ S1/S2/S3 are the reference's ONLY input formats
 (``higgs_ensemble_analysis.py:62`` headerless CSV,
 ``Claims_Prediction.py:24`` headered CSV, ``log_mining_analysis.py:21``
 gzipped text); each gets a deterministic committed fixture under
-``tests/data/`` and a DuckDB ``read_csv`` oracle, so the source readers
+``spark_ml_showcase_spark/data/`` (shipped with the package, not the
+test tree) and a DuckDB ``read_csv`` oracle, so the source readers
 themselves are correctness-gated, not just the parquet catalog.
 
 The fixture files are fixed-size by design (format coverage, not scale
@@ -23,8 +24,7 @@ from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources import io
 
 _DATA_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "tests",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "data",
 )
 _CSV_NOHEADER = os.path.join(_DATA_DIR, "sample_noheader.csv")
@@ -66,7 +66,7 @@ def csv_scan_noheader(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT category AS category,
            COUNT(*) AS n,
-           SUM(CAST(qty AS BIGINT)) AS total_qty,
+           CAST(SUM(CAST(qty AS BIGINT)) AS BIGINT) AS total_qty,
            ROUND(SUM(CAST(price AS DECIMAL(18,2)))::DOUBLE, 2) AS total_price
     FROM read_csv('{_CSV_HEADER}', header=true, all_varchar=true)
     GROUP BY category ORDER BY category
@@ -125,7 +125,7 @@ def clf_top_hosts_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT country, COUNT(*) AS n_requests,
            COUNT(DISTINCT host) AS n_hosts,
-           SUM(bytes) AS total_bytes
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes
     FROM (
         SELECT CASE WHEN ends_with(host, '.de') THEN 'de'
                     WHEN ends_with(host, '.ca') THEN 'ca'
@@ -153,6 +153,62 @@ def clf_country_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("country")
     )
+
+
+# S5 (driver-side artifact parity): the reference saves its analysis
+# tables as text files (log_mining_analysis.py:88,128); this query runs
+# the country report THROUGH the txt report sink (write → parse back) so
+# a sink that misaligns/drops/reorders columns fails the oracle hash.
+@query(
+    "clf_report_txt_sink",
+    oracle=rf"""
+    WITH parsed AS (
+        SELECT regexp_extract(value, '^(.*) - -.*', 1) AS host,
+               CAST(list_extract(string_split(value, ' '), -1) AS BIGINT) AS bytes
+        FROM read_csv('{_CLF_GZ}', columns={{'value': 'VARCHAR'}},
+                      header=false, delim='|', quote='')
+    )
+    SELECT country, COUNT(*) AS n_requests,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes
+    FROM (
+        SELECT CASE WHEN ends_with(host, '.de') THEN 'de'
+                    WHEN ends_with(host, '.ca') THEN 'ca'
+                    WHEN ends_with(host, '.sg') THEN 'sg'
+                    ELSE 'other' END AS country, bytes
+        FROM parsed
+    ) GROUP BY country ORDER BY country
+    """,
+)
+def clf_report_txt_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    parsed = logs.parse_clf(io.read_text(spark, _CLF_GZ))
+    country = (
+        F.when(F.col("host").endswith(".de"), "de")
+        .when(F.col("host").endswith(".ca"), "ca")
+        .when(F.col("host").endswith(".sg"), "sg")
+        .otherwise("other")
+    )
+    report = (
+        parsed.withColumn("country", country)
+        .groupBy("country")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum(F.col("bytes_in_reply").cast("bigint")).alias("total_bytes"),
+        )
+        .orderBy("country")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_ml_showcase_sink", "country_report.csv"
+    )
+    io.write_report(report, out, fmt="csv")
+    back = io.read_csv(
+        spark,
+        out,
+        header=True,
+        schema="country string, n_requests bigint, total_bytes bigint",
+    )
+    return back.orderBy("country")
 
 
 # M2 heatmap input: day×hour counts carved from the timestamp STRING with
@@ -193,7 +249,7 @@ _JSONL = os.path.join(_DATA_DIR, "sample_events.jsonl")
     oracle=f"""
     SELECT kind AS kind, COUNT(*) AS n,
            ROUND(SUM(CAST(score AS DECIMAL(18,3)))::DOUBLE, 3) AS total_score,
-           SUM(len(tags)) AS total_tags
+           CAST(SUM(len(tags)) AS BIGINT) AS total_tags
     FROM read_json_auto('{_JSONL}')
     GROUP BY kind ORDER BY kind
     """,

@@ -39,6 +39,31 @@ def temporal_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# R3 scale path: cutoff temporal split (approxQuantile on the time column
+# + plain filter, splits.py exact=False) — the narrow plan to use at
+# 100 TB; no global sort, no single-partition window. Boundary is
+# approximate → rows-only invariant summary (per-side sizes and time
+# ranges; tests assert train∪test partitions the input and
+# max(train.ts) ≤ min(test.ts)).
+@query("temporal_split_cutoff")
+def temporal_split_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    train, test = splits.temporal_split(ev, "ts", "event_id", 0.8, exact=False)
+
+    def _side(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("ts").cast("long")).alias("min_ts_sec"),
+            F.max(F.col("ts").cast("long")).alias("max_ts_sec"),
+        ).withColumn("split", F.lit(name))
+
+    return (
+        _side(train, "train")
+        .unionByName(_side(test, "test"))
+        .select("split", "n", "min_ts_sec", "max_ts_sec")
+    )
+
+
 # R1: seeded randomSplit (higgs_ensemble_analysis.py:69-70). Assignment is
 # partitioning-dependent → rows-only invariant summary (2 rows; sizes sum
 # to the input count, fractions near the weights).

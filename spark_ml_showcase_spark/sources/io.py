@@ -16,6 +16,8 @@ but prefers explicit schemas and columnar formats:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -29,14 +31,20 @@ def read_csv(
     sep: str = ",",
     schema: T.StructType | str | None = None,
     infer: bool = False,
+    **options,
 ) -> DataFrame:
     """CSV scan (reference S1/S2).
 
     With ``schema`` given, no inference pass runs. With neither ``schema``
     nor ``infer``, all columns land as string (the reference's behavior,
     ``higgs_ensemble_analysis.py:62``) for explicit downstream casting.
+    Extra ``options`` pass straight to the reader (NB Spark's default
+    ``escape`` is ``\\`` — pass ``escape='"'`` for RFC-4180 files like
+    ``write_report`` output).
     """
     reader = spark.read.option("header", header).option("sep", sep)
+    for k, v in options.items():
+        reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:
@@ -107,3 +115,51 @@ def write_parquet(
         )
         return
     writer.parquet(path)
+
+
+def write_report(
+    df: DataFrame, path: str, *, fmt: str = "txt", max_rows: int = 10_000
+) -> str:
+    """Driver-side summary-report sink — the reference's text-report
+    artifacts (``log_mining_analysis.py:88,128`` saves analysis tables as
+    text; ``higgs_ensemble_analysis.py:27-59`` prints metric summaries).
+
+    For SMALL, already-aggregated tables only: rows are capped at
+    ``max_rows`` and brought to the driver. Raw data belongs in
+    ``write_parquet``; this is the human-readable artifact next to it.
+
+    ``fmt='txt'`` writes an aligned column table, ``fmt='csv'`` a
+    header + comma-separated lines (fields with commas/quotes/newlines
+    are quoted). Returns the path written.
+    """
+    if fmt not in ("txt", "csv"):
+        raise ValueError(f"fmt must be 'txt' or 'csv', got {fmt!r}")
+    cols = df.columns
+    rows = [
+        ["" if v is None else str(v) for v in r] for r in df.limit(max_rows).collect()
+    ]
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        if fmt == "csv":
+
+            def esc(v: str) -> str:
+                if any(ch in v for ch in ",\"\n"):
+                    return '"' + v.replace('"', '""') + '"'
+                return v
+
+            f.write(",".join(esc(c) for c in cols) + "\n")
+            for r in rows:
+                f.write(",".join(esc(v) for v in r) + "\n")
+        else:
+            widths = [
+                max(len(cols[i]), *(len(r[i]) for r in rows)) if rows else len(cols[i])
+                for i in range(len(cols))
+            ]
+            header = "  ".join(c.ljust(w) for c, w in zip(cols, widths))
+            f.write(header.rstrip() + "\n")
+            f.write("-" * len(header.rstrip()) + "\n")
+            for r in rows:
+                f.write(
+                    "  ".join(v.ljust(w) for v, w in zip(r, widths)).rstrip() + "\n"
+                )
+    return path

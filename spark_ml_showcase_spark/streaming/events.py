@@ -190,7 +190,15 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # Partial memory table ≠ stream result: surfacing the timeout
+            # keeps a slow machine from turning into a silent wrong answer
+            # in the stream-vs-oracle correctness queries.
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish within "
+                f"{timeout_sec}s; refusing to return a partial result"
+            )
     finally:
         if q.isActive:
             q.stop()

@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from spark_ml_showcase_spark import logs
 from spark_ml_showcase_spark.sources import io
 
-_GZ = os.path.join(os.path.dirname(__file__), "data", "access_log_sample.gz")
+_GZ = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark_ml_showcase_spark",
+    "data",
+    "access_log_sample.gz",
+)
 
 _LINES = [
     'alpha.uni-k.de - - [03/Jul/1995:14:02:11 -0400] "GET /a.html HTTP/1.0" 200 1234',

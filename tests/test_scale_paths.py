@@ -47,6 +47,33 @@ def test_broadcast_hint_in_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_retrain_with_best_gbt_branch(spark):
+    # GBTClassificationModel also inherits getNumTrees from
+    # _TreeEnsembleModel, so a hasattr check would route GBT winners down
+    # the RF branch and crash — this pins the isinstance dispatch.
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.tuning import ParamGridBuilder
+
+    from spark_ml_showcase_spark.ml import ensembles, features, fixtures
+
+    data = fixtures.higgs(spark, n=300)
+    model = ensembles.gbt(maxIter=3, maxDepth=2)
+    pipe = features.pipeline([features.assembler(fixtures.HIGGS_FEATURES)], model)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(model.maxIter, [2, 3])
+        .build()
+    )
+    cv = ensembles.cross_validate(pipe, grid, num_folds=2, parallelism=4)
+    fitted_cv = cv.fit(data)
+    assembled = features.assembler(fixtures.HIGGS_FEATURES).transform(data)
+    full = ensembles.retrain_with_best(fitted_cv, GBTClassifier, assembled)
+    best = fitted_cv.bestModel.stages[-1]
+    assert full.getMaxIter() == best.getMaxIter()
+    assert full.getMaxDepth() == best.getMaxDepth()
+    assert full.transform(assembled).count() == 300
+
+
 def test_retrain_with_best_extracts_cv_params(spark):
     from pyspark.ml.classification import RandomForestClassifier
 

@@ -83,6 +83,44 @@ def test_embedding_near_dup_reps_removes_twin(spark):
     assert 2 in ids and 7 not in ids  # min-id representative survives
 
 
+def test_embedding_near_dup_hot_bucket_guard(spark):
+    # max_bucket=1 drops every bucket that could produce a pair → nothing
+    # is dominated, all rows (twin included) conservatively survive.
+    rng = np.random.RandomState(5)
+    base = rng.randn(10, 8)
+    base[7] = base[2] + 1e-4 * rng.randn(8)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.embedding_near_dup_reps(
+        df, threshold=0.999, n_planes=3, dim=8, max_bucket=1
+    )
+    assert out.count() == 10
+
+
+def test_embedding_near_dup_banding_recall(spark):
+    # 5 planted twins; with 6 planes a single band can split a twin pair,
+    # but the union of 3 independent bands must recover all of them.
+    rng = np.random.RandomState(9)
+    base = rng.randn(40, 8)
+    twins = [(30 + j, j) for j in range(5)]
+    for hi, lo in twins:
+        base[hi] = base[lo] + 1e-5 * rng.randn(8)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.embedding_near_dup_reps(
+        df, threshold=0.999, n_planes=6, dim=8, bands=3
+    )
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    for hi, lo in twins:
+        assert lo in ids and hi not in ids
+
+
 def test_cosine_pandas_udf_matches_expression(spark):
     _, _, df = _vecs(spark, n=15)
     pudf = similarity.cosine_pandas_udf()

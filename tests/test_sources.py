@@ -32,6 +32,34 @@ def test_read_csv_explicit_schema_skips_inference(spark, tmp_path):
     assert all(t == "string" for _, t in raw.dtypes)
 
 
+def test_write_report_txt_and_csv(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("de", 10, 'quo"te'), ("ca", 2, "with,comma"), ("sg", 1, None)],
+        "country string, n bigint, note string",
+    ).orderBy("country")
+    txt = io.write_report(df, str(tmp_path / "r.txt"), fmt="txt")
+    lines = open(txt).read().splitlines()
+    assert lines[0].split() == ["country", "n", "note"]
+    assert lines[1].startswith("---")
+    assert len(lines) == 5 and lines[2].split()[0] == "ca"
+
+    csv = io.write_report(df, str(tmp_path / "r.csv"), fmt="csv")
+    back = io.read_csv(
+        spark, csv, header=True,
+        schema="country string, n bigint, note string", escape='"',
+    )
+    assert {(r.country, r.n, r.note) for r in back.collect()} == {
+        ("de", 10, 'quo"te'),
+        ("ca", 2, "with,comma"),
+        ("sg", 1, None),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        io.write_report(df, str(tmp_path / "r.json"), fmt="json")
+
+
 def test_write_parquet_partition_by(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "x"), (2, "y"), (3, "x")], "k bigint, part string"
