@@ -245,9 +245,10 @@ def embedding_near_dup_reps(
     base = df.select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
     )
+    # ids-only through the band join: the 64-dim vectors never ride the
+    # explode/shuffle — they rejoin only for the per-candidate verify.
     keyed = base.select(
         "_id",
-        "_v",
         F.explode(
             F.array(
                 *[
@@ -259,19 +260,33 @@ def embedding_near_dup_reps(
                 ]
             )
         ).alias("_k"),
-    ).select("_id", "_v", F.col("_k.band").alias("_band"), F.col("_k.bh").alias("_bh"))
-    wb = Window.partitionBy("_band", "_bh")
-    keyed = keyed.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
-        F.col("_bsz") <= max_bucket
+    ).select("_id", F.col("_k.band").alias("_band"), F.col("_k.bh").alias("_bh"))
+    # Hot-bucket guard as agg + broadcast anti-join (the hot-bucket list
+    # is at most bands·2^n_planes rows — broadcast-tiny), NOT a window:
+    # a window would sort-shuffle every row to count its bucket.
+    hot = (
+        keyed.groupBy("_band", "_bh")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select("_band", "_bh")
     )
-    a = keyed.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_bh")
-    b = keyed.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band", "_bh")
-    dominated = (
+    keyed = keyed.join(F.broadcast(hot), ["_band", "_bh"], "left_anti")
+    a = keyed.select(F.col("_id").alias("id_a"), "_band", "_bh")
+    b = keyed.select(F.col("_id").alias("id_b"), "_band", "_bh")
+    # distinct BEFORE the cosine verify: a pair colliding in several
+    # bands is scored once, not once per band.
+    cands = (
         a.join(b, ["_band", "_bh"])
-        .filter(
-            (F.col("id_b") < F.col("id_a"))
-            & (V.cosine("_va", "_vb") >= threshold)
-        )
+        .filter(F.col("id_b") < F.col("id_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    dominated = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(V.cosine("_va", "_vb") >= threshold)
         .select(F.col("id_a").alias("_dead"))
         .distinct()
     )

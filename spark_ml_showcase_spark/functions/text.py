@@ -120,6 +120,66 @@ def fingerprint(col: str | Column, *, normalize: bool = True) -> Column:
     return F.xxhash64(c)
 
 
+def winnow_fingerprints(
+    col: str | Column, *, k: int = 25, window: int = 8
+) -> Column:
+    """Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003) as ``array<bigint>``: hash every character k-gram of the
+    normalized text, then keep the MINIMUM hash of each window of
+    ``window`` consecutive k-gram hashes (rightmost-min tie handling is
+    irrelevant here because we return the distinct selected values).
+
+    Guarantee inherited from the paper: any substring match of length
+    ≥ window + k - 1 between two documents yields at least one SHARED
+    fingerprint, so joining on exploded fingerprints finds all long
+    overlaps — partial-overlap detection that whole-document
+    ``fingerprint`` (exact dedup) cannot do.
+
+    Pure JVM-side expressions (substring/xxhash64/transform/slice) —
+    no UDF; per-row cost O(len·window). Empty/short docs (< window+k-1
+    chars) yield an empty array.
+
+    Pick ``k`` LONGER than substrings that recur by chance in unrelated
+    documents (the paper's "noise threshold") — for natural text k≈25
+    chars (~4 words) keeps accidental cross-document fingerprint
+    collisions rare while any copied sentence still fingerprints.
+    """
+    c = F.regexp_replace(
+        F.regexp_replace(F.lower(_c(col)), r"^\s+|\s+$", ""), r"\s+", " "
+    )
+
+    def bind(value: Column, fn) -> Column:
+        # Evaluate `value` ONCE per row by passing it through a
+        # single-element transform: HOF lambda variables are materialized,
+        # while a plain subexpression would be re-inlined (and recomputed)
+        # into EVERY element of the downstream transform — turning the
+        # O(len·window) winnow into O(len²·k) per row.
+        return F.element_at(F.transform(F.array(value), fn), 1)
+
+    fps = bind(
+        c,
+        lambda s: bind(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - F.lit(k - 1)),
+                lambda i: F.xxhash64(s.substr(i, F.lit(k))),
+            ),
+            lambda hashes: F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(hashes) - F.lit(window - 1)),
+                    lambda j: F.array_min(F.slice(hashes, j, window)),
+                )
+            ),
+        ),
+    )
+    # The guard also keeps sequence() ascending: with length ≥ k+window-1
+    # both inner sequence stops are ≥ 1 (sequence(1, 0) would DESCEND).
+    # CaseWhen evaluates lazily per row, so short docs never reach `fps`.
+    return F.when(
+        F.length(c) < k + window - 1, F.array().cast("array<bigint>")
+    ).otherwise(fps)
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) — the MinHash/Jaccard input.
     Built with transform over a token-index sequence: JVM-side, no UDF."""

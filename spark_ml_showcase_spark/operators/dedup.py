@@ -366,3 +366,55 @@ def simhash_near_dup(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 25,
+    window: int = 8,
+    min_shared: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """X2 (partial-overlap variant): document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints (``functions.text.winnow_fingerprints`` —
+    rolling char-k-gram hashes, window-min selected per Schleimer et al.,
+    SIGMOD 2003). Returns (id_a, id_b, n_shared).
+
+    Unlike MinHash (whole-document set resemblance), winnowing detects
+    LOCAL overlap: any shared substring of length ≥ window+k-1 guarantees
+    a shared fingerprint, so two long documents with one copied paragraph
+    still pair up. Plan shape is the banded-dedup standard: explode
+    fingerprints → hot-fingerprint guard (boilerplate fragments shared by
+    > ``max_bucket`` docs are dropped before the join) → self-equi-join
+    on the fingerprint long → count shared per pair. No cartesian; the
+    shuffle key is a fixed-width bigint.
+    """
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    fps = src.select(
+        "_id",
+        F.explode(T.winnow_fingerprints("_t", k=k, window=window)).alias("fp"),
+    )
+    # Hot-fingerprint guard as agg + broadcast anti-join: the hot list
+    # (fingerprints shared by > max_bucket docs — boilerplate) is tiny,
+    # and the agg partial-combines map-side, unlike a count window which
+    # would sort-shuffle every exploded row.
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select("fp")
+    )
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col("_id").alias("id_a"), "fp")
+    b = fps.select(F.col("_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -160,6 +160,37 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S5 (ORC variant): same roundtrip gate through the ORC reader/writer —
+# the oracle aggregates straight from the source table, so an ORC
+# writer/reader that drops or corrupts rows fails the hash.
+@query(
+    "orc_sink_roundtrip",
+    oracle="""
+    SELECT l_linestatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM lineitem WHERE l_quantity >= 30
+    GROUP BY l_linestatus ORDER BY status
+    """,
+)
+def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "spark_ml_showcase_sink", "lineitem_orc"
+    )
+    io.write_orc(li.filter(F.col("l_quantity") >= 30), out_dir, mode="overwrite")
+    back = io.read_orc(spark, out_dir)
+    return (
+        back.groupBy(F.col("l_linestatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("status")
+    )
+
+
 # S4: cache hint — one cached scan feeding two branches of a union
 # (the reference caches every reused input, e.g. Claims_Prediction.py:24).
 @query(

@@ -98,6 +98,20 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X2 (partial-overlap variant): pairs sharing ≥2 winnowing fingerprints
+# (rolling char-k-gram hash, window-min selection — Schleimer et al.,
+# SIGMOD 2003). Catches a copied paragraph inside otherwise-different
+# docs, which whole-set MinHash resemblance dilutes away. xxhash64-based
+# → no DuckDB twin → rows-only; the substring-match guarantee is
+# property-tested in tests/test_dedup.py.
+@query("winnow_overlap_pairs")
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.winnow_overlap_pairs(
+        docs, "doc_id", "text", k=25, window=8, min_shared=2
+    ).orderBy("id_a", "id_b")
+
+
 # X3: exact cosine top-3 for 5 query vectors against the whole embeddings
 # table. Both sides rank by the ROUNDED score with a cand_id tie-break, so
 # float ulp drift between engines cannot flip the selection.
@@ -147,7 +161,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     return (
-        similarity.embedding_near_dup_reps(emb, threshold=0.9, n_planes=4)
+        # 2 bands × 2^5 buckets: per-band candidate volume matches the old
+        # single-band n_planes=4 plan, with 2× the band diversity (recall).
+        similarity.embedding_near_dup_reps(emb, threshold=0.9, n_planes=5)
         .select("vec_id", "label")
         .orderBy("vec_id")
     )

@@ -117,6 +117,29 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, *columns: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (column
+    pruning + predicate pushdown reach the reader). Optional column list
+    prunes at the reader."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — columnar alternative interchange format (zlib by
+    default; Hive-ecosystem interop where parquet isn't the standard)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_report(
     df: DataFrame, path: str, *, fmt: str = "txt", max_rows: int = 10_000
 ) -> str:

@@ -149,3 +149,48 @@ def test_minhash_hot_bucket_guard(spark):
         df, "doc_id", "text", ngram=3, threshold=0.5, max_bucket=50
     )
     assert out.count() == 0
+
+
+def test_winnow_guarantee_on_shared_substring(spark):
+    # The winnowing guarantee (Schleimer et al.): a shared substring of
+    # length >= window+k-1 (here 4+7-1=10) forces >= 1 shared fingerprint.
+    # Docs 0/1 share a long copied sentence inside different surrounding
+    # text; docs 2/3 are unrelated.
+    copied = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, "first document intro. " + copied + " trailing words here"),
+        (1, "completely different opening text; " + copied + " and an ending"),
+        (2, "nothing in common with the others at all in this one"),
+        (3, "yet another entirely unrelated piece of writing text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = dedup.winnow_overlap_pairs(df, "doc_id", "text", min_shared=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got)  # no unrelated pair crosses min_shared
+
+
+def test_winnow_fingerprints_short_doc_empty(spark):
+    from spark_ml_showcase_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "tiny"), (2, "exactly ten")], "doc_id bigint, text string"
+    )
+    out = df.select("doc_id", T.winnow_fingerprints("text", k=7, window=4).alias("fp"))
+    got = {r.doc_id: r.fp for r in out.collect()}
+    assert got[0] == [] and got[1] == []  # < k chars -> no k-grams
+    assert len(got[2]) >= 1  # 11 chars -> 5 k-grams -> 2 windows
+
+
+def test_winnow_fingerprints_partition_invariant(spark):
+    from spark_ml_showcase_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some shared boilerplate text") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    a = df.select("doc_id", T.winnow_fingerprints("text").alias("fp")).collect()
+    b = df.repartition(7).select(
+        "doc_id", T.winnow_fingerprints("text").alias("fp")
+    ).collect()
+    assert {r.doc_id: tuple(r.fp) for r in a} == {r.doc_id: tuple(r.fp) for r in b}

@@ -74,3 +74,19 @@ def test_write_parquet_partition_by(spark, tmp_path):
     assert back.count() == 3
     pruned = back.filter(F.col("part") == "x")
     assert pruned.count() == 2
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(100)],
+        "k bigint, cat string, v double",
+    )
+    out = str(tmp_path / "orc")
+    io.write_orc(df, out)
+    back = io.read_orc(spark, out)
+    assert back.count() == 100
+    assert dict(back.dtypes) == dict(df.dtypes)
+    # column-pruned read
+    pruned = io.read_orc(spark, out, "k", "v")
+    assert pruned.columns == ["k", "v"]
+    assert back.agg(F.sum("v")).first()[0] == sum(range(100))
