@@ -65,13 +65,17 @@ def _load_all() -> None:
     # that had no r2 record (splits, streaming, relational's window/event-time
     # tail) plus logs (oracle typing fixed this round); coverage/extensions/ml
     # — all green or rows-clean in r2 — take the tail.
+    # joins_queries (asof/range, both hash-green in r2) sits after
+    # coverage so the NEW oracle-carrying orc_sink_roundtrip makes the
+    # first-50 window; extensions' new rows-only entries rotate into the
+    # window next round.
     from spark_ml_showcase_spark.plans import (  # noqa: F401
         splits_queries,
         streaming_queries,
         relational,
         logs_queries,
-        joins_queries,
         coverage_queries,
+        joins_queries,
         extensions,
         ml_queries,
     )
