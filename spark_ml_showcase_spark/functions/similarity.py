@@ -220,10 +220,15 @@ def embedding_near_dup_reps(
     seed: int = 40,
     bands: int = 2,
     max_bucket: int = 200,
+    unit_norm: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup dedup: a row survives unless a LOWER-id
     row in any shared LSH bucket has cosine ≥ threshold (min-id
     representative per near-dup neighborhood). Bucketed, not all-pairs.
+
+    ``unit_norm=True`` asserts the vectors are already unit-normalized
+    (``vectors.normalize`` at ingest): the per-candidate verify then
+    computes ONE dot-product pass instead of dot + two norms.
 
     Scale posture (mirrors ``operators.dedup.minhash_near_dup``):
 
@@ -283,10 +288,11 @@ def embedding_near_dup_reps(
     )
     va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    score = V.dot("_va", "_vb") if unit_norm else V.cosine("_va", "_vb")
     dominated = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(V.cosine("_va", "_vb") >= threshold)
+        .filter(score >= threshold)
         .select(F.col("id_a").alias("_dead"))
         .distinct()
     )

@@ -39,6 +39,14 @@ def l2_distance(a: str | Column, b: str | Column) -> Column:
 
 def normalize(a: str | Column) -> Column:
     """Unit-normalize so downstream cosine becomes a plain dot product —
-    do this ONCE at ingest, not per-pair in an O(n²) join."""
-    n = norm(a)
-    return F.transform(_c(a), lambda x: x / n)
+    do this ONCE at ingest, not per-pair in an O(n²) join.
+
+    The norm is bound through a single-element transform so it is
+    computed once per row — referencing the bare ``norm(a)`` subtree
+    inside the division lambda would re-inline (and recompute) the full
+    aggregate for EVERY element, turning O(d) into O(d²)."""
+    arr = _c(a)
+    return F.element_at(
+        F.transform(F.array(norm(arr)), lambda n: F.transform(arr, lambda x: x / n)),
+        1,
+    )

@@ -46,9 +46,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The driver's correctness harness checks the FIRST 50 registry entries
+# per round, so entries needing fresh driver evidence are pinned to the
+# front explicitly (new queries, changed queries, fixed oracles, and the
+# set with no prior-round record), followed by the rest in registration
+# order. Rotate this list each round so no query goes more than ~2
+# rounds without a fresh CORRECTNESS record.
+_FRONT_R3 = [
+    # new this round (oracle-carrying first)
+    "orc_sink_roundtrip",
+    "clf_report_txt_sink",
+    "salted_join_event_types",
+    "temporal_split_cutoff",
+    "winnow_overlap_pairs",
+    # oracle typing fixed this round (r2 hash-FAIL -> expect green)
+    "csv_scan_header",
+    "clf_country_report",
+    "json_scan_agg",
+    # implementation re-parameterized this round
+    "embedding_near_dup_survivors",
+]
+
+
+def _ordered(d: dict) -> dict:
+    front = {k: d[k] for k in _FRONT_R3 if k in d}
+    return front | {k: v for k, v in d.items() if k not in front}
+
+
 def registry() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracles() -> dict[str, str]:
@@ -59,16 +86,10 @@ def oracles() -> dict[str, str]:
 def _load_all() -> None:
     # Import side-effect registration; deferred so `import plans` stays cheap.
     #
-    # ORDER MATTERS: the driver's correctness harness checks the first 50
-    # registry entries per round, so the order is rotated each round to keep
-    # every query's driver record fresh.  Round 3 front-loads the 29 queries
-    # that had no r2 record (splits, streaming, relational's window/event-time
-    # tail) plus logs (oracle typing fixed this round); coverage/extensions/ml
-    # — all green or rows-clean in r2 — take the tail.
-    # joins_queries (asof/range, both hash-green in r2) sits after
-    # coverage so the NEW oracle-carrying orc_sink_roundtrip makes the
-    # first-50 window; extensions' new rows-only entries rotate into the
-    # window next round.
+    # Module order backs the _FRONT_R3 pinning: round 3 front-loads the 29
+    # queries that had no r2 driver record (splits, streaming, relational's
+    # window/event-time tail); coverage/extensions/ml — all green or
+    # rows-clean in r2 — take the tail and rotate back in next round.
     from spark_ml_showcase_spark.plans import (  # noqa: F401
         splits_queries,
         streaming_queries,

@@ -163,7 +163,10 @@ def embedding_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         # 2 bands × 2^5 buckets: per-band candidate volume matches the old
         # single-band n_planes=4 plan, with 2× the band diversity (recall).
-        similarity.embedding_near_dup_reps(emb, threshold=0.9, n_planes=5)
+        # Testdata embeddings are unit-norm → dot-product verify.
+        similarity.embedding_near_dup_reps(
+            emb, threshold=0.9, n_planes=5, unit_norm=True
+        )
         .select("vec_id", "label")
         .orderBy("vec_id")
     )

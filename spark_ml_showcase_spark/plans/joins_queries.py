@@ -102,6 +102,50 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Skew-salted join: the salting transform (scatter the big side across
+# salt_buckets, explode the small side) must preserve inner-join
+# semantics EXACTLY — the oracle is the plain SQL join, so any
+# row-duplication or loss in the salt/explode plumbing fails the hash.
+# events.event_type has only ~5 values: the canonical skewed-key shape
+# a 100 TB job hits (every row of one type lands on one reducer unless
+# salted or AQE-split).
+@query(
+    "salted_join_event_types",
+    oracle="""
+    WITH dim(event_type, weight) AS (
+        VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+               ('signup', 2.0)
+    )
+    SELECT e.event_type AS event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6)) * CAST(d.weight AS DECIMAL(28,6)))
+                AS DOUBLE) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type ORDER BY event_type
+    """,
+)
+def salted_join_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    dim = spark.createDataFrame(
+        # 'error' intentionally absent: the inner join must also FILTER
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 2.0)],
+        "event_type string, weight double",
+    )
+    joined = joins.salted_join(ev, dim, "event_type", salt_buckets=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("value").cast("decimal(28,6)")
+                * F.col("weight").cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # W1 extensions: percent_rank + ntile over per-user spend — the analytic
 # window surface beyond row_number/lag (SURVEY §2.10).
 @query(
