@@ -49,3 +49,37 @@ def test_cosine_topk_broadcasts_query_side(spark):
     qs = entry.queries()
     plan = _plan(qs["cosine_topk_bruteforce"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan  # candidates stream once
+
+
+def test_winnow_no_cartesian_and_broadcast_guard(spark):
+    qs = entry.queries()
+    plan = _plan(qs["winnow_overlap_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the hot-fingerprint guard is a broadcast LEFT ANTI join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_embedding_near_dup_no_cartesian_and_broadcast_guard(spark):
+    qs = entry.queries()
+    plan = _plan(qs["embedding_near_dup_survivors"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # hot-bucket guard + survivor anti-join
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_ml_showcase_spark.sources import io
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k bigint, v double"
+    )
+    out = str(tmp_path / "orc_push")
+    io.write_orc(df, out)
+    back = io.read_orc(spark, out, "k").filter(F.col("k") > 50)
+    plan = _plan(back)
+    assert "PushedFilters: [" in plan and "k" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "v" not in read  # column pruning reaches the ORC reader
