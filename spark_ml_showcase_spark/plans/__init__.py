@@ -54,6 +54,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rounds without a fresh CORRECTNESS record.
 _FRONT_R3 = [
     # new this round (oracle-carrying first)
+    "stream_parquet_sink_hourly",
     "orc_sink_roundtrip",
     "clf_report_txt_sink",
     "salted_join_event_types",

@@ -34,6 +34,34 @@ def stream_tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("window_start_sec")
 
 
+# Streaming through the PRODUCTION sink shape: append-mode parquet file
+# sink with checkpointing. Append emits only FINALIZED windows (window
+# end ≤ final watermark = max(ts) − 2 h), which the oracle reproduces
+# with a plain predicate — so the checkpointed file-sink path, watermark
+# finalization, AND the append-mode contract are all under the hash.
+@query(
+    "stream_parquet_sink_hourly",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    agg AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_start_sec, n
+    FROM agg, mx
+    WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    ORDER BY 1
+    """,
+)
+def stream_parquet_sink_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = se.stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = se.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    sink = se.run_to_parquet(agg, spark)
+    return sink.select(
+        F.col("window_start").cast("long").alias("window_start_sec"), "n"
+    ).orderBy("window_start_sec")
+
+
 # Custom stateful operator (applyInPandasWithState) run to completion:
 # per-user totals must equal the plain batch aggregate. Update output
 # mode emits one row per user per micro-batch; the LAST row per user is

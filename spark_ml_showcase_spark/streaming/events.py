@@ -169,6 +169,54 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    *,
+    out_dir: str | None = None,
+    timeout_sec: int = 240,
+) -> DataFrame:
+    """Run a streaming DataFrame to exhaustion (AvailableNow) through the
+    PRODUCTION sink shape — append-mode parquet file sink with a
+    checkpoint directory (exactly-once via checkpoint offsets + the file
+    sink's output manifest) — then return the sink contents as a batch
+    DataFrame.
+
+    Append mode emits a window only once the watermark passes its end,
+    so the sink holds exactly the FINALIZED windows: with a finite
+    source the final watermark is max(event time) − delay, and windows
+    ending after it are (correctly) never written. AvailableNow runs a
+    final no-new-data batch that advances the watermark and flushes
+    eligible state before terminating.
+    """
+    base = out_dir or os.path.join(
+        tempfile.gettempdir(), "spark_ml_showcase_stream_sink", uuid.uuid4().hex[:12]
+    )
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    data_dir = os.path.join(base, "data")
+    ckpt_dir = os.path.join(base, "ckpt")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"streaming parquet sink did not finish within "
+                f"{timeout_sec}s; refusing to read a partial sink"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(data_dir)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     spark: SparkSession,
