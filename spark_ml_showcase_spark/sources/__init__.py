@@ -3,9 +3,12 @@
 from spark_ml_showcase_spark.sources.io import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_text,
+    write_orc,
     write_parquet,
+    write_report,
 )
 from spark_ml_showcase_spark.sources.catalog import Catalog, TESTDATA_TABLES
 
@@ -14,7 +17,10 @@ __all__ = [
     "TESTDATA_TABLES",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
     "read_text",
+    "write_orc",
     "write_parquet",
+    "write_report",
 ]
