@@ -418,3 +418,27 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+) -> DataFrame:
+    """SCD-1 compaction: keep the LATEST row per key, ordered by
+    ``version_cols`` descending (include a unique tie-break column last —
+    without it the winner under equal versions is partitioning-dependent).
+
+    The upsert/changelog-compaction primitive a training-data pipeline
+    needs when sources re-deliver corrected records. One hash-partitioned
+    shuffle on the key; at 100 TB pre-bucket the table on ``key_cols`` and
+    the exchange disappears (see tests/test_scale_paths.py).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in version_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -55,6 +55,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _FRONT_R3 = [
     # new this round (oracle-carrying first)
     "stream_parquet_sink_hourly",
+    "latest_event_per_user_type",
     "orc_sink_roundtrip",
     "clf_report_txt_sink",
     "salted_join_event_types",

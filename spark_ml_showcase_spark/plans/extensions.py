@@ -98,6 +98,37 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X1 (changelog-compaction variant): SCD-1 latest-per-key — the upsert
+# primitive for re-delivered/corrected records. Deterministic (unique
+# event_id tie-break) → fully oracle-checked.
+@query(
+    "latest_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type,
+           event_id AS event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           value AS value
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return dedup.latest_by_key(
+        ev, ["user_id", "event_type"], ["ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "value",
+    )
+
+
 # X2 (partial-overlap variant): pairs sharing ≥2 winnowing fingerprints
 # (rolling char-k-gram hash, window-min selection — Schleimer et al.,
 # SIGMOD 2003). Catches a copied paragraph inside otherwise-different

@@ -194,3 +194,23 @@ def test_winnow_fingerprints_partition_invariant(spark):
         "doc_id", T.winnow_fingerprints("text").alias("fp")
     ).collect()
     assert {r.doc_id: tuple(r.fp) for r in a} == {r.doc_id: tuple(r.fp) for r in b}
+
+
+def test_latest_by_key_scd1_compaction(spark):
+    rows = [
+        (1, "a", 10, 1.0),   # superseded by v20
+        (1, "a", 20, 2.0),
+        (1, "b", 5, 3.0),
+        (2, "a", 20, 4.0),   # tie on version -> higher uid (tie-break col) wins
+        (2, "a", 20, 5.0, ),
+    ]
+    df = spark.createDataFrame(
+        [(k, t, v, x, i) for i, (k, t, v, x) in enumerate(rows)],
+        "key bigint, typ string, version bigint, val double, uid bigint",
+    )
+    out = dedup.latest_by_key(df, ["key", "typ"], ["version", "uid"])
+    got = {(r.key, r.typ): (r.version, r.val) for r in out.collect()}
+    assert got == {(1, "a"): (20, 2.0), (1, "b"): (5, 3.0), (2, "a"): (20, 5.0)}
+    # partition-invariant
+    out2 = dedup.latest_by_key(df.repartition(5), ["key", "typ"], ["version", "uid"])
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
