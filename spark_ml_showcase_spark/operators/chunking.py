@@ -1,0 +1,93 @@
+"""Document chunking for LLM training-data pipelines (SURVEY.md §2.12
+extension family): split long documents into overlapping token-window
+chunks, then assign chunks to output shards.
+
+Not in the reference (its text handling is line-oriented log mining,
+``log_mining_analysis.py``); this is the standard pre-tokenization step
+between corpus cleaning (dedup/quality, ``operators/dedup.py`` /
+``functions/text.py``) and training-shard writing.
+
+Scale posture: chunk boundaries are pure per-row column expressions
+(tokens → start offsets → slices) followed by ONE ``posexplode`` — a
+narrow plan with no shuffle at all until the caller aggregates or
+writes. Shard assignment is a hash of (doc, chunk) — deterministic,
+partitioning-independent, and uniform without any global coordination
+(a greedy bin-packer would serialize on the driver; at 100 TB uniform
+hashing is the answer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions.text import _tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """One row per (document, chunk): whitespace-token windows of
+    ``max_tokens`` advancing by ``max_tokens - overlap``, so consecutive
+    chunks share ``overlap`` tokens (context continuity across chunk
+    boundaries). The final chunk is short rather than padded; documents
+    with zero tokens produce no chunks.
+
+    Returns (id, chunk_id, chunk_text, n_tokens) with chunk_id counting
+    from 0 in document order — fully deterministic, so the query built on
+    this is DuckDB-oracle-checked.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
+        )
+    stride = max_tokens - overlap
+    # no normalization: chunking must preserve the text verbatim (only
+    # whitespace runs collapse, since tokens rejoin with single spaces)
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # windows needed to cover all tokens: ceil((n - overlap) / stride),
+    # min 1 — each new window contributes `stride` fresh tokens after the
+    # first. Guarded behind n > 0 so sequence() never descends.
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunks = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.concat_ws(
+                " ", F.slice(toks, j * stride + 1, max_tokens)
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.posexplode(chunks))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("pos").cast("bigint").alias("chunk_id"),
+            F.col("col").alias("chunk_text"),
+        )
+        .withColumn("n_tokens", F.size(F.split("chunk_text", " ")).cast("bigint"))
+    )
+
+
+def assign_shards(
+    chunks: DataFrame,
+    n_shards: int,
+    *,
+    id_cols: list[str] = ("doc_id", "chunk_id"),
+    seed: int = 40,
+) -> DataFrame:
+    """Deterministic uniform shard assignment:
+    ``xxhash64(id_cols, seed) mod n_shards``. Same chunk → same shard on
+    any cluster layout; write with ``partitionBy('shard')`` (or
+    ``repartition('shard')`` first for one file per shard)."""
+    h = F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed))
+    return chunks.withColumn(
+        "shard", F.pmod(h, F.lit(n_shards)).cast("int")
+    )

@@ -442,3 +442,68 @@ def latest_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: every vertex's component becomes the MINIMUM
+    id reachable from it. Completes the dedup story — pairwise operators
+    (``minhash_near_dup`` etc.) emit edges; this groups them into
+    TRANSITIVE clusters so one representative survives per cluster, not
+    per edge (A~B, B~C must collapse to one survivor even when A~C was
+    never emitted as a pair).
+
+    Returns (id, component) for every vertex appearing in ``edges``
+    (isolated documents are trivially their own component — callers
+    left-join and coalesce to their own id).
+
+    Scale notes: each iteration is one equi-join + min-aggregate, i.e. a
+    driver-coordinated loop like MLlib's iterative fits; rounds needed =
+    graph diameter, and near-dup clusters are shallow (planted-dup chains
+    have diameter ≤ ~3). ``localCheckpoint`` truncates lineage so plans
+    don't grow across iterations. For web-scale general graphs swap in
+    the large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — same join/agg
+    primitives, fewer rounds on high-diameter graphs.
+    """
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("src"), F.col("comp").alias("src_comp")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

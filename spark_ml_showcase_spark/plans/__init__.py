@@ -56,6 +56,8 @@ _FRONT_R3 = [
     # new this round (oracle-carrying first)
     "stream_parquet_sink_hourly",
     "latest_event_per_user_type",
+    "near_dup_components",
+    "chunk_documents_64_8",
     "orc_sink_roundtrip",
     "clf_report_txt_sink",
     "salted_join_event_types",

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ml_showcase_spark.functions import similarity, text as TX
-from spark_ml_showcase_spark.operators import dedup, multimodal
+from spark_ml_showcase_spark.operators import chunking, dedup, multimodal
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
@@ -79,6 +79,51 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.5)
 
 
+# X2 completion: TRANSITIVE near-dup clusters — min-label-propagation
+# connected components over the exact-Jaccard pair graph. The oracle
+# computes min-reachable-id per vertex with a recursive CTE, so the
+# iterative Spark loop is value-checked end-to-end (A~B, B~C must land
+# A, B, C in one component even though A~C was never a pair).
+@query(
+    "near_dup_components",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, len(toks) - 2)]) AS s
+        FROM (SELECT doc_id,
+                     list_filter(
+                         string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 200)
+        WHERE len(toks) >= 3
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)) >= 0.3
+    ), sym AS (
+        SELECT id_a AS v, id_b AS u FROM pairs
+        UNION ALL
+        SELECT id_b AS v, id_a AS u FROM pairs
+    ), reach(v, l) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+        UNION
+        SELECT s.v, r.l FROM sym s JOIN reach r ON s.u = r.v
+    )
+    SELECT v AS doc_id, MIN(l) AS component
+    FROM reach GROUP BY v ORDER BY doc_id
+    """,
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.3)
+    comps = dedup.connected_components(pairs, "id_a", "id_b")
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")
+
+
 # X2 (scale path): banded MinHash LSH near-dup pairs over the full
 # documents table. xxhash64 signatures — rows-only.
 @query("minhash_near_dup_pairs")
@@ -96,6 +141,37 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup(docs, "doc_id", "text", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+# Chunking: overlapping token-window chunks + deterministic shard
+# assignment — the pre-tokenization step between corpus cleaning and
+# training-shard writing. Boundaries are pure expressions → the chunk
+# table is fully oracle-checked (per-shard counts are rows-only via the
+# xxhash64 assignment, checked by tests instead).
+@query(
+    "chunk_documents_64_8",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 300
+    ), c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               GREATEST(CAST(ceil((len(toks) - 8) / 56.0) AS INT), 1) AS nc
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS chunk_id,
+           array_to_string(toks[j*56 + 1 : LEAST(j*56 + 64, n)], ' ') AS chunk_text,
+           CAST(LEAST(j*56 + 64, n) - j*56 AS BIGINT) AS n_tokens
+    FROM c JOIN (SELECT unnest(generate_series(0, 63)) AS j) s ON s.j < c.nc
+    """,
+)
+def chunk_documents_64_8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 300)
+    return chunking.chunk_documents(
+        docs, "doc_id", "text", max_tokens=64, overlap=8
+    ).orderBy("doc_id", "chunk_id")
 
 
 # X1 (changelog-compaction variant): SCD-1 latest-per-key — the upsert

@@ -214,3 +214,23 @@ def test_latest_by_key_scd1_compaction(spark):
     # partition-invariant
     out2 = dedup.latest_by_key(df.repartition(5), ["key", "typ"], ["version", "uid"])
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+
+
+def test_connected_components_transitive_chain(spark):
+    # chain 1-2-3-4 plus pair 10-11 plus isolated-by-absence 99
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = dedup.connected_components(edges)
+    got = {r.id: r.comp for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-vertex path needs ~diameter iterations — exercises the loop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a bigint, id_b bigint"
+    )
+    out = dedup.connected_components(edges, max_iter=20)
+    comps = {r.comp for r in out.collect()}
+    assert comps == {0}
