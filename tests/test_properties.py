@@ -82,3 +82,62 @@ def test_exact_dedup_idempotent_and_complete(spark, strings):
     n_norm = len({re.sub(r"\s+", " ", s.lower().strip()) for s in strings})
     assert out.count() == n_norm  # exactly one survivor per normalized text
     assert dedup.exact_dedup(out, "text", "doc_id").count() == n_norm
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=25))
+def test_chunking_reconstructs_tokens(spark, strings):
+    # de-overlapped chunk concatenation must reproduce the token stream
+    # exactly, for any whitespace-adversarial input
+    from spark_ml_showcase_spark.operators import chunking
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "doc_id bigint, text string"
+    )
+    out = chunking.chunk_documents(df, max_tokens=7, overlap=2)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, s in enumerate(strings):
+        want = s.split()
+        chunks = [c for _, c in sorted(by_doc.get(i, []))]
+        if not want:
+            assert chunks == []
+            continue
+        got = chunks[0].split()
+        for c in chunks[1:]:
+            got += c.split()[2:]  # drop the 2-token overlap
+        assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edge_list):
+    df = spark.createDataFrame(edge_list, "id_a bigint, id_b bigint")
+    got = {
+        r.id: r.comp for r in dedup.connected_components(df, max_iter=40).collect()
+    }
+    # python union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
