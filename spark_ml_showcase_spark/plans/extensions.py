@@ -450,6 +450,10 @@ def clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = after_near.filter(
         (TX.quality_score("text") >= 0.5) & (TX.lang_id("text") == "en")
     )
+    # final stage: shard-ready overlapping chunks of the cleaned corpus
+    chunks = chunking.assign_shards(
+        chunking.chunk_documents(cleaned, max_tokens=64, overlap=8), 16
+    )
 
     def stage(name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
@@ -461,6 +465,7 @@ def clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("1_exact_dedup", exact))
         .unionByName(stage("2_near_dedup", after_near))
         .unionByName(stage("3_quality_lang", cleaned))
+        .unionByName(stage("4_chunks", chunks))
         .select("stage", "n_docs")
         .orderBy("stage")
     )
