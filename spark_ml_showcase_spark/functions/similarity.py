@@ -79,14 +79,23 @@ def lsh_bucket(
 ) -> Column:
     """Sign-LSH bucket id: bit i = [dot(v, plane_i) >= 0], packed into an
     int. Pure higher-order-function expression — JVM-side, no UDF.
-    Cosine-similar vectors collide with probability 1 - θ/π per bit."""
-    v = as_double(vec_col)
-    bucket = F.lit(0).cast("bigint")
-    for plane in planes:
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(V.dot(v, p) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket * 2 + bit
-    return bucket
+    Cosine-similar vectors collide with probability 1 - θ/π per bit.
+
+    The double-cast vector is bound ONCE via a single-element transform;
+    referencing the cast subtree directly would re-run it for every
+    plane's dot product (n_planes× wasted element casts per row)."""
+
+    def bits(v: Column) -> Column:
+        bucket = F.lit(0).cast("bigint")
+        for plane in planes:
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(V.dot(v, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket * 2 + bit
+        return bucket
+
+    return F.element_at(
+        F.transform(F.array(as_double(vec_col)), bits), 1
+    )
 
 
 def ann_topk_lsh(

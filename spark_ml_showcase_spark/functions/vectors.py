@@ -28,8 +28,39 @@ def norm(a: str | Column) -> Column:
 
 
 def cosine(a: str | Column, b: str | Column) -> Column:
-    """Cosine similarity; null-safe-ish (0/0 → NaN, callers filter)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; null-safe-ish (0/0 → NaN, callers filter).
+
+    Fused single pass: one zip_with + one aggregate accumulates (a·b,
+    |a|², |b|²) together instead of three independent array scans. Each
+    component still sums left-to-right over elements, so values are
+    bit-identical to the dot/norm composition."""
+    pairs = F.zip_with(
+        _c(a),
+        _c(b),
+        lambda x, y: F.struct(
+            (x * y).alias("xy"), (x * x).alias("xx"), (y * y).alias("yy")
+        ),
+    )
+    acc = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(0.0).alias("xy"), F.lit(0.0).alias("xx"), F.lit(0.0).alias("yy")
+        ),
+        lambda s, v: F.struct(
+            (s["xy"] + v["xy"]).alias("xy"),
+            (s["xx"] + v["xx"]).alias("xx"),
+            (s["yy"] + v["yy"]).alias("yy"),
+        ),
+    )
+    # bind the accumulated struct once; referencing `acc` three times in
+    # the final expression would re-run the whole aggregate three times
+    return F.element_at(
+        F.transform(
+            F.array(acc),
+            lambda s: s["xy"] / (F.sqrt(s["xx"]) * F.sqrt(s["yy"])),
+        ),
+        1,
+    )
 
 
 def l2_distance(a: str | Column, b: str | Column) -> Column:
