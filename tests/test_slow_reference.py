@@ -19,6 +19,27 @@ slow = pytest.mark.skipif(
 
 
 @slow
+def test_reference_exact_gbt_grid_cv(spark):
+    from pyspark.ml.classification import GBTClassifier
+
+    from spark_ml_showcase_spark.ml import ensembles, features, fixtures
+
+    data = fixtures.higgs(spark, n=1000)
+    model = ensembles.gbt()
+    pipe = features.pipeline([features.assembler(fixtures.HIGGS_FEATURES)], model)
+    grid = ensembles.reference_gbt_grid(model)
+    assert len(grid) == 27  # 3 maxIter × 3 maxDepth × 3 subsampling
+    cv = ensembles.cross_validate(pipe, grid, num_folds=3, parallelism=8)
+    fitted = cv.fit(data)
+    assert len(fitted.avgMetrics) == 27
+    best = fitted.bestModel.stages[-1]
+    assert best.getMaxIter() in (8, 11, 14) and best.getMaxDepth() in (5, 6, 7)
+    assembled = features.assembler(fixtures.HIGGS_FEATURES).transform(data)
+    full = ensembles.retrain_with_best(fitted, GBTClassifier, assembled)
+    assert full.getMaxIter() == best.getMaxIter()
+
+
+@slow
 def test_reference_exact_rf_grid_cv(spark):
     from pyspark.ml.classification import RandomForestClassifier
 
