@@ -120,6 +120,31 @@ def fingerprint(col: str | Column, *, normalize: bool = True) -> Column:
     return F.xxhash64(c)
 
 
+# PII patterns kept to the Java-regex ∩ RE2 common subset so the DuckDB
+# oracle applies the literal same patterns.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"https?://[^\s]+", "[URL]"),
+    (r"\b\d[\d -]{6,}\d\b", "[NUM]"),  # phone/account-style digit runs
+]
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Corpus-cleaning PII scrub: emails → [EMAIL], URLs → [URL], long
+    digit/phone runs → [NUM]. Chained ``regexp_replace`` — pure codegen
+    expressions, no UDF; order matters (emails before the digit-run rule
+    so numeric local-parts don't half-scrub).
+
+    Placeholder tokens (not deletion) preserve token positions for
+    downstream chunking/windowing. Patterns are deliberately in the
+    Java/RE2 common regex subset so the oracle runs the SAME patterns.
+    """
+    c = _c(col)
+    for pat, repl in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def winnow_fingerprints(
     col: str | Column, *, k: int = 25, window: int = 8
 ) -> Column:

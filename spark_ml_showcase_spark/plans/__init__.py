@@ -58,6 +58,7 @@ _FRONT_R3 = [
     "latest_event_per_user_type",
     "near_dup_components",
     "chunk_documents_64_8",
+    "scrub_pii_docs",
     "orc_sink_roundtrip",
     "clf_report_txt_sink",
     "salted_join_event_types",

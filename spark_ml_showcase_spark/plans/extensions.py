@@ -143,6 +143,31 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X4 (cleaning): PII scrub through the SAME regex patterns on both
+# engines — emails/URLs/digit runs become placeholder tokens. The
+# testdata corpus is synthetic word-salad (usually a no-op), so the
+# oracle doubles as an identity check; planted-PII behavior is pinned in
+# tests/test_text_functions-style unit tests.
+@query(
+    "scrub_pii_docs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               'https?://[^\s]+', '[URL]', 'g'),
+             '\b\d[\d -]{6,}\d\b', '[NUM]', 'g') AS scrubbed
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 500)
+    return docs.select(
+        "doc_id", TX.scrub_pii("text").alias("scrubbed")
+    ).orderBy("doc_id")
+
+
 # Chunking: overlapping token-window chunks + deterministic shard
 # assignment — the pre-tokenization step between corpus cleaning and
 # training-shard writing. Boundaries are pure expressions → the chunk

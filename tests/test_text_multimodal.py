@@ -103,3 +103,22 @@ def test_multimodal_stub_raises_without_decoder(spark):
     blobs = multimodal.attach_binary(df, "text")
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         multimodal.extract_features(blobs, decode_stub=False).collect()
+
+
+def test_scrub_pii_patterns(spark):
+    from spark_ml_showcase_spark.functions import text as T
+
+    rows = [
+        (0, "contact me at jane.doe+spam@example.co.uk for details"),
+        (1, "see https://example.com/a?b=c&d=e and http://x.io/path."),
+        (2, "call 555-123-4567 8900 or acct 12345678"),
+        (3, "plain text with no pii at all"),
+        (4, "user123@host.org sent https://a.b/c from 999 888 777 666"),
+    ]
+    df = spark.createDataFrame(rows, "i bigint, t string")
+    got = {r.i: r.s for r in df.select("i", T.scrub_pii("t").alias("s")).collect()}
+    assert got[0] == "contact me at [EMAIL] for details"
+    assert got[1] == "see [URL] and [URL]"
+    assert got[2] == "call [NUM] or acct [NUM]"
+    assert got[3] == rows[3][1]
+    assert got[4] == "[EMAIL] sent [URL] from [NUM]"
