@@ -2,13 +2,19 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The decode libraries (PIL/librosa/ffmpeg) are NOT in this container, so the
-actual byte→pixels/samples step is stubbed: ``decode_stub=True`` (default)
-derives deterministic fake features from the bytes; ``decode_stub=False``
-raises ``NotImplementedError`` at the exact call site a real decoder would
-plug into. Everything Spark-side — schemas, partition sizing, the
-mapInPandas batch contract, column pruning before the UDF — is real and
-tested.
+Two decode paths:
+
+- ``decode_stub=True`` (default): deterministic fake features from byte
+  statistics — exercises the Arrow/mapInPandas plumbing without any codec.
+- ``decode_stub=False``: a REAL stdlib decoder for the formats the stdlib
+  can parse — 24-bit uncompressed BMP (``struct`` header parse + padded
+  BGR pixel rows) and PCM WAV (``wave`` module + 16-bit sample stats).
+  Payloads are format-sniffed by magic bytes (``BM`` / ``RIFF``). Heavier
+  codecs (JPEG/PNG/mp4 via PIL/ffmpeg) are absent from this container and
+  would slot into :func:`_decode_real` the same way.
+
+Everything Spark-side — schemas, partition sizing, the mapInPandas batch
+contract, column pruning before the UDF — is identical for both paths.
 
 Scale posture: binary payloads dominate row width, so (a) prune to
 (id, payload) BEFORE entering Python — Arrow ships only what the UDF
@@ -44,11 +50,114 @@ def attach_binary(
         F.octet_length(payload).alias("n_bytes"),
     )
     # small single-file sources scan as ONE partition, which would
-    # serialize every downstream mapInPandas batch onto one core
+    # serialize every downstream mapInPandas batch onto one core;
+    # repartition unconditionally — a no-op-cost shuffle at this width
+    # beats probing partition counts through a plan→RDD conversion.
     sc = df.sparkSession.sparkContext
-    if out.rdd.getNumPartitions() < sc.defaultParallelism:
-        out = out.repartition(sc.defaultParallelism)
-    return out
+    return out.repartition(sc.defaultParallelism)
+
+
+def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Build a minimal 24-bit uncompressed BMP (BITMAPINFOHEADER) filled
+    with one solid RGB color. Rows are stored bottom-up, BGR, padded to a
+    4-byte boundary — the exact layout :func:`decode_bmp` must undo."""
+    import struct
+
+    w, h = int(width), int(height)
+    r, g, b = (int(c) & 0xFF for c in rgb)
+    row = bytes((b, g, r)) * w
+    row += b"\x00" * ((4 - (3 * w) % 4) % 4)  # pad each row to 4 bytes
+    pixels = row * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def decode_bmp(buf: bytes) -> tuple[int, int, list[float]]:
+    """Parse a 24-bit uncompressed BMP: header fields via ``struct``, then
+    per-channel pixel means over the padded bottom-up BGR rows. Returns
+    (width, height, [mean_r, mean_g, mean_b])."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", buf, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h_abs = abs(h)  # negative height = top-down row order; means don't care
+    stride = (3 * w + 3) // 4 * 4
+    tot = [0, 0, 0]  # B, G, R accumulation order (BMP stores BGR)
+    for y in range(h_abs):
+        base = pix_off + y * stride
+        row = buf[base : base + 3 * w]  # slice excludes the pad bytes
+        tot[0] += sum(row[0::3])
+        tot[1] += sum(row[1::3])
+        tot[2] += sum(row[2::3])
+    n = max(1, w * h_abs)
+    return w, h_abs, [tot[2] / n, tot[1] / n, tot[0] / n]
+
+
+def encode_wav(
+    n_frames: int, framerate: int, amplitude: int, *, period: int = 16
+) -> bytes:
+    """Build a mono 16-bit PCM WAV whose samples are a square wave of the
+    given amplitude (exact integer mean-of-squares, so decoded stats are
+    reproducible in SQL)."""
+    import io
+    import struct
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        half = period // 2
+        samples = [
+            amplitude if (i % period) < half else -amplitude
+            for i in range(n_frames)
+        ]
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return bio.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, list[float]]:
+    """Parse a PCM WAV via the stdlib ``wave`` module. Returns
+    (n_channels, bits_per_sample, [n_frames, framerate, mean, rms])."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(buf), "rb") as wf:
+        nch, sw, rate, nf = (
+            wf.getnchannels(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+            wf.getnframes(),
+        )
+        raw = wf.readframes(nf)
+    if sw != 2:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    n = max(1, len(samples))
+    mean = sum(samples) / n
+    rms = math.sqrt(sum(s * s for s in samples) / n)
+    return nch, sw * 8, [float(nf), float(rate), mean, rms]
+
+
+def _decode_real(buf: bytes) -> tuple[int, int, list[float]]:
+    """Magic-byte sniff → stdlib decoder. BMP → (width, height, channel
+    means); WAV → (channels, bits, sample stats). The integration point
+    for heavier codecs (PIL/ffmpeg) when available."""
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return decode_wav(buf)
+    raise ValueError(f"unrecognized payload magic {buf[:4]!r}")
 
 
 def _fake_decode(buf: bytes) -> tuple[int, int, list[float]]:
@@ -73,18 +182,14 @@ def extract_features(
     """
     import pandas as pd
 
+    decode = _fake_decode if decode_stub else _decode_real
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            if not decode_stub:
-                # Real decoder integration point (PIL.Image.open etc.).
-                raise NotImplementedError(
-                    "image/audio decode libraries not available in this "
-                    "environment; run with decode_stub=True"
-                )
             rows = []
             for rid, buf in zip(pdf["id"], pdf["payload"]):
                 b = bytes(buf)
-                width, height, feat = _fake_decode(b)
+                width, height, feat = decode(b)
                 rows.append((int(rid), len(b), width, height, feat))
             yield pd.DataFrame(
                 rows, columns=["id", "n_bytes", "width", "height", "feat"]
@@ -92,6 +197,41 @@ def extract_features(
 
     # Prune before Python: only (id, payload) crosses the Arrow boundary.
     return binary_df.select("id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthesize_bmp(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP ingest fixture: one solid-color 24-bit BMP per
+    row, dimensions and color pure functions of the id — so downstream
+    decoded features (dims, channel means, byte size) are exactly
+    reproducible in SQL by an oracle that never touches the bytes.
+
+    width 1..7 deliberately spans all four ``3*w % 4`` residues: most rows
+    carry nonzero BMP row padding, so a decoder that forgets to skip pad
+    bytes (or swaps BGR→RGB) fails the oracle hash.
+    """
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "payload": [
+                        encode_bmp(
+                            1 + i % 7,
+                            1 + i % 5,
+                            (i % 256, (i * 7) % 256, (i * 13) % 256),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("id")).repartition(sc.defaultParallelism)
+    return src.mapInPandas(run, "id bigint, payload binary")
 
 
 def frame_sample(

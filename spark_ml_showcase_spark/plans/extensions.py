@@ -370,6 +370,42 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("id", "n_bytes", "width", "height")
 
 
+# X5: REAL decode path — synthesize a deterministic solid-color BMP per
+# document (dims/color pure functions of doc_id), then decode it with the
+# stdlib struct parser (decode_stub=False). The oracle recomputes the
+# decoded dims, per-channel means, and exact file size from doc_id alone:
+# a decoder that mis-parses headers, includes row padding in the means, or
+# swaps the BGR channel order hash-mismatches.
+@query(
+    "multimodal_features_decoded",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(1 + doc_id % 7 AS INT) AS width,
+           CAST(1 + doc_id % 5 AS INT) AS height,
+           CAST(doc_id % 256 AS BIGINT) AS mean_r,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+           CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b,
+           CAST(54 + ((3 * (1 + doc_id % 7) + 3) // 4) * 4
+                     * (1 + doc_id % 5) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_features_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    blobs = multimodal.synthesize_bmp(docs, id_col="doc_id")
+    feats = multimodal.extract_features(blobs, decode_stub=False)
+    # solid-color fills make the channel means exact integers
+    return feats.select(
+        "id",
+        "width",
+        "height",
+        F.element_at("feat", 1).cast("bigint").alias("mean_r"),
+        F.element_at("feat", 2).cast("bigint").alias("mean_g"),
+        F.element_at("feat", 3).cast("bigint").alias("mean_b"),
+        "n_bytes",
+    )
+
+
 # X5: frame-sampling fan-out shape (video stand-in) — per-frame rows from
 # binary payloads, aggregated to a compact deterministic summary.
 @query("frame_sample_stats")

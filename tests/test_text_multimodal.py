@@ -96,13 +96,52 @@ def test_multimodal_roundtrip(spark):
     assert per[1] == 1 and per[2] == 3  # 200 // 64 = 3 frames
 
 
-def test_multimodal_stub_raises_without_decoder(spark):
+def test_real_decode_rejects_unknown_magic(spark):
     import pytest
 
     df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
-    blobs = multimodal.attach_binary(df, "text")
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
+    blobs = multimodal.attach_binary(df, "text")  # UTF-8 text, no BM/RIFF magic
+    with pytest.raises(Exception, match="unrecognized payload magic"):
         multimodal.extract_features(blobs, decode_stub=False).collect()
+
+
+def test_bmp_codec_roundtrip_local():
+    # width 5 → stride 16 (1 pad byte/row); bottom-up BGR layout
+    buf = multimodal.encode_bmp(5, 3, (200, 100, 50))
+    assert buf[:2] == b"BM" and len(buf) == 54 + 16 * 3
+    w, h, means = multimodal.decode_bmp(buf)
+    assert (w, h) == (5, 3)
+    assert means == [200.0, 100.0, 50.0]  # pad bytes skipped, BGR→RGB order
+
+
+def test_bmp_padding_residues_local():
+    # all four 3*w % 4 residues decode to exact channel means
+    for w in (1, 2, 3, 4):
+        _, _, means = multimodal.decode_bmp(multimodal.encode_bmp(w, 2, (9, 8, 7)))
+        assert means == [9.0, 8.0, 7.0], f"width {w}"
+
+
+def test_wav_codec_roundtrip_local():
+    buf = multimodal.encode_wav(n_frames=64, framerate=8000, amplitude=1000)
+    nch, bits, feat = multimodal.decode_wav(buf)
+    assert (nch, bits) == (1, 16)
+    n_frames, rate, mean, rms = feat
+    assert (n_frames, rate) == (64.0, 8000.0)
+    assert mean == 0.0 and rms == 1000.0  # balanced square wave
+
+
+def test_real_decode_spark_path(spark):
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    blobs = multimodal.synthesize_bmp(docs)
+    feats = multimodal.extract_features(blobs, decode_stub=False)
+    rows = {r.id: r for r in feats.collect()}
+    assert len(rows) == 40
+    for i in (0, 13, 39):
+        r = rows[i]
+        assert (r.width, r.height) == (1 + i % 7, 1 + i % 5)
+        assert [round(f) for f in r.feat] == [i % 256, (i * 7) % 256, (i * 13) % 256]
+        stride = (3 * r.width + 3) // 4 * 4
+        assert r.n_bytes == 54 + stride * r.height
 
 
 def test_scrub_pii_patterns(spark):
