@@ -99,6 +99,7 @@ def _load_all() -> None:
         splits_queries,
         streaming_queries,
         relational,
+        pruning_queries,
         logs_queries,
         coverage_queries,
         joins_queries,

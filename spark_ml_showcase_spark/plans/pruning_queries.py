@@ -1,0 +1,61 @@
+"""Dynamic partition pruning (DPP) over a day-partitioned events layout.
+
+SURVEY.md §4 lists partition pruning as the one Catalyst scale feature the
+engine supports (``write_parquet(partition_by=...)``) but never exercised
+in a registered query. This module closes that: the fact table is
+materialized hive-partitioned by day, the dim carries a NON-key predicate
+(ISO weekday), and the join on the partition key lets Catalyst inject a
+``dynamicpruning`` subquery into the fact scan — at 100 TB the scan reads
+only the ~1/7 of partitions whose days survive the dim filter, decided at
+runtime from the broadcast dim, with zero changes to the query text.
+
+``tests/test_plans.py`` pins the plan: the fact scan's PartitionFilters
+must carry a dynamicpruning expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.plans import query
+from spark_ml_showcase_spark.sources import io
+
+
+def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join under test, shared by the registered query and the plan
+    assertion: day-partitioned events ⋈ calendar filtered to Mondays."""
+    fact_path, dim_path = io.materialize_events_by_day(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("dow_iso") == 1)
+    # align the dim key's type with whatever partition-type inference gave
+    # the fact side (DATE here); casting the dim side leaves the fact
+    # scan's partition attribute untouched so DPP can still latch onto it
+    dim = dim.withColumn("day", F.col("day").cast(dict(fact.dtypes)["day"]))
+    return fact.join(F.broadcast(dim.select("day")), "day")
+
+
+@query(
+    "dpp_events_mondays",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE isodow(CAST(ts AS DATE)) = 1
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def dpp_events_mondays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = dpp_join(spark, sf_dir)
+    return (
+        joined.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("day")
+    )

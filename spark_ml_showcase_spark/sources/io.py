@@ -117,6 +117,34 @@ def write_parquet(
     writer.parquet(path)
 
 
+def materialize_events_by_day(
+    spark: SparkSession, sf_dir: str, *, base_dir: str = "/tmp/smss_partitioned"
+) -> tuple[str, str]:
+    """Materialize the events table day-partitioned (hive-style
+    ``day=YYYY-MM-DD/`` directories) plus a small calendar dim
+    ``(day, dow_iso)`` — the layout dynamic partition pruning needs.
+    Idempotent per sf_dir (keyed by directory name, ``_SUCCESS`` marker);
+    at production scale this is the ingest-time layout, not a per-query
+    rewrite. Returns (fact_path, dim_path)."""
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    fact_path = os.path.join(base_dir, key, "events_by_day")
+    dim_path = os.path.join(base_dir, key, "calendar")
+    if not (
+        os.path.exists(os.path.join(fact_path, "_SUCCESS"))
+        and os.path.exists(os.path.join(dim_path, "_SUCCESS"))
+    ):
+        ev = Catalog(spark, sf_dir).events.withColumn("day", F.to_date("ts"))
+        write_parquet(ev, fact_path, partition_by=["day"])
+        # ISO day-of-week (1=Mon..7=Sun) from Spark's dayofweek (1=Sun..7=Sat)
+        cal = ev.select("day").distinct().withColumn(
+            "dow_iso", ((F.dayofweek("day") + 5) % 7 + 1).cast("int")
+        )
+        write_parquet(cal, dim_path)
+    return fact_path, dim_path
+
+
 def read_orc(spark: SparkSession, path: str, *columns: str) -> DataFrame:
     """ORC scan — same pushdown/pruning properties as parquet (column
     pruning + predicate pushdown reach the reader). Optional column list

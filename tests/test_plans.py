@@ -83,3 +83,16 @@ def test_orc_scan_pushes_filters(spark, tmp_path):
     assert "PushedFilters: [" in plan and "k" in plan
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "v" not in read  # column pruning reaches the ORC reader
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    from spark_ml_showcase_spark.plans import pruning_queries
+
+    plan = _plan(pruning_queries.dpp_join(spark, SF))
+    # the day-partitioned fact scan must carry a runtime pruning subquery
+    # fed by the filtered dim, not a full scan of all 30 day partitions
+    assert "dynamicpruning" in plan.lower()
+    fact_scan = next(
+        ln for ln in plan.splitlines() if "events_by_day" in ln and "FileScan" in ln
+    )
+    assert "day" in fact_scan
