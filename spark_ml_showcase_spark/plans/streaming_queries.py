@@ -120,3 +120,33 @@ def stream_session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_start").cast("long").alias("session_start_sec"),
         "n_events",
     ).orderBy("user_id", "session_start_sec")
+
+
+# Streaming stateful exact dedup — incremental corpus ingestion, the way
+# a training-data pipeline actually receives data. Output columns are
+# exactly the dedup keys, so the result set is survivor-independent and
+# hash-matches DISTINCT regardless of which duplicate row won. The
+# watermark (35 days) covers the fixture's full span so the bounded-state
+# trade (duplicates beyond the horizon may both survive) cannot fire
+# here; ~20% of input rows are key-duplicates and must be dropped.
+@query(
+    "stream_exact_dedup",
+    oracle="""
+    SELECT DISTINCT user_id,
+           event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+    FROM events
+    ORDER BY user_id, event_type, day
+    """,
+)
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = se.stream_events(spark, f"{sf_dir}/events.parquet").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    deduped = se.dedup_within_watermark(
+        stream, ["user_id", "event_type", "day"], watermark="35 days"
+    )
+    result = se.run_to_memory(deduped, spark, output_mode="append")
+    return result.select("user_id", "event_type", "day").orderBy(
+        "user_id", "event_type", "day"
+    )

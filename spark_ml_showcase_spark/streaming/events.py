@@ -134,6 +134,26 @@ def session_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup for incremental corpus ingestion — the
+    streaming twin of ``operators.dedup.exact_dedup``.
+
+    ``dropDuplicatesWithinWatermark`` keeps ONE state entry per key and
+    expires it once the watermark passes the key's last-seen event time —
+    so state is bounded by (keys active within the watermark horizon),
+    not by total stream history. That is the property that makes exact
+    dedup viable on an unbounded 100 TB/day feed: an unscoped
+    ``dropDuplicates`` would grow state forever.
+
+    The event-time column named by the upstream ``withWatermark`` must
+    remain in ``events``; duplicates separated by more than the watermark
+    delay can BOTH survive (by design — that's the bounded-state trade).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def running_totals_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     cumulative event count + value sum maintained in explicit state —
@@ -181,6 +201,11 @@ def run_to_parquet(
     checkpoint directory (exactly-once via checkpoint offsets + the file
     sink's output manifest) — then return the sink contents as a batch
     DataFrame.
+
+    DESTRUCTIVE: a pre-existing ``out_dir`` is deleted wholesale before
+    the run (sink + checkpoint must start empty for a deterministic
+    result). Pass a dedicated directory, or omit ``out_dir`` for a fresh
+    tmp path per call.
 
     Append mode emits a window only once the watermark passes its end,
     so the sink holds exactly the FINALIZED windows: with a finite

@@ -122,3 +122,25 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
         for u in range(4)
     }
     assert got == want
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    # 60 events over 3 users, all 'click' → dedup on (user_id) keeps 3
+    rows = [(i, 1_000_000 + i, i % 3, 1.0) for i in range(60)]
+    d = _write_events(spark, tmp_path, rows, subdir="dd")
+    stream = se.stream_events(spark, d)
+    deduped = se.dedup_within_watermark(stream, ["user_id"], watermark="1 hour")
+    out = se.run_to_memory(deduped, spark, output_mode="append")
+    assert sorted(r.user_id for r in out.select("user_id").collect()) == [0, 1, 2]
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    # same keys split across two files; maxFilesPerTrigger=1 forces two
+    # micro-batches — state from batch 1 must still drop batch-2 dupes
+    # (all within the watermark horizon)
+    rows = [(i, 1_000_000 + i, i % 4, 1.0) for i in range(40)]
+    d = _write_events(spark, tmp_path, rows, subdir="dd2", n_files=2)
+    stream = se.stream_events(spark, d, max_files_per_trigger=1)
+    deduped = se.dedup_within_watermark(stream, ["user_id"], watermark="1 day")
+    out = se.run_to_memory(deduped, spark, output_mode="append")
+    assert out.count() == 4
