@@ -467,10 +467,15 @@ def connected_components(
     driver-coordinated loop like MLlib's iterative fits; rounds needed =
     graph diameter, and near-dup clusters are shallow (planted-dup chains
     have diameter ≤ ~3). ``localCheckpoint`` truncates lineage so plans
-    don't grow across iterations. For web-scale general graphs swap in
-    the large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC 2014) — same join/agg
-    primitives, fewer rounds on high-diameter graphs.
+    don't grow across iterations; the convergence flag rides the update
+    itself (one cheap agg over the checkpointed labels, no extra join
+    job). For high-diameter graphs use
+    :func:`connected_components_star` — O(log n) rounds instead of
+    O(diameter).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    convergence — a truncated propagation is a WRONG answer (labels not
+    yet minimal), never returned silently.
     """
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -493,17 +498,109 @@ def connected_components(
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
+                ).alias("new_comp"),
+                F.col("comp").alias("old_comp"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        converged = new_labels.filter(F.col("new_comp") != F.col("old_comp")).isEmpty()
+        labels = new_labels.select("id", F.col("new_comp").alias("comp"))
+        if converged:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations; "
+        "labels would be non-minimal (wrong). Raise max_iter or use "
+        "connected_components_star for high-diameter graphs."
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: for every node u, connect all neighbors
+    LARGER than u to the minimum of u's closed neighborhood."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: direct each edge large→small, then connect
+    every smaller neighbor (and u itself) to the minimum of the group."""
+    directed = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (
+        nbr_edges.unionByName(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): same (id, comp = min reachable id) contract as
+    :func:`connected_components`, but convergence in O(log n) rounds
+    instead of O(diameter) — the scale path for general graphs (long
+    chains, web graphs) where min-label propagation would need hundreds
+    of driver-coordinated iterations.
+
+    Each round is two groupBy-min + join passes over the edge set; the
+    edge set only shrinks toward the final star graph (every node →
+    its component minimum). Convergence = edge set stable, detected by a
+    (count, xxhash64-XOR) checksum — one tiny agg per round, order-
+    independent and overflow-free under ANSI mode, no edge-set self-join.
+    """
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    vertices = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig: tuple | None = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)),
+            ).first()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        if sig == prev_sig:
+            # stable star graph: every edge is (node → component min)
+            labels = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+            roots = labels.select(F.col("comp").alias("id"), F.col("comp").alias("comp"))
+            out = labels.unionByName(roots).distinct()
+            # vertices whose component is a singleton pair may appear only
+            # as roots; anything never seen labels itself
+            return (
+                vertices.join(out, "id", "left")
+                .select("id", F.coalesce("comp", "id").alias("comp"))
+            )
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )

@@ -124,6 +124,51 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Same clusters via the O(log n)-round large-star/small-star algorithm
+# (Kiveris et al. 2014) — the scale path for high-diameter graphs where
+# min-label propagation would need O(diameter) driver-coordinated rounds.
+# Identical recursive-CTE oracle: both algorithms must produce the same
+# (doc, min-reachable-id) labeling.
+@query(
+    "near_dup_components_star",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, len(toks) - 2)]) AS s
+        FROM (SELECT doc_id,
+                     list_filter(
+                         string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 200)
+        WHERE len(toks) >= 3
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)) >= 0.3
+    ), sym AS (
+        SELECT id_a AS v, id_b AS u FROM pairs
+        UNION ALL
+        SELECT id_b AS v, id_a AS u FROM pairs
+    ), reach(v, l) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+        UNION
+        SELECT s.v, r.l FROM sym s JOIN reach r ON s.u = r.v
+    )
+    SELECT v AS doc_id, MIN(l) AS component
+    FROM reach GROUP BY v ORDER BY doc_id
+    """,
+)
+def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.3)
+    comps = dedup.connected_components_star(pairs, "id_a", "id_b")
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")
+
+
 # X2 (scale path): banded MinHash LSH near-dup pairs over the full
 # documents table. xxhash64 signatures — rows-only.
 @query("minhash_near_dup_pairs")

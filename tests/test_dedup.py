@@ -234,3 +234,44 @@ def test_connected_components_long_path_converges(spark):
     out = dedup.connected_components(edges, max_iter=20)
     comps = {r.comp for r in out.collect()}
     assert comps == {0}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=2)
+
+
+def test_star_matches_min_label_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        want = {
+            (r.id, r.comp) for r in dedup.connected_components(df, max_iter=40).collect()
+        }
+        got = {
+            (r.id, r.comp) for r in dedup.connected_components_star(df).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_star_converges_fast_on_long_chain(spark):
+    # 60-vertex path: diameter 59, min-label would need ~59 rounds; the
+    # star alternation must collapse it in O(log n) rounds (max_iter=10)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a bigint, id_b bigint"
+    )
+    out = dedup.connected_components_star(edges, max_iter=10)
+    rows = out.collect()
+    assert len(rows) == 60 and {r.comp for r in rows} == {0}
