@@ -40,6 +40,34 @@ def _sf_of(path: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+def _group_plan_metrics(sc, group: str) -> dict:
+    """Plan-shape telemetry for one job group: stage count + shuffle/input
+    bytes from the app status store. Wall-time at sf0.1 is ±20% noisy with
+    machine load; shuffle bytes are DETERMINISTIC per plan, so a plan
+    regression (lost broadcast, new exchange) shows up here even when the
+    timing noise hides it. Streaming queries run micro-batch jobs on
+    their own threads (job groups are thread-local), so their numbers
+    cover only driver-thread jobs — directional, not total."""
+    tracker = sc.statusTracker()
+    stage_ids: set[int] = set()
+    for j in tracker.getJobIdsForGroup(group):
+        ji = tracker.getJobInfo(j)
+        if ji:
+            stage_ids.update(ji.stageIds)
+    store = sc._jsc.sc().statusStore()
+    out = {"n_stages": 0, "shuffle_read_mb": 0.0, "shuffle_write_mb": 0.0, "input_mb": 0.0}
+    for sid in stage_ids:
+        try:
+            sd = store.lastStageAttempt(sid)
+        except Exception:
+            continue  # SKIPPED stage (reused exchange) — no attempt data
+        out["n_stages"] += 1
+        out["shuffle_read_mb"] += sd.shuffleReadBytes() / 1e6
+        out["shuffle_write_mb"] += sd.shuffleWriteBytes() / 1e6
+        out["input_mb"] += sd.inputBytes() / 1e6
+    return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in out.items()}
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from spark_ml_showcase_spark.session import get_session
@@ -55,6 +83,8 @@ def main() -> int:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     times: dict[str, float] = {}
+    plan_metrics: dict[str, dict] = {}
+    sc = spark.sparkContext
     for name, fn in qs.items():
         if any(name.startswith(p) for p in SLOW_PREFIXES):
             continue
@@ -62,14 +92,20 @@ def main() -> int:
             continue
         best = None
         try:
-            for _ in range(repeat):
+            for rep in range(repeat):
+                group = f"bench:{name}:{rep}"
+                sc.setJobGroup(group, name)
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+            # last rep = steady state (AQE-final plan, warm caches)
+            plan_metrics[name] = _group_plan_metrics(sc, group)
         except Exception as e:  # noqa: BLE001 - one bad query must not kill the suite
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             continue
+        finally:
+            sc.setJobGroup("", "")
         times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
@@ -79,6 +115,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "plan_metrics": plan_metrics,
         "sf": sf,
         "n_queries": len(times),
         "cpus": int(CPUS),

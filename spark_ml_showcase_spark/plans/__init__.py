@@ -49,32 +49,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round, so entries needing fresh driver evidence are pinned to the
 # front explicitly (new queries, changed queries, fixed oracles, and the
-# set with no prior-round record), followed by the rest in registration
-# order. Rotate this list each round so no query goes more than ~2
-# rounds without a fresh CORRECTNESS record.
-_FRONT_R3 = [
+# set whose latest driver record is oldest), followed by the rest in
+# registration order. Rotate this list each round so no query goes more
+# than ~2 rounds without a fresh CORRECTNESS record. Unknown names RAISE
+# (a renamed/removed query must be removed from the pin list explicitly,
+# not silently dropped — that's how rotation quietly decays).
+_FRONT_R4 = [
     # new this round (oracle-carrying first)
-    "stream_parquet_sink_hourly",
-    "latest_event_per_user_type",
-    "near_dup_components",
+    "multimodal_features_decoded",
+    "dpp_events_mondays",
+    "stream_exact_dedup",
+    "near_dup_components_star",
+    "ann_recall_report",
+    # oracle rewritten this round (series bound now derived, expect green)
     "chunk_documents_64_8",
-    "scrub_pii_docs",
-    "orc_sink_roundtrip",
-    "clf_report_txt_sink",
-    "salted_join_event_types",
-    "temporal_split_cutoff",
-    "winnow_overlap_pairs",
-    # oracle typing fixed this round (r2 hash-FAIL -> expect green)
-    "csv_scan_header",
-    "clf_country_report",
-    "json_scan_agg",
-    # implementation re-parameterized this round
-    "embedding_near_dup_survivors",
+    # latest driver record is r2 (two rounds stale) — rotate back in
+    "ann_topk_lsh",
+    "approx_distinct_suppliers",
+    "asof_join_purchase_click",
+    "cached_two_branch_report",
+    "clean_corpus_funnel",
+    "clf_day_hour_counts",
+    "cosine_topk_bruteforce",
+    "exact_dedup_docs",
+    "frame_sample_stats",
+    "grouping_sets_qty",
+    "ivf_topk",
+    "minhash_near_dup_pairs",
+    "ml_als_default_vs_custom",
+    "ml_als_metrics",
+    "ml_claims_models",
+    "ml_claims_regparam_curve",
+    "ml_confusion_matrix_rf",
+    "ml_feature_importances_rf",
+    "ml_gbt_higgs",
+    "ml_kmeans_cluster_genres",
+    "ml_rf_cv_higgs",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "orders_per_month",
+    "outer_join_nation_customers",
+    "parquet_sink_roundtrip",
+    "price_stats_per_flag",
+    "quantile_sketch_prices",
+    "range_join_value_bands",
+    "semi_join_urgent_customers",
+    "simhash_near_dup_pairs",
+    "sorted_prefix_orders",
+    "sql_api_priority_revenue",
+    "statuses_per_customer",
+    "text_quality_lang",
+    "text_stats",
+    "tfidf_top_terms",
+    "top1_order",
+    "user_spend_percentiles",
 ]
 
 
 def _ordered(d: dict) -> dict:
-    front = {k: d[k] for k in _FRONT_R3 if k in d}
+    unknown = [k for k in _FRONT_R4 if k not in d]
+    if unknown:
+        raise KeyError(
+            f"front-pin list names unregistered queries {unknown}; "
+            "update _FRONT_R4 alongside query renames/removals"
+        )
+    front = {k: d[k] for k in _FRONT_R4}
     return front | {k: v for k, v in d.items() if k not in front}
 
 

@@ -234,7 +234,9 @@ def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(j AS BIGINT) AS chunk_id,
            array_to_string(toks[j*56 + 1 : LEAST(j*56 + 64, n)], ' ') AS chunk_text,
            CAST(LEAST(j*56 + 64, n) - j*56 AS BIGINT) AS n_tokens
-    FROM c JOIN (SELECT unnest(generate_series(0, 63)) AS j) s ON s.j < c.nc
+    FROM c JOIN (SELECT unnest(generate_series(
+                     0, (SELECT CAST(MAX(nc) AS BIGINT) - 1 FROM c))) AS j) s
+        ON s.j < c.nc
     """,
 )
 def chunk_documents_64_8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +480,45 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, queries, 3, n_lists=8, n_probe=2
     ).orderBy("query_id", "rank")
+
+
+# X3 (observability): recall@10 of both ANN paths vs exact brute force,
+# as a REGISTERED query so recall regressions (a broken hash family, a
+# mis-seeded quantizer) surface in the per-round driver artifacts instead
+# of only in opt-in tests. Engine-side seeds/KMeans → rows-only; the
+# values themselves are deterministic (seeded) round over round. Fully
+# distributed: hits counted by an equi-join against the exact top-k, the
+# truth size rides along as a broadcast scalar — no driver-side loops.
+@query("ann_recall_report")
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = similarity.brute_force_topk(emb, queries, 10).select(
+        "query_id", "cand_id"
+    )
+    approx = (
+        similarity.ann_topk_lsh(emb, queries, 10, n_planes=4)
+        .select(F.lit("lsh").alias("method"), "query_id", "cand_id")
+        .unionByName(
+            similarity.ivf_topk(emb, queries, 10, n_lists=8, n_probe=2).select(
+                F.lit("ivf").alias("method"), "query_id", "cand_id"
+            )
+        )
+    )
+    hits = truth.join(approx, ["query_id", "cand_id"]).groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    truth_n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        hits.crossJoin(F.broadcast(truth_n))
+        .select(
+            "method",
+            "n_hit",
+            "n_truth",
+            F.round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall_at_10"),
+        )
+        .orderBy("method")
+    )
 
 
 # X4 (MLlib text featurization): RegexTokenizer → StopWordsRemover →
