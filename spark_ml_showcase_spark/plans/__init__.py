@@ -56,6 +56,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # not silently dropped — that's how rotation quietly decays).
 _FRONT_R4 = [
     # new this round (oracle-carrying first)
+    "clf_png_artifacts",
     "multimodal_features_decoded",
     "dpp_events_mondays",
     "stream_exact_dedup",

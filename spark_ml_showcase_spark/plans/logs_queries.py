@@ -238,6 +238,88 @@ def clf_day_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# M2 image artifacts: the reference renders the day×hour heatmap and
+# top-host percentage pies to image files (log_mining_analysis.py:88,128).
+# The engine renders the SAME data through the stdlib PNG sink; the query
+# re-reads the written artifact's IHDR plus the pie's share table, and
+# the oracle recomputes all of it from the raw log — so the rendered
+# artifact's dimensions/validity AND the chart data are both under the
+# hash (a sink writing a corrupt header or wrong grid fails).
+@query(
+    "clf_png_artifacts",
+    oracle=rf"""
+    WITH parsed AS (
+        SELECT regexp_extract(value, '^(.*) - -.*', 1) AS host,
+               regexp_extract(value, '.* - - \[(.*)\].*', 1) AS ts
+        FROM read_csv('{_CLF_GZ}', columns={{'value': 'VARCHAR'}},
+                      header=false, delim='|', quote='')
+    ), de AS (
+        SELECT * FROM parsed WHERE ends_with(host, '.de')
+    ), grid AS (
+        SELECT COUNT(DISTINCT regexp_extract(ts, '^(\d{{2}})', 1)) AS nd,
+               COUNT(DISTINCT regexp_extract(ts, '^\d{{2}}/\w{{3}}/\d{{4}}:(\d{{2}})', 1)) AS nh
+        FROM de
+    ), tops AS (
+        SELECT host, COUNT(*) AS n,
+               row_number() OVER (ORDER BY COUNT(*) DESC, host ASC) AS rk
+        FROM de GROUP BY host
+    ), slices AS (
+        SELECT CASE WHEN rk <= 9 THEN host ELSE 'Rest' END AS label,
+               SUM(n) AS n
+        FROM tops GROUP BY 1
+    )
+    SELECT 'heatmap:' || CAST(nd * 8 AS VARCHAR) || 'x'
+               || CAST(nh * 8 AS VARCHAR) || ':rgb8' AS artifact,
+           ROUND(1.0, 6) AS share
+    FROM grid
+    UNION ALL
+    SELECT 'pie:' || label AS artifact,
+           ROUND(n / (SELECT SUM(n)::DOUBLE FROM slices), 6) AS share
+    FROM slices
+    ORDER BY artifact
+    """,
+)
+def clf_png_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_ml_showcase_spark.sources import png
+
+    parsed = logs.parse_clf(io.read_text(spark, _CLF_GZ))
+    de = logs.country_filter(parsed, ".de")
+    out_dir = tempfile.mkdtemp(prefix="smss_png_")
+
+    mat = (
+        logs.day_hour_by_regex(de)
+        .groupBy("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hm_path, w, h = png.write_heatmap_png(
+        mat, "hour", "day", "n", os.path.join(out_dir, "de_heatmap.png")
+    )
+    with open(hm_path, "rb") as f:
+        hw, hh, depth, ctype = png.decode_png_header(f.read())
+    assert (hw, hh, depth, ctype) == (w, h, 8, 2)
+
+    top9 = logs.top_hosts(de, 9).select("host", F.col("count").alias("n"))
+    total = de.count()
+    top9_rows = top9.collect()
+    rest = total - sum(r.n for r in top9_rows)
+    pie_df = spark.createDataFrame(
+        [(r.host, float(r.n)) for r in top9_rows] + [("Rest", float(rest))],
+        "label string, n double",
+    )
+    _, shares = png.write_pie_png(
+        pie_df, "label", "n", os.path.join(out_dir, "de_top_hosts_pie.png")
+    )
+
+    rows = [(f"heatmap:{hw}x{hh}:rgb8", 1.0)] + [
+        (f"pie:{label}", round(s, 6)) for label, s in shares
+    ]
+    return spark.createDataFrame(rows, "artifact string, share double").orderBy(
+        "artifact"
+    )
+
+
 _JSONL = os.path.join(_DATA_DIR, "sample_events.jsonl")
 
 
