@@ -205,14 +205,19 @@ def winnow_fingerprints(
     ).otherwise(fps)
 
 
-def shingles(col: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct) — the MinHash/Jaccard input.
-    Built with transform over a token-index sequence: JVM-side, no UDF."""
+def ngram_list(col: str | Column, n: int = 2) -> Column:
+    """Word n-gram array in document order, duplicates KEPT (the
+    repetition-metrics input — frequency counting needs multiplicity).
+    Lowercased whitespace tokens; built with transform over a token-index
+    sequence: JVM-side, no UDF."""
     toks = _tokens(F.lower(_c(col)))
     n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), n_sh - 1)
     return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        )
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) — the MinHash/Jaccard input."""
+    return F.array_distinct(ngram_list(col, n))

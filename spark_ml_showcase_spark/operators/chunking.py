@@ -91,3 +91,66 @@ def assign_shards(
     return chunks.withColumn(
         "shard", F.pmod(h, F.lit(n_shards)).cast("int")
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    *,
+    max_tokens: int = 256,
+    group_col: str = "shard",
+    order_cols: list[str] = ("doc_id", "chunk_id"),
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequence packing: within each ``group_col`` partition,
+    walk chunks in ``order_cols`` order and accumulate them into training
+    sequences of at most ``max_tokens`` tokens, opening a new sequence
+    whenever the next chunk would overflow (first-fit in fixed order; a
+    chunk longer than ``max_tokens`` gets a sequence of its own). This is
+    the padding-minimization step between chunking/sharding and training-
+    shard writing.
+
+    Returns one row per input chunk:
+    ``(group_col, seq_id, seq_offset, *order_cols, token_col)`` where
+    ``seq_id`` numbers sequences from 0 within the group and
+    ``seq_offset`` is the chunk's token start position in its sequence.
+
+    Greedy packing is inherently sequential IN ORDER, so it runs per
+    group via ``applyInPandas`` — deterministic given the (deterministic,
+    hash-assigned) groups, independent of input partitioning. Scale
+    posture: one shuffle on ``group_col`` (the same exchange the shard
+    write needs anyway); each group is one training shard, sized by the
+    sharding step to fit an executor; the Python work per row is O(1)
+    numpy arithmetic over Arrow batches. An exact SQL formulation needs a
+    recursive/iterative construct (the running total RESETS at pack
+    boundaries — not a window cumsum), hence no DuckDB oracle; invariants
+    are property-tested instead (tests/test_corpus_ops.py).
+    """
+    import pandas as pd
+
+    order = list(order_cols)
+    out_schema = (
+        f"{group_col} int, seq_id bigint, seq_offset bigint, "
+        + ", ".join(f"{c} bigint" for c in order)
+        + f", {token_col} bigint"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq_id, fill = 0, 0
+        for n in pdf[token_col]:
+            if fill > 0 and fill + n > max_tokens:
+                seq_id += 1
+                fill = 0
+            seq_ids.append(seq_id)
+            offsets.append(fill)
+            fill += n
+        pdf["seq_id"] = seq_ids
+        pdf["seq_offset"] = offsets
+        return pdf[[group_col, "seq_id", "seq_offset", *order, token_col]]
+
+    return (
+        chunks.select(group_col, *order, token_col)
+        .groupBy(group_col)
+        .applyInPandas(pack, schema=out_schema)
+    )

@@ -108,6 +108,46 @@ def sample_by(
     return df.stat.sampleBy(strata_col, fractions, seed)
 
 
+def portable_sample_by(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[object, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic, engine-portable stratified sampling — the domain-
+    mixing step of corpus assembly ("keep 75% of src0, 25% of src2, 10%
+    of the rest"). Each row's inclusion depends ONLY on
+    ``md5(key)``, so the sample is identical on any partitioning, any
+    cluster size, and any SQL engine with md5 (which is how the
+    DuckDB oracle checks it bit-for-bit — unlike ``sampleBy``, whose
+    per-partition RNG streams no other engine can reproduce).
+
+    A row is kept iff the first 8 hex chars of ``md5(CAST(key AS
+    STRING))`` compare lexicographically below ``hex(frac · 2^32)`` for
+    its stratum — uniform because md5 nibbles are uniform and the hex
+    alphabet is ordered. Fractions must be in [0, 1]; 1.0 keeps all rows.
+    Narrow plan: a filter, no shuffle, no RNG state.
+    """
+    for v, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {v!r} must be in [0,1], got {frac}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction must be in [0,1], got {default}")
+
+    def thresh_lit(frac: float) -> Column:
+        # 'g' sorts above every hex char => keep-all sentinel for 1.0
+        return F.lit("g" if frac >= 1.0 else format(int(frac * 2**32), "08x"))
+
+    thresh = thresh_lit(default)
+    for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value), thresh_lit(frac)
+        ).otherwise(thresh)
+    u = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    return df.filter(u < thresh)
+
+
 def temporal_split(
     df: DataFrame,
     time_col: str,

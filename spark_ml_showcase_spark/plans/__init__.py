@@ -64,15 +64,17 @@ _FRONT_R4 = [
     "ann_recall_report",
     # oracle rewritten this round (series bound now derived, expect green)
     "chunk_documents_64_8",
+    # new corpus-assembly operators (X6-X9), added later in round 4
+    "decontaminate_ngram",
+    "gopher_repetition_flags",
+    "domain_mix_sample",
+    "pack_sequences_256",
     # latest driver record is r2 (two rounds stale) — rotate back in
     "ann_topk_lsh",
     "approx_distinct_suppliers",
-    "asof_join_purchase_click",
     "cached_two_branch_report",
     "clean_corpus_funnel",
     "clf_day_hour_counts",
-    "cosine_topk_bruteforce",
-    "exact_dedup_docs",
     "frame_sample_stats",
     "grouping_sets_qty",
     "ivf_topk",
@@ -87,7 +89,6 @@ _FRONT_R4 = [
     "ml_kmeans_cluster_genres",
     "ml_rf_cv_higgs",
     "multimodal_features",
-    "ngram_jaccard_pairs",
     "orders_per_month",
     "outer_join_nation_customers",
     "parquet_sink_roundtrip",

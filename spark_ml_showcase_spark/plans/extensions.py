@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ml_showcase_spark.functions import similarity, text as TX
-from spark_ml_showcase_spark.operators import chunking, dedup, multimodal
+from spark_ml_showcase_spark.operators import (
+    chunking,
+    decontaminate,
+    dedup,
+    multimodal,
+    quality,
+    splits,
+)
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
@@ -615,4 +622,136 @@ def clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("4_chunks", chunks))
         .select("stage", "n_docs")
         .orderBy("stage")
+    )
+
+
+# X6: benchmark decontamination — distinct 5-gram overlap between the
+# training corpus (doc_id % 7 != 0) and a held-out benchmark slice
+# (doc_id % 7 == 0). The Spark plan broadcasts the benchmark's hashed
+# shingle set and counts per-doc hits; the oracle joins on the shingle
+# strings themselves (identical unless xxhash64 collides, 2^-64/pair).
+@query(
+    "decontaminate_ngram",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                      for i in generate_series(1, len(toks) - 4)])) AS s
+        FROM t WHERE len(toks) >= 5
+    ), b AS (
+        SELECT DISTINCT s FROM g WHERE doc_id % 7 = 0
+    )
+    SELECT d.doc_id AS doc_id, count(*) AS n_contaminated_ngrams
+    FROM g d JOIN b USING (s)
+    WHERE d.doc_id % 7 <> 0
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    _, hits = decontaminate.ngram_decontaminate(corpus, bench, n=5)
+    return hits.orderBy("doc_id")
+
+
+# X7: Gopher-style repetition/quality flags (Rae et al. 2021 §A.1.1) —
+# top-unigram/top-bigram mass fractions + mean word length, thresholded
+# into a keep flag. Ratios of small ints rounded to 6dp on both engines.
+@query(
+    "gopher_repetition_flags",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), uc AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g
+    ), um AS (
+        SELECT doc_id, ROUND(max(c)::DOUBLE / sum(c), 6) AS top_unigram_frac
+        FROM uc GROUP BY doc_id
+    ), bc AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([array_to_string(toks[i:i+1], ' ')
+                             for i in generate_series(1, len(toks) - 1)]) AS g
+              FROM t WHERE len(toks) >= 2) GROUP BY doc_id, g
+    ), bm AS (
+        SELECT doc_id, ROUND(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+        FROM bc GROUP BY doc_id
+    ), base AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+                     / len(toks), 6) AS mean_word_len
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT base.doc_id AS doc_id, n_tokens, mean_word_len, top_unigram_frac,
+           COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+           (top_unigram_frac <= 0.2 AND COALESCE(top_bigram_frac, 0.0) <= 0.18
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS keep
+    FROM base JOIN um USING (doc_id) LEFT JOIN bm USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return quality.repetition_metrics(docs).orderBy("doc_id")
+
+
+# X8: domain mixing — deterministic engine-portable weighted sampling by
+# source ("75% of src0, 50% of src1, 25% of src2, 10% of the rest").
+# Inclusion = md5-hex-prefix threshold compare, reproduced literally in
+# the oracle; thresholds are hex(frac * 2^32).
+@query(
+    "domain_mix_sample",
+    oracle=r"""
+    SELECT doc_id AS doc_id, source AS source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE source WHEN 'src0' THEN 'c0000000'
+                      WHEN 'src1' THEN '80000000'
+                      WHEN 'src2' THEN '40000000'
+                      ELSE '19999999' END
+    ORDER BY doc_id
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    sampled = splits.portable_sample_by(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 0.75, "src1": 0.5, "src2": 0.25},
+        default=0.1,
+    )
+    return sampled.select("doc_id", "source").orderBy("doc_id")
+
+
+# X9: sequence packing — greedy first-fit of (chunked, sharded) corpus
+# chunks into ≤256-token training sequences, per shard. Rows-only: the
+# greedy running total RESETS at pack boundaries, which plain SQL window
+# functions can't express (recursive CTE would be per-row recursion);
+# invariants are property-tested in tests/test_corpus_ops.py. Returned
+# at sequence granularity: every seq_tokens ≤ 256 is visible directly.
+@query("pack_sequences_256")
+def pack_sequences_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    chunks = chunking.assign_shards(
+        chunking.chunk_documents(docs, max_tokens=64, overlap=8), 8
+    )
+    packed = chunking.pack_sequences(chunks, max_tokens=256)
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("shard", "seq_id")
     )

@@ -96,3 +96,23 @@ def test_dpp_prunes_fact_partitions(spark):
         ln for ln in plan.splitlines() if "events_by_day" in ln and "FileScan" in ln
     )
     assert "day" in fact_scan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    qs = entry.queries()
+    plan = _plan(qs["decontaminate_ngram"](spark, SF))
+    # benchmark shingle set joins as a broadcast: the corpus side streams
+    # with no shuffle of text; the only hash exchange keys the final
+    # per-doc count (plus AQE's optional coalesce reads)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_domain_mix_sample_is_narrow_filter(spark):
+    qs = entry.queries()
+    plan = _plan(qs["domain_mix_sample"](spark, SF))
+    # pure filter + sort for output ordering: no join, no aggregation
+    assert "Join" not in plan and "HashAggregate" not in plan
+    # only the two output columns are read
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read and "n_chars" not in read
