@@ -41,8 +41,10 @@ def session_builder(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores TIMESTAMP(NANOS); Spark 4.x only reads it as
-        # a raw long (Catalog.table converts ns→µs with exact integer DIV).
+        # Fixture generations have shipped events.ts as TIMESTAMP(NANOS)
+        # (Spark 4.x only reads it as a raw long; Catalog.table converts
+        # ns→µs with exact integer DIV) or timestamp[us] naive (read as
+        # NTZ, normalized by Catalog.table). Harmless when unused.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TESTDATA_TABLES = (
     "region",
@@ -45,18 +45,36 @@ class Catalog:
         if name not in TESTDATA_TABLES:
             raise KeyError(f"unknown table {name!r}; have {TESTDATA_TABLES}")
         if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS); Spark 4.x refuses it
-            # (PARQUET_TYPE_ILLEGAL) unless read as a raw long. The config is
-            # runtime-settable, so it works regardless of who built the
-            # session (ours or the driver's).
+            # The driver has shipped events.ts under two physical types
+            # across fixture generations — TIMESTAMP(NANOS) (rounds 1–4)
+            # and timestamp[us] isAdjustedToUTC=false (round 5+) — so the
+            # read is TYPE-ADAPTIVE, keyed on the inferred schema, never
+            # on which generation we "expect". Spark 4 refuses NANOS
+            # unless read as a raw long; the config is runtime-settable,
+            # so it works regardless of who built the session (ours or
+            # the driver's plain one).
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # NTZ→LTZ normalization below maps wall-clock at the session
+            # time zone; pin UTC (runtime-settable) so the epoch numbers
+            # match DuckDB's tz-naive epoch() on any host.
+            self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
-        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            # ns epoch → µs timestamp. Integer DIV, not float division: the
-            # ns value exceeds double's 53-bit mantissa, so a float path
-            # rounds the microseconds and hash-mismatches DuckDB (which
-            # floor-truncates ns→µs when reading the same file).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, LongType):
+                # NANOS generation: ns epoch → µs timestamp. Integer DIV,
+                # not float division: the ns value exceeds double's 53-bit
+                # mantissa, so a float path rounds the microseconds and
+                # hash-mismatches DuckDB (which floor-truncates ns→µs
+                # when reading the same file).
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif isinstance(ts_type, TimestampNTZType):
+                # µs generation: naive wall-clock → instant as-if-UTC
+                # (session tz pinned above), giving the same epoch values
+                # DuckDB computes from the naive timestamp directly.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -35,12 +35,40 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import LongType, StructType, TimestampNTZType
 
 EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
+EVENTS_SCHEMA_NTZ = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _ts_needs_long_read(path: str) -> bool:
+    """Sniff the parquet footer for events.ts's physical type. The file
+    stream takes a user-declared schema, so a wrong declaration doesn't
+    fail — it silently misreads (µs values interpreted as ns collapse
+    every timestamp into early 1970). The fixture generator has shipped
+    both TIMESTAMP(NANOS) and timestamp[us] across rounds, and the test
+    fixtures write plain int64 ns — adapt, don't assume. True → read ts
+    as bigint ns (TIMESTAMP(NANOS) or raw int64); False → timestamp[us]
+    naive, read as timestamp_ntz."""
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        names = [n for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+        if not names:
+            return True
+        f = os.path.join(path, names[0])
+    try:
+        t = pq.read_schema(f).field("ts").type
+    except (OSError, KeyError, ValueError):
+        return True
+    return getattr(t, "unit", None) != "us"
 
 
 def _as_stream_dir(path: str) -> str:
@@ -64,16 +92,22 @@ def _as_stream_dir(path: str) -> str:
 def stream_events(
     spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over events parquet (driver testdata stores
-    ``ts`` as TIMESTAMP(NANOS) → read as long + convert, exactly like
-    ``sources.catalog.Catalog``)."""
+    """File-source stream over events parquet, normalizing ``ts`` to a
+    session-UTC timestamp whichever physical type the fixture generation
+    used (TIMESTAMP(NANOS) → read as long + div-1000 convert;
+    timestamp[us] naive → read as timestamp_ntz + cast), exactly like
+    ``sources.catalog.Catalog``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos = _ts_needs_long_read(path)
+    reader = spark.readStream.schema(EVENTS_SCHEMA if nanos else EVENTS_SCHEMA_NTZ)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(_as_stream_dir(path))
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
