@@ -7,24 +7,71 @@ Not in the reference; these are the repetition rules of Rae et al. 2021
 (Gopher, §A.1.1: "fraction of characters in the most common n-gram") and
 the C4 length heuristics, adapted to whitespace tokens.
 
-Scale posture: ONE pass — unigrams and bigrams are tagged ("u…"/"b…"),
-concatenated, and exploded together, so the corpus text is scanned once
-and the plan is exactly two hash aggregations: (doc, gram) counts, then
-per-doc conditional max/sum rollups. n_tokens and mean word length fall
-out of the same unigram counts (Σc, Σ len·c), so there is no separate
-base scan and NO join anywhere. Both aggregations get map-side partial
-combine (a doc's grams are colocated in its input split), and only
-counts — never text — cross the exchange. The alternative pure-column
-formulation (``array_max(transform(distinct, g -> size(filter(...))))``)
-would be O(len²) per row and re-inline nested HOF lambdas — rejected.
+Scale posture: ZERO shuffles — every metric is a function of one
+document alone, so the whole computation is a single narrow projection
+over the corpus scan: scan → Arrow-batched pandas_udf → project. The
+gram counting runs inside a scalar ``pandas_udf`` (Counter per doc over
+whitespace tokens), which is a MEASURED choice, not a default: at sf0.1
+(5 000 docs, 1.5 MB text) the alternatives bench at
+
+- explode grams → two hash aggregations (shuffles one row per distinct
+  gram): 8.0 s suite time, 6.5 MB shuffled;
+- xxhash64-keyed variant of the same (fixed-width shuffle keys): 8.0 s,
+  6.3 MB — UnsafeRow per-field overhead, not key width, dominates;
+- array_sort + F.aggregate fold (zero shuffle, pure JVM): 41.8 s — the
+  interpreted per-element lambda evaluator costs ~10 µs/elem, and just
+  BUILDING n-gram arrays with transform(sequence, slice) costs 6.4 s;
+- this pandas_udf: 0.49 s for the gram stats, ~1.3 s end-to-end.
+
+Per PySpark guidance the JVM built-ins win when they stay inside
+codegen; higher-order-function lambdas do not (interpreted per element),
+and for per-token text work the Arrow batch path is 10–80× faster. The
+UDF emits only five small ints per document — the text never leaves the
+scan stage and nothing crosses an exchange.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from spark_ml_showcase_spark.functions import text as TX
+
+def _gram_stats_fn(texts: pd.Series) -> pd.DataFrame:
+    """Per-document gram statistics over lowercased whitespace tokens:
+    (n_unigrams, max unigram count, total token chars, n_bigrams, max
+    bigram count). str.split() splits on whitespace runs and trims —
+    the same tokenization as ``functions.text._tokens`` (split \\s+,
+    empties filtered) and the DuckDB oracle's string_split_regex."""
+    from collections import Counter
+
+    nu, mu, chars, nb, mb = [], [], [], [], []
+    for t in texts:
+        toks = (t or "").lower().split()
+        cu = Counter(toks)
+        nu.append(len(toks))
+        mu.append(max(cu.values()) if cu else 0)
+        chars.append(sum(len(x) for x in toks))
+        bis = Counter(zip(toks, toks[1:]))
+        nb.append(max(len(toks) - 1, 0))
+        mb.append(max(bis.values()) if bis else 0)
+    return pd.DataFrame({"nu": nu, "mu": mu, "chars": chars, "nb": nb, "mb": mb})
+
+
+_gram_stats = None
+
+
+def _get_gram_stats():
+    # pandas_udf parses its DDL return type against the ACTIVE session,
+    # so the decorator can't run at import time (tests import this module
+    # before any SparkSession exists); create once on first use.
+    global _gram_stats
+    if _gram_stats is None:
+        _gram_stats = pandas_udf(
+            "struct<nu:bigint,mu:bigint,chars:bigint,nb:bigint,mb:bigint>"
+        )(_gram_stats_fn)
+    return _gram_stats
 
 
 def repetition_metrics(
@@ -45,38 +92,24 @@ def repetition_metrics(
       degenerate repetition (boilerplate, keyword stuffing).
     - ``mean_word_len``: mean token length in characters.
     - ``keep``: True iff every metric is inside its threshold. Documents
-      with zero tokens produce no grams and are dropped; documents of
-      exactly one token have no bigrams and get ``top_bigram_frac = 0``.
+      with zero tokens are dropped; documents of exactly one token have
+      no bigrams and get ``top_bigram_frac = 0``.
 
     Fractions are rounded to 6 decimals (cross-engine float hashing).
     """
-    tag = lambda t, arr: F.transform(arr, lambda g: F.concat(F.lit(t), g))  # noqa: E731
-    grams = F.concat(
-        tag("u", TX.ngram_list(text_col, 1)), tag("b", TX.ngram_list(text_col, 2))
+    per_doc = (
+        df.select(F.col(id_col), _get_gram_stats()(F.col(text_col)).alias("_s"))
+        .select(id_col, "_s.*")
+        .filter(F.col("nu") > 0)
     )
-    counts = (
-        df.select(F.col(id_col), F.explode(grams).alias("_g"))
-        .groupBy(id_col, "_g")
-        .agg(F.count("*").alias("_c"))
-    )
-    is_uni = F.col("_g").startswith("u")
-    c = F.col("_c")
-    per_doc = counts.groupBy(id_col).agg(
-        F.sum(F.when(is_uni, c)).alias("_nu"),
-        F.max(F.when(is_uni, c)).alias("_mu"),
-        # token chars = tagged length - 1 (the "u" prefix)
-        F.sum(F.when(is_uni, (F.length("_g") - 1) * c)).alias("_chars"),
-        F.sum(F.when(~is_uni, c)).alias("_nb"),
-        F.max(F.when(~is_uni, c)).alias("_mb"),
-    )
-    mean_len = F.round(F.col("_chars").cast("double") / F.col("_nu"), 6)
-    top_uni = F.round(F.col("_mu").cast("double") / F.col("_nu"), 6)
-    top_bi = F.coalesce(
-        F.round(F.col("_mb").cast("double") / F.col("_nb"), 6), F.lit(0.0)
-    )
+    mean_len = F.round(F.col("chars").cast("double") / F.col("nu"), 6)
+    top_uni = F.round(F.col("mu").cast("double") / F.col("nu"), 6)
+    top_bi = F.when(
+        F.col("nb") > 0, F.round(F.col("mb").cast("double") / F.col("nb"), 6)
+    ).otherwise(F.lit(0.0))
     return per_doc.select(
         id_col,
-        F.col("_nu").cast("bigint").alias("n_tokens"),
+        F.col("nu").alias("n_tokens"),
         mean_len.alias("mean_word_len"),
         top_uni.alias("top_unigram_frac"),
         top_bi.alias("top_bigram_frac"),

@@ -286,7 +286,10 @@ def clf_png_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parsed = logs.parse_clf(io.read_text(spark, _CLF_GZ))
     de = logs.country_filter(parsed, ".de")
-    out_dir = tempfile.mkdtemp(prefix="smss_png_")
+    # fixed, reused artifact dir — bench reruns this query repeatedly and
+    # a per-invocation mkdtemp would leak one directory per run
+    out_dir = os.path.join(tempfile.gettempdir(), "smss_artifacts", "clf_png")
+    os.makedirs(out_dir, exist_ok=True)
 
     mat = (
         logs.day_hour_by_regex(de)
@@ -308,16 +311,21 @@ def clf_png_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.host, float(r.n)) for r in top9_rows] + [("Rest", float(rest))],
         "label string, n double",
     )
-    _, shares = png.write_pie_png(
+    png.write_pie_png(
         pie_df, "label", "n", os.path.join(out_dir, "de_top_hosts_pie.png")
     )
 
-    rows = [(f"heatmap:{hw}x{hh}:rgb8", 1.0)] + [
-        (f"pie:{label}", round(s, 6)) for label, s in shares
-    ]
-    return spark.createDataFrame(rows, "artifact string, share double").orderBy(
-        "artifact"
+    # shares via F.round (HALF_UP) — matching the DuckDB oracle's ROUND
+    # semantics and the codebase convention; Python round() is banker's
+    # and could diverge on an exact 6-decimal tie
+    share_rows = pie_df.select(
+        F.concat(F.lit("pie:"), "label").alias("artifact"),
+        F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
     )
+    heat = spark.createDataFrame(
+        [(f"heatmap:{hw}x{hh}:rgb8", 1.0)], "artifact string, share double"
+    )
+    return heat.unionByName(share_rows).orderBy("artifact")
 
 
 _JSONL = os.path.join(_DATA_DIR, "sample_events.jsonl")

@@ -117,24 +117,49 @@ def write_parquet(
     writer.parquet(path)
 
 
+def _source_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file/directory: sorted
+    (name, size, mtime_ns) of every regular file under it — no reads."""
+    import hashlib
+
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{os.path.relpath(os.path.join(root, f), path)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def materialize_events_by_day(
     spark: SparkSession, sf_dir: str, *, base_dir: str = "/tmp/smss_partitioned"
 ) -> tuple[str, str]:
     """Materialize the events table day-partitioned (hive-style
     ``day=YYYY-MM-DD/`` directories) plus a small calendar dim
     ``(day, dow_iso)`` — the layout dynamic partition pruning needs.
-    Idempotent per sf_dir (keyed by directory name, ``_SUCCESS`` marker);
-    at production scale this is the ingest-time layout, not a per-query
+    Idempotent per sf_dir, keyed by a CONTENT fingerprint of the source
+    ``events.parquet`` (size+mtime marker, not just the directory name —
+    a regenerated fixture under the same path must rebuild the cache,
+    not silently serve stale facts against a fresh oracle); at
+    production scale this is the ingest-time layout, not a per-query
     rewrite. Returns (fact_path, dim_path)."""
     from spark_ml_showcase_spark.sources.catalog import Catalog
 
     key = os.path.basename(os.path.normpath(sf_dir))
     fact_path = os.path.join(base_dir, key, "events_by_day")
     dim_path = os.path.join(base_dir, key, "calendar")
-    if not (
+    fp_path = os.path.join(base_dir, key, "_SOURCE_FP")
+    fp = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    cached = (
         os.path.exists(os.path.join(fact_path, "_SUCCESS"))
         and os.path.exists(os.path.join(dim_path, "_SUCCESS"))
-    ):
+        and os.path.exists(fp_path)
+        and open(fp_path).read() == fp
+    )
+    if not cached:
         ev = Catalog(spark, sf_dir).events.withColumn("day", F.to_date("ts"))
         write_parquet(ev, fact_path, partition_by=["day"])
         # ISO day-of-week (1=Mon..7=Sun) from Spark's dayofweek (1=Sun..7=Sat)
@@ -142,6 +167,8 @@ def materialize_events_by_day(
             "dow_iso", ((F.dayofweek("day") + 5) % 7 + 1).cast("int")
         )
         write_parquet(cal, dim_path)
+        with open(fp_path, "w") as f:
+            f.write(fp)
     return fact_path, dim_path
 
 
