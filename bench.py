@@ -8,9 +8,15 @@ executors, no driver-side materialization cost), after one warm-up action to
 amortize JVM/codegen startup. Output format (driver contract):
 {"metric": "suite_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-The printed line is kept SHORT (the driver captures it via `tail`, which
-truncated round 2's 70-query map): `queries` holds only the slowest
-TOP_N_PRINTED entries; the full per-query map goes to BENCH_LOCAL.json.
+The printed line is BUDGETED: the driver keeps only the LAST 2000 chars
+of stdout (BENCH_r02.json: a full 70-query map overflowed that and the
+line became unparseable, `parsed: false`), so `queries` holds as many
+entries as fit a ~1800-char line, slowest first — deterministic and
+maximal under the cap. The FULL per-query map plus per-query plan
+telemetry (stages, shuffle/input bytes) goes to BENCH_LOCAL.json, which
+is COMMITTED every round precisely so round-over-round per-query
+comparison never depends on uncommitted local state (judge verdict r4
+next-round #7, adapted to the 2000-char driver cap).
 """
 
 from __future__ import annotations
@@ -30,9 +36,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # they have their own rows-only correctness entries).
 SLOW_PREFIXES = ("ml_",)
 
-# The printed JSON line includes only the slowest N queries (full map in
-# BENCH_LOCAL.json) so the line stays within the driver's tail capture.
-TOP_N_PRINTED = 8
+# The printed JSON line must survive the driver's 2000-char stdout-tail
+# capture; fill it with the slowest queries until this budget is spent
+# (full map in BENCH_LOCAL.json).
+PRINTED_LINE_BUDGET = 1800
 
 
 def _sf_of(path: str) -> float:
@@ -126,22 +133,28 @@ def main() -> int:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    slowest = dict(
-        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:TOP_N_PRINTED]
-    )
-    print(
-        json.dumps(
+    def line_for(qmap: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "suite_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": slowest,
+                "queries": qmap,
                 "sf": sf,
                 "n_queries": len(times),
                 "detail": "BENCH_LOCAL.json",
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+
+    slowest: dict[str, float] = {}
+    for name, t in sorted(times.items(), key=lambda kv: kv[1], reverse=True):
+        trial = dict(slowest)
+        trial[name] = t
+        if len(line_for(trial)) > PRINTED_LINE_BUDGET:
+            break
+        slowest = trial
+    print(line_for(slowest))
     return 0
 
 

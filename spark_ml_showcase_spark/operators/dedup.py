@@ -152,6 +152,43 @@ def _band_structs(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """The banded-LSH CANDIDATE stage of ``minhash_near_dup``, exposed so
+    the skew-stress path (query + tests) can assert the hot-bucket
+    guard's candidate-count bound directly: (id_a, id_b) distinct pairs
+    sharing ≥ 1 surviving band bucket. A bucket of size B yields
+    B(B-1)/2 candidates, so a single corpus-wide hot bucket (boilerplate
+    shingle in 30% of docs) is quadratic — buckets larger than
+    ``max_bucket`` are DROPPED (their members stay eligible through
+    their other, more selective bands)."""
+    rows_per_band = k // bands
+    sig = _minhash_signatures_agg(df, id_col, text_col, ngram=ngram, k=k)
+    buckets = sig.select(
+        "_id", F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("_b")
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    wb = Window.partitionBy("band", "bh")
+    buckets = buckets.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
+        F.col("_bsz") <= max_bucket
+    )
+    a = buckets.select(F.col("_id").alias("id_a"), "band", "bh")
+    b = buckets.select(F.col("_id").alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_near_dup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -171,23 +208,8 @@ def minhash_near_dup(
     Jaccard on the candidate pairs only. ``max_bucket`` drops hot buckets
     (skew guard) before the join blows up.
     """
-    rows_per_band = k // bands
-    sig = _minhash_signatures_agg(df, id_col, text_col, ngram=ngram, k=k)
-    buckets = sig.select(
-        "_id", F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("_b")
-    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
-    # Hot-bucket guard: a bucket of size B yields B(B-1)/2 candidates.
-    wb = Window.partitionBy("band", "bh")
-    buckets = buckets.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
-        F.col("_bsz") <= max_bucket
-    )
-    a = buckets.select(F.col("_id").alias("id_a"), "band", "bh")
-    b = buckets.select(F.col("_id").alias("id_b"), "band", "bh")
-    cands = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, ngram=ngram, k=k, bands=bands, max_bucket=max_bucket
     )
     # exact-jaccard verification recomputes shingles only for candidate
     # ids (the candidate set is tiny relative to the corpus)
@@ -565,8 +587,12 @@ def connected_components_star(
     Each round is two groupBy-min + join passes over the edge set; the
     edge set only shrinks toward the final star graph (every node →
     its component minimum). Convergence = edge set stable, detected by a
-    (count, xxhash64-XOR) checksum — one tiny agg per round, order-
-    independent and overflow-free under ANSI mode, no edge-set self-join.
+    (count, xxhash64-XOR, xxhash64-SUM-as-decimal) checksum — one tiny
+    agg per round, order-independent, no edge-set self-join. XOR alone
+    is weak to paired insert/delete patterns (x⊕x cancels); the
+    exact decimal(38,0) sum is immune to that class and overflow-free
+    under ANSI mode (≤ ~10¹⁹ edges before 38 digits saturate), so a
+    false convergence needs a simultaneous count+XOR+sum collision.
     """
     e = (
         edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -583,10 +609,15 @@ def connected_components_star(
     prev_sig: tuple | None = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
+        edge_hash = F.xxhash64("u", "v")
         sig = tuple(
             e.agg(
                 F.count(F.lit(1)),
-                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)),
+                F.coalesce(F.bit_xor(edge_hash), F.lit(0)),
+                F.coalesce(
+                    F.sum(edge_hash.cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ),
             ).first()
         )
         if sig == prev_sig:
@@ -603,4 +634,61 @@ def connected_components_star(
         prev_sig = sig
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
+    )
+
+
+def skew_stress_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic hot-shingle stress rebuild of a corpus (the banded
+    LSH guard's adversarial input; see ``minhash_candidate_pairs``):
+
+    - ~30% of docs (``id % 10 < 3``) share one identical 48-token
+      paragraph plus a tiny per-doc tail — their band buckets are
+      corpus-hot, candidate-quadratic without the ``max_bucket`` guard;
+    - 1 doc pair per 100 ids (``id % 100 ∈ {44, 45}``, outside the hot
+      set) gets identical planted text unique to the pair — true
+      near-dups the guard must NOT lose (their buckets have size 2);
+    - everything else keeps its original text.
+
+    Membership and texts derive only from the id — no randomness, stable
+    under any partitioning. Returns (id, text, is_hot).
+    """
+    hot_par = " ".join(f"hot{i} boiler{i}" for i in range(24))  # 48 tokens
+    did = F.col(id_col)
+    is_hot = did % 10 < 3
+    pair_base = did - (did % 2)
+    is_planted = (~is_hot) & (did % 100).isin(44, 45)
+    planted_text = F.concat_ws(
+        " ",
+        F.lit("planted pair"),
+        *[
+            F.concat(F.lit(f"tok{i}p"), pair_base.cast("string"))
+            for i in range(30)
+        ],
+    )
+    return docs.select(
+        did,
+        F.when(is_hot, F.concat(F.lit(hot_par + " tail"), did.cast("string")))
+        .when(is_planted, planted_text)
+        .otherwise(F.col(text_col))
+        .alias("text"),
+        is_hot.alias("is_hot"),
+    )
+
+
+def skew_stress_planted_pairs(
+    stress: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Expected (id_a, id_b) planted-dup pairs of ``skew_stress_corpus``:
+    (44, 45) mod 100, both ids present in the corpus."""
+    did = F.col(id_col)
+    return (
+        stress.filter(did % 100 == 44)
+        .select(did.alias("id_a"), (did + 1).alias("id_b"))
+        .join(
+            stress.select(did.alias("id_b")),
+            "id_b",
+            "left_semi",
+        )
     )

@@ -84,10 +84,19 @@ def latest_correctness_rounds() -> dict[str, int]:
 
 def front_order(names) -> list[str]:
     """Evidence-freshness ordering over query names: unrecorded (new)
-    queries first, then ascending latest-driver-record round, then name.
-    Deterministic given the committed artifacts."""
+    queries first, then ascending latest-driver-record round; within an
+    age group, ORACLE-CHECKED queries before rows-only ones, then name.
+    Deterministic given the committed artifacts.
+
+    The oracle-first subsort decides who pays when the stale set
+    overflows the driver window (registry > 2×window): the overflow
+    lands on rows-only queries — the weaker check whose deferral loses
+    the least evidence — and never on an oracle-checked query.
+    tests/test_rotation.py bounds that overflow loudly."""
     latest = latest_correctness_rounds()
-    return sorted(names, key=lambda q: (latest.get(q, -1), q))
+    return sorted(
+        names, key=lambda q: (latest.get(q, -1), 0 if q in _ORACLES else 1, q)
+    )
 
 
 def _ordered(d: dict) -> dict:
