@@ -12,35 +12,69 @@ docs), so the span unit is a word n-gram shingle; on a corpus with
 newlines the same operators apply verbatim to line hashes.
 
 Scale posture (mirrors ``decontaminate.py``): per-doc shingles are
-DISTINCT (``text.shingles`` wraps array_distinct), so counting rows per
-shingle counts distinct documents with no count-distinct pass. Shingles
-are hashed to ``xxhash64`` longs BEFORE the exchange — only (id, long)
-rows shuffle, never text. The boilerplate set (grams in ≥ min_docs
-docs) is a hard-agg output orders of magnitude smaller than the corpus;
-the per-doc scoring join is a long-key equi-join against it (broadcast
-when small, shuffle-join otherwise — Catalyst/AQE decides from its
-actual size). 64-bit collision caveat: two distinct grams colliding
-merges their doc-counts (P ≈ G²/2⁶⁴ for G distinct grams corpus-wide) —
-negligible against min_docs thresholds ≥ 2.
+DISTINCT (set-built inside the gram UDF), so counting rows per shingle
+counts distinct documents with no count-distinct pass. Grams are hashed
+to 64-bit longs INSIDE the scan stage (Arrow-batched UDF — measured
+choice, see ``_gram_hashes_fn``) — only (id, long) rows shuffle, never
+text. The boilerplate set (grams in ≥ min_docs docs) is a hash-agg
+output orders of magnitude smaller than the corpus; the per-doc scoring
+join is a long-key equi-join against it (broadcast when small,
+shuffle-join otherwise — Catalyst/AQE decides from its actual size;
+gram rows are re-derived per branch, the decontaminate two-pass shape).
+64-bit collision caveat: two distinct grams colliding merges their
+doc-counts (P ≈ G²/2⁶⁴ for G distinct grams corpus-wide) — negligible
+against min_docs thresholds ≥ 2.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_ml_showcase_spark.functions import text as TX
+
+def _gram_hashes_fn(n: int):
+    """Arrow-batched text → array of DISTINCT n-gram hashes (int64 via
+    blake2b-8). The JVM alternative (``text.shingles`` = HOF transform
+    over a token-index sequence + xxhash64) is interpreted per element
+    and measured 5-10× slower on per-gram work (see
+    ``operators/quality.py`` docstring for the family-wide numbers);
+    the hash only needs to be engine-internal — the DuckDB oracle
+    compares COUNTS derived from gram strings, never hash values."""
+    from hashlib import blake2b
+
+    def fn(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            out.append(
+                [
+                    int.from_bytes(
+                        blake2b(g.encode(), digest_size=8).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for g in grams
+                ]
+            )
+        return pd.Series(out)
+
+    return fn
 
 
 def _doc_gram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(id, gh): one row per DISTINCT n-gram per document, gram hashed
-    to a fixed-width long before any exchange."""
+    to a fixed-width long inside the scan stage (Arrow batch; only
+    (id, long) rows ever leave it)."""
+    udf = F.pandas_udf(_gram_hashes_fn(n), "array<bigint>")
     return df.select(
-        F.col(id_col),
-        F.explode(TX.shingles(text_col, n)).alias("_g"),
-    ).select(id_col, F.xxhash64("_g").alias("gh"))
+        F.col(id_col), F.explode(udf(F.col(text_col))).alias("gh")
+    )
 
 
 def boilerplate_ngrams(
@@ -78,12 +112,12 @@ def boilerplate_fraction(
     judge and produce no row.
 
     Plan shape: the (id, gh) projection feeds BOTH the boilerplate-set
-    aggregation and the scoring side of the join, and both exchanges
-    hash-partition on ``gh`` over the identical subtree, so Spark's
-    ReuseExchange computes the gram pass once. A left join against the
-    (unique-keyed) boilerplate set then ONE per-doc aggregation counts
-    total and flagged spans together — no separate totals branch, no
-    third gram pass.
+    aggregation and the scoring side of the join (two gram passes — the
+    broadcast join leaves the probe side exchange-free, so ReuseExchange
+    cannot collapse them; the pass itself is a cheap Arrow-batched
+    projection). A left join against the (unique-keyed) boilerplate set
+    then ONE per-doc aggregation counts total and flagged spans together
+    — no separate totals branch, no third gram pass.
     """
     grams = _doc_gram_hashes(df, id_col, text_col, n)
     boiler = boilerplate_ngrams(df, id_col, text_col, n=n, min_docs=min_docs)

@@ -199,6 +199,7 @@ def minhash_near_dup(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """X2: near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold)
     via banded MinHash LSH. Returns (id_a, id_b, jaccard).
@@ -206,10 +207,17 @@ def minhash_near_dup(
     Plan shape: shingle+signature projection (narrow) → explode bands →
     self-equi-join on (band, bh) → distinct pair ids → verify exact
     Jaccard on the candidate pairs only. ``max_bucket`` drops hot buckets
-    (skew guard) before the join blows up.
+    (skew guard) before the join blows up. Pass ``candidates`` (an
+    already-materialized ``minhash_candidate_pairs`` result) to skip the
+    signature pass when the caller needs both the candidate set and the
+    verified pairs — otherwise it would be computed twice.
     """
-    cands = minhash_candidate_pairs(
-        df, id_col, text_col, ngram=ngram, k=k, bands=bands, max_bucket=max_bucket
+    cands = (
+        candidates
+        if candidates is not None
+        else minhash_candidate_pairs(
+            df, id_col, text_col, ngram=ngram, k=k, bands=bands, max_bucket=max_bucket
+        )
     )
     # exact-jaccard verification recomputes shingles only for candidate
     # ids (the candidate set is tiny relative to the corpus)

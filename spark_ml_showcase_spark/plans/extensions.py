@@ -859,7 +859,9 @@ def minhash_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     stress = dedup.skew_stress_corpus(docs)
     cands = dedup.minhash_candidate_pairs(stress, max_bucket=20).localCheckpoint()
     hot_ids = stress.filter("is_hot").select(F.col("doc_id").alias("id_a"))
-    pairs = dedup.minhash_near_dup(stress, max_bucket=20, threshold=0.5)
+    pairs = dedup.minhash_near_dup(
+        stress, max_bucket=20, threshold=0.5, candidates=cands
+    )
     planted = dedup.skew_stress_planted_pairs(stress)
     planted_found = pairs.join(planted, ["id_a", "id_b"], "left_semi")
 
