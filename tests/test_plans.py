@@ -116,3 +116,38 @@ def test_domain_mix_sample_is_narrow_filter(spark):
     # only the two output columns are read
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read and "n_chars" not in read
+
+
+def test_boilerplate_no_text_crosses_exchange(spark):
+    """X10 scale claim: gram hashing happens inside the scan stage — the
+    shuffles carry (id, long) and counts, never gram/text strings."""
+    qs = entry.queries()
+    df = qs["boilerplate_ngram_report"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    for chunk in plan.split("Exchange")[1:]:
+        header = chunk.splitlines()[0]
+        assert "text" not in header and "_g" not in header, header
+    # Python stays in the scan stage: exactly the gram-array evaluator,
+    # nothing Python downstream of an exchange
+    assert plan.count("ArrowEvalPython") == 2  # one per gram pass
+
+
+def test_bigram_lm_broadcasts_vocab_scalar(spark):
+    """X11: the 1-row vocab-size side is broadcast, never shuffled, and
+    nothing in the plan is a cartesian product over instance rows."""
+    qs = entry.queries()
+    plan = _plan(qs["bigram_lm_scores"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # vocab scalar
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_zero_exchange_scan_to_project(spark):
+    """X7 after the round-5 rewrite: per-doc metrics need NO shuffle —
+    the only exchange tolerated is none at all (pure scan → Arrow UDF →
+    project plan)."""
+    qs = entry.queries()
+    plan = _plan(qs["gopher_repetition_flags"](spark, SF))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert "Exchange hashpartitioning" not in body
+    assert "ArrowEvalPython" in body
