@@ -8,6 +8,7 @@ scan. Each returns a Column so callers compose them into one Project.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -221,3 +222,30 @@ def ngram_list(col: str | Column, n: int = 2) -> Column:
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) — the MinHash/Jaccard input."""
     return F.array_distinct(ngram_list(col, n))
+
+
+def shingle_array_udf(n: int = 3):
+    """Arrow-batched twin of :func:`shingles`: text → DISTINCT word
+    n-gram array (lowercased whitespace tokens, space-joined — byte-for-
+    byte the same gram strings, so ``xxhash64(gram)`` keys and MinHash/
+    SimHash signatures are IDENTICAL to the column-expression form; only
+    the array's element order differs, which every consumer is
+    insensitive to: min/sum aggregates, set intersection).
+
+    Exists because the column form's per-index ``transform(sequence,
+    slice+concat_ws)`` runs in Spark's interpreted lambda evaluator
+    (~10 µs/element; building sf0.1's gram arrays alone costs seconds —
+    measurements in ``operators/quality.py``), while this is a tight
+    Python loop over Arrow batches. Use the column form inside pure-SQL
+    oracle twins; use this on the hot engine paths."""
+
+    def fn(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            out.append(
+                list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "array<string>")

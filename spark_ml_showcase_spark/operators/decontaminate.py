@@ -51,12 +51,17 @@ def ngram_decontaminate(
     clean.
     """
     bench_col = bench_text_col or text_col
+    # Arrow-batched gram arrays (same strings as TX.shingles → same
+    # xxhash64 keys); the HOF column form is measured 5-10× slower on
+    # per-gram work (operators/quality.py docstring)
     doc_sh = docs.select(
         F.col(id_col),
-        F.explode(TX.shingles(text_col, n)).alias("_sh"),
+        F.explode(TX.shingle_array_udf(n)(F.col(text_col))).alias("_sh"),
     ).select(id_col, F.xxhash64("_sh").alias("_h"))
     bench_sh = (
-        benchmark.select(F.explode(TX.shingles(bench_col, n)).alias("_sh"))
+        benchmark.select(
+            F.explode(TX.shingle_array_udf(n)(F.col(bench_col))).alias("_sh")
+        )
         .select(F.xxhash64("_sh").alias("_h"))
         .distinct()
     )

@@ -116,7 +116,11 @@ def _minhash_signatures_agg(
     # AQE coalesces — the repartition is still harmless (narrow input).
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    ex = src.select("_id", F.explode(T.shingles("_t", ngram)).alias("_s"))
+    # Arrow-batched gram arrays — same strings as T.shingles, so the
+    # xxhash64-derived signature values are unchanged (see text module)
+    ex = src.select(
+        "_id", F.explode(T.shingle_array_udf(ngram)("_t")).alias("_s")
+    )
     hashed = ex.select(
         "_id", F.pmod(F.xxhash64("_s"), F.lit(_MH_PRIME)).alias("_h")
     )
@@ -224,7 +228,7 @@ def minhash_near_dup(
     sh = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select("_id", T.shingles("_t", ngram).alias("_sh"))
+        .select("_id", T.shingle_array_udf(ngram)("_t").alias("_sh"))
     )
     verified = (
         cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
@@ -340,7 +344,7 @@ def _simhash_agg(
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
     ex = src.select(
-        "_id", F.explode(T.shingles("_t", ngram)).alias("_s")
+        "_id", F.explode(T.shingle_array_udf(ngram)("_t")).alias("_s")
     ).select("_id", F.xxhash64("_s").alias("_th"))
     votes = ex.groupBy("_id").agg(
         *[
