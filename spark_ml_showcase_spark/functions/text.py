@@ -8,9 +8,25 @@ scan. Each returns a Column so callers compose them into one Project.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Python-side tokenizer matching the ENGINE's whitespace contract
+# exactly: Java regex \s (F.split(r"\s+")) and DuckDB/RE2 \s are
+# ASCII-only, while Python's str.split() also splits on Unicode
+# whitespace (U+00A0 and friends) — a silent oracle divergence on
+# non-ASCII corpora. Every Arrow-batched text UDF must tokenize with
+# THIS, never bare .split().
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Lowercased ASCII-whitespace tokens, empties filtered — the
+    Python twin of ``_tokens(F.lower(col))``."""
+    return [t for t in _ASCII_WS.split((text or "").lower()) if t]
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately ASCII-only and deterministic.
@@ -242,7 +258,7 @@ def shingle_array_udf(n: int = 3):
     def fn(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").lower().split()
+            toks = py_tokens(t)
             out.append(
                 list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
             )

@@ -43,10 +43,12 @@ def _gram_hashes_fn(n: int):
     compares COUNTS derived from gram strings, never hash values."""
     from hashlib import blake2b
 
+    from spark_ml_showcase_spark.functions.text import py_tokens
+
     def fn(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").lower().split()
+            toks = py_tokens(t)
             grams = {
                 " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
             }

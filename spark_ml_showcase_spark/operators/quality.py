@@ -41,14 +41,17 @@ from pyspark.sql.functions import pandas_udf
 def _gram_stats_fn(texts: pd.Series) -> pd.DataFrame:
     """Per-document gram statistics over lowercased whitespace tokens:
     (n_unigrams, max unigram count, total token chars, n_bigrams, max
-    bigram count). str.split() splits on whitespace runs and trims —
-    the same tokenization as ``functions.text._tokens`` (split \\s+,
-    empties filtered) and the DuckDB oracle's string_split_regex."""
+    bigram count). Tokenization is ``text.py_tokens`` — the ASCII-\\s+
+    twin of ``functions.text._tokens`` and the DuckDB oracle's
+    string_split_regex (bare str.split() would also split on Unicode
+    whitespace and silently diverge)."""
     from collections import Counter
+
+    from spark_ml_showcase_spark.functions.text import py_tokens
 
     nu, mu, chars, nb, mb = [], [], [], [], []
     for t in texts:
-        toks = (t or "").lower().split()
+        toks = py_tokens(t)
         cu = Counter(toks)
         nu.append(len(toks))
         mu.append(max(cu.values()) if cu else 0)

@@ -53,3 +53,32 @@ def test_json_get_missing_key_null(spark):
     ).collect()
     assert rows[0].k == "5" and rows[0].s == "hi"
     assert rows[1].k is None and rows[2].k is None
+
+
+def test_shingle_udf_matches_column_form_including_unicode_ws(spark):
+    """text.shingle_array_udf must emit the SAME gram sets as the
+    T.shingles column form — including on U+00A0, which Java/DuckDB \\s+
+    does NOT split (bare Python str.split() would, silently diverging)."""
+    from spark_ml_showcase_spark.functions import text as T
+
+    rows = [
+        (0, "a b  c\td e f"),
+        (1, "x\u00a0y z w q"),  # NBSP glued token
+        (2, "one two"),  # shorter than n → empty
+        (3, ""),
+        (4, None),
+        (5, "  lead and trail  "),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    col_form = {
+        r.id: set(r.s or [])
+        for r in df.select("id", T.shingles("text", 3).alias("s")).collect()
+    }
+    udf_form = {
+        r.id: set(r.s or [])
+        for r in df.select(
+            "id", T.shingle_array_udf(3)(df.text).alias("s")
+        ).collect()
+    }
+    assert col_form == udf_form
+    assert col_form[1] == {"x\u00a0y z w", "z w q"}
