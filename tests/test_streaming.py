@@ -144,3 +144,34 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     deduped = se.dedup_within_watermark(stream, ["user_id"], watermark="1 day")
     out = se.run_to_memory(deduped, spark, output_mode="append")
     assert out.count() == 4
+
+
+def test_stream_events_adapts_to_us_ntz_fixture(spark, tmp_path):
+    """Round-5 fixture generation ships events.ts as naive timestamp[us]
+    (TIMESTAMP_NTZ to Spark). The file stream takes a DECLARED schema, so
+    a wrong declaration silently misreads (us-as-ns collapses every
+    timestamp into 1970); the footer sniff must pick the NTZ schema and
+    normalize ts to the same instants the long-ns path produces."""
+    import datetime as dt
+
+    d = os.path.join(str(tmp_path), "ev_us")
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(hours=i), i % 3, "click", 1.0, "{}")
+            for i in range(6)
+        ],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.parquet(d)
+    assert not se._ts_needs_long_read(d)
+    stream = se.stream_events(spark, d)
+    out = se.run_to_memory(
+        se.tumbling_counts(stream, watermark=None), spark, output_mode="complete"
+    )
+    got = {(r.window_start, r.n) for r in out.collect()}
+    # one event per hourly window, at the declared wall-clock hours
+    assert len(got) == 6 and all(n == 1 for _, n in got)
+    starts = sorted(ws for ws, _ in got)
+    assert starts[0].hour == 12 and starts[-1].hour == 17
