@@ -31,28 +31,44 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _LN2 = math.log(2.0)
 
 
+def _bigram_array_udf():
+    """Arrow-batched text → bigram-string array ("w1 w2", multiplicity
+    KEPT — the LM needs frequencies). Same measured rationale as
+    ``text.shingle_array_udf``: the zip_with/slice HOF form runs in the
+    interpreted lambda evaluator. Tokenization is ``text.py_tokens``
+    (the engine's ASCII-\\s+ contract)."""
+    from spark_ml_showcase_spark.functions.text import py_tokens
+
+    def fn(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = py_tokens(t)
+            out.append(
+                [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "array<string>")
+
+
 def _bigram_instances(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, bh, w1h): one row per bigram OCCURRENCE (multiplicity kept —
-    the LM needs frequencies), hashed to longs inside the scan stage.
-    Tokens are lowercased whitespace words, empties filtered."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    pairs = F.zip_with(
-        toks,
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    # zip_with pads the shorter (shifted) side with null w2 — drop it
-    pairs = F.filter(pairs, lambda p: p["w2"].isNotNull())
-    return df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+    """(id, bh, w1h): one row per bigram OCCURRENCE, hashed to longs
+    inside the scan stage. ``bh`` keys the bigram string ("w1 w2" —
+    tokens never contain spaces, so the encoding is injective); ``w1h``
+    hashes the first token, matching the unigram-count key domain."""
+    return df.select(
+        F.col(id_col), F.explode(_bigram_array_udf()(F.col(text_col))).alias("_g")
+    ).select(
         id_col,
-        F.xxhash64("_p.w1", "_p.w2").alias("bh"),
-        F.xxhash64("_p.w1").alias("w1h"),
+        F.xxhash64("_g").alias("bh"),
+        F.xxhash64(F.substring_index("_g", " ", 1)).alias("w1h"),
     )
 
 
