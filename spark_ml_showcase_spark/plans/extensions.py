@@ -612,10 +612,24 @@ def clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     after_near = exact.join(losers, "doc_id", "left_anti").cache()
     cleaned = after_near.filter(
         (TX.quality_score("text") >= 0.5) & (TX.lang_id("text") == "en")
+    ).cache()
+    # round-5 stages: drop docs that are mostly cross-corpus boilerplate,
+    # then docs whose bigram-LM cross-entropy marks them corpus-atypical
+    boiler = boilerplate.boilerplate_fraction(cleaned, n=6, min_docs=2)
+    deboiler = cleaned.join(
+        boiler.filter(F.col("boiler_frac") > 0.5).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    ).cache()
+    lm = lm_score.bigram_lm_scores(deboiler)
+    fluent = deboiler.join(
+        lm.filter(F.col("avg_nll_bits") > 9.0).select("doc_id"),
+        "doc_id",
+        "left_anti",
     )
     # final stage: shard-ready overlapping chunks of the cleaned corpus
     chunks = chunking.assign_shards(
-        chunking.chunk_documents(cleaned, max_tokens=64, overlap=8), 16
+        chunking.chunk_documents(fluent, max_tokens=64, overlap=8), 16
     )
 
     def stage(name: str, df: DataFrame) -> DataFrame:
@@ -628,7 +642,9 @@ def clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("1_exact_dedup", exact))
         .unionByName(stage("2_near_dedup", after_near))
         .unionByName(stage("3_quality_lang", cleaned))
-        .unionByName(stage("4_chunks", chunks))
+        .unionByName(stage("4_boilerplate", deboiler))
+        .unionByName(stage("5_lm_fluency", fluent))
+        .unionByName(stage("6_chunks", chunks))
         .select("stage", "n_docs")
         .orderBy("stage")
     )
