@@ -223,10 +223,19 @@ def minhash_near_dup(
             df, id_col, text_col, ngram=ngram, k=k, bands=bands, max_bucket=max_bucket
         )
     )
-    # exact-jaccard verification recomputes shingles only for candidate
-    # ids (the candidate set is tiny relative to the corpus)
+    # exact-jaccard verification recomputes shingles ONLY for candidate
+    # ids: semi-join the corpus down to the candidate working set BEFORE
+    # the shingle pass (the candidate set is tiny relative to the
+    # corpus, so this skips the second full-corpus gram build; AQE
+    # broadcasts the id list when small)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_id"))
+        .union(cands.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
     sh = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .join(cand_ids, "_id", "left_semi")
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select("_id", T.shingle_array_udf(ngram)("_t").alias("_sh"))
     )
