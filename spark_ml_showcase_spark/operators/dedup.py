@@ -204,6 +204,7 @@ def minhash_near_dup(
     threshold: float = 0.5,
     max_bucket: int = 200,
     candidates: DataFrame | None = None,
+    verify_candidates_only: bool = False,
 ) -> DataFrame:
     """X2: near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold)
     via banded MinHash LSH. Returns (id_a, id_b, jaccard).
@@ -215,29 +216,37 @@ def minhash_near_dup(
     already-materialized ``minhash_candidate_pairs`` result) to skip the
     signature pass when the caller needs both the candidate set and the
     verified pairs — otherwise it would be computed twice.
+
+    ``verify_candidates_only``: when True, materialize the candidate set
+    (localCheckpoint) and semi-join the corpus down to candidate ids
+    BEFORE the verification shingle pass. That trades extra stage
+    barriers + one shuffle for skipping the second full-corpus gram
+    build — a LOSS at bench scale (the Arrow gram pass over 5k docs is
+    ~0.3 s; the barriers cost ~2 s) but the right posture when the
+    corpus is large enough that a second full scan+gram pass dominates
+    (at 100 TB the candidate working set is orders of magnitude smaller
+    than the corpus). Measured both ways; default favors the lazy
+    single-pipeline form.
     """
-    cands = (
-        candidates
-        if candidates is not None
-        else minhash_candidate_pairs(
+    cands = candidates
+    if cands is None:
+        cands = minhash_candidate_pairs(
             df, id_col, text_col, ngram=ngram, k=k, bands=bands, max_bucket=max_bucket
         )
-    )
-    # exact-jaccard verification recomputes shingles ONLY for candidate
-    # ids: semi-join the corpus down to the candidate working set BEFORE
-    # the shingle pass (the candidate set is tiny relative to the
-    # corpus, so this skips the second full-corpus gram build; AQE
-    # broadcasts the id list when small)
-    cand_ids = (
-        cands.select(F.col("id_a").alias("_id"))
-        .union(cands.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    sh = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-        .join(cand_ids, "_id", "left_semi")
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select("_id", T.shingle_array_udf(ngram)("_t").alias("_sh"))
+        if verify_candidates_only:
+            # referenced twice below (pair join + id semi-join): left
+            # lazy the signature pipeline would run once per reference
+            cands = cands.localCheckpoint()
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    if verify_candidates_only:
+        cand_ids = (
+            cands.select(F.col("id_a").alias("_id"))
+            .union(cands.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        src = src.join(cand_ids, "_id", "left_semi")
+    sh = src.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        "_id", T.shingle_array_udf(ngram)("_t").alias("_sh")
     )
     verified = (
         cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
