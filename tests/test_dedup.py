@@ -322,3 +322,21 @@ def test_skew_stress_guard_bounds_candidates_and_keeps_planted(spark):
         ).collect()
     }
     assert planted <= found, f"planted dups lost: {planted - found}"
+
+
+def test_minhash_verify_candidates_only_parity(spark):
+    """The scale-posture knob (semi-join the corpus to candidate ids
+    before verification) must return exactly the pairs of the default
+    lazy path — it changes the plan, never the answer."""
+    stress = dedup.skew_stress_corpus(_wordsoup_docs(spark, 120))
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_near_dup(stress, max_bucket=20).collect()
+    }
+    scoped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_near_dup(
+            stress, max_bucket=20, verify_candidates_only=True
+        ).collect()
+    }
+    assert base == scoped and base  # non-empty: planted pairs exist
