@@ -141,3 +141,67 @@ def test_connected_components_matches_union_find(spark, edge_list):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in parent}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=2, max_size=15))
+def test_bigram_lm_matches_python_reference(spark, strings):
+    """bigram_lm_scores == the brute-force Python LM on arbitrary
+    corpora: same smoothing, same tokenization, 6-decimal equality."""
+    import math
+    from collections import Counter
+
+    from spark_ml_showcase_spark.functions.text import py_tokens
+    from spark_ml_showcase_spark.operators import lm_score
+
+    texts = {i: s for i, s in enumerate(strings)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll_bits)
+        for r in lm_score.bigram_lm_scores(df, k=0.5).collect()
+    }
+    toks = {d: py_tokens(t) for d, t in texts.items()}
+    uc = Counter(w for ws in toks.values() for w in ws)
+    bc = Counter(
+        (ws[i], ws[i + 1]) for ws in toks.values() for i in range(len(ws) - 1)
+    )
+    v = len(uc)
+    want = {}
+    for d, ws in toks.items():
+        bis = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        if not bis:
+            continue
+        s = sum(math.log((bc[b] + 0.5) / (uc[b[0]] + 0.5 * v)) for b in bis)
+        want[d] = (len(bis), round(-s / (len(bis) * math.log(2)), 6))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=15), st.integers(2, 4))
+def test_boilerplate_fraction_matches_python_reference(spark, strings, min_docs):
+    """boilerplate_fraction == brute-force Python span counting (3-gram
+    spans, min_docs threshold) on arbitrary corpora."""
+    from collections import Counter
+
+    from spark_ml_showcase_spark.functions.text import py_tokens
+    from spark_ml_showcase_spark.operators import boilerplate
+
+    texts = {i: s for i, s in enumerate(strings)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_boiler_spans)
+        for r in boilerplate.boilerplate_fraction(
+            df, n=3, min_docs=min_docs
+        ).collect()
+    }
+    spans = {
+        d: {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        for d, ws in ((d, py_tokens(t)) for d, t in texts.items())
+    }
+    docfreq = Counter(g for gs in spans.values() for g in gs)
+    want = {
+        d: (len(gs), sum(1 for g in gs if docfreq[g] >= min_docs))
+        for d, gs in spans.items()
+        if gs
+    }
+    assert got == want
