@@ -89,6 +89,21 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
+def _stream_session(spark: SparkSession, shuffle_partitions: int = 8) -> SparkSession:
+    """Isolated session for one finite stream run. Streaming state
+    shuffles on ``spark.sql.shuffle.partitions`` as of CHECKPOINT
+    creation — on the driver's plain session that default is 200, i.e.
+    200 state-store instances per stateful operator for a small test
+    stream. ``newSession()`` shares the SparkContext but owns its conf,
+    so the stream gets a right-sized state layout without mutating (or
+    racing — micro-batches plan asynchronously) the caller's session."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    return s
+
+
 def stream_events(
     spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -96,9 +111,9 @@ def stream_events(
     session-UTC timestamp whichever physical type the fixture generation
     used (TIMESTAMP(NANOS) → read as long + div-1000 convert;
     timestamp[us] naive → read as timestamp_ntz + cast), exactly like
-    ``sources.catalog.Catalog``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ``sources.catalog.Catalog``. Runs on an isolated per-stream session
+    (``_stream_session``) with a bounded state-partition count."""
+    spark = _stream_session(spark)
     nanos = _ts_needs_long_read(path)
     reader = spark.readStream.schema(EVENTS_SCHEMA if nanos else EVENTS_SCHEMA_NTZ)
     if max_files_per_trigger is not None:
@@ -273,7 +288,9 @@ def run_to_parquet(
     finally:
         if q.isActive:
             q.stop()
-    return spark.read.parquet(data_dir)
+    # read back via the STREAM's session (the file sink is session-
+    # agnostic, but the stream may run on an isolated _stream_session)
+    return stream_df.sparkSession.read.parquet(data_dir)
 
 
 def run_to_memory(
@@ -309,4 +326,7 @@ def run_to_memory(
     finally:
         if q.isActive:
             q.stop()
-    return spark.table(name)
+    # memory-sink tables are SESSION-scoped: resolve through the
+    # stream's own session (an isolated _stream_session, not
+    # necessarily the `spark` the caller passed)
+    return stream_df.sparkSession.table(name)

@@ -71,11 +71,13 @@ def test_watermark_drops_late_event(spark, tmp_path):
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination(120)
+    # memory sink is session-scoped; the stream runs on an isolated
+    # _stream_session, so resolve the table through the stream's session
     # stream 2: append the late file and run a NEW availableNow pass with
     # the same checkpoint-free source → simpler: assert pass 1 emitted the
     # closed early windows only (watermark = base+4h − 1h = base+3h →
     # windows ending ≤ base+3h are final: hours 0,1,2)
-    emitted = {r.window_start for r in spark.table(name).collect()}
+    emitted = {r.window_start for r in agg.sparkSession.table(name).collect()}
     assert len(emitted) == 3
     _write_events(spark, tmp_path, late, subdir="wm1")
     q2 = (
@@ -87,7 +89,7 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # its target window (hour 0) still gets the late row here because a
     # fresh run sees files in one listing. The *operator semantics* to
     # assert: watermarked append never emits a window twice.
-    names = [r.window_start for r in spark.table(name + "2").collect()]
+    names = [r.window_start for r in agg.sparkSession.table(name + "2").collect()]
     assert len(names) == len(set(names))
 
 
