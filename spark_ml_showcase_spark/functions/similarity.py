@@ -325,3 +325,76 @@ def cosine_pandas_udf():
         return pd.Series(num / den)
 
     return _cos
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 40,
+    max_cluster: int = 2000,
+    unit_norm: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    KMeans-clustering the embedding space, then dropping every row whose
+    cosine to a LOWER-id row in the SAME cluster is ≥ threshold (min-id
+    representative per semantic neighborhood). Returns the survivors.
+
+    vs :func:`embedding_near_dup_reps` (hyperplane-LSH buckets): the
+    KMeans quantizer ADAPTS its cells to the data distribution, which is
+    the published SemDeDup recipe for pruning semantically-redundant
+    (not merely near-identical) training data; the LSH variant needs no
+    training pass and bounds bucket sizes obliviously. Both share the
+    no-cartesian candidate shape.
+
+    Scale posture: the quantizer fit is the only training pass (few
+    Lloyd rounds — a coarse quantizer doesn't need convergence; at
+    100 TB fit it on a sample and broadcast the centroids). Assignment
+    is one model.transform; candidate pairs come from an equi-join on
+    the cell id, so comparisons are Σ_cells |cell|² — choose
+    ``n_clusters`` ∝ N/√target and the ``max_cluster`` guard drops
+    degenerate cells from the pairwise step entirely (their rows
+    conservatively SURVIVE, mirroring the minhash hot-bucket guard).
+    Vectors ride only the verify join, never the cell shuffle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
+    feat = base.withColumn("_feat", array_to_vector("_v"))
+    km = KMeans(
+        k=n_clusters,
+        seed=seed,
+        maxIter=5,
+        featuresCol="_feat",
+        predictionCol="_cell",
+    )
+    model = km.fit(feat)
+    assigned = model.transform(feat).select("_id", "_cell")
+    hot = (
+        assigned.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_csz"))
+        .filter(F.col("_csz") > max_cluster)
+        .select("_cell")
+    )
+    cold = assigned.join(F.broadcast(hot), "_cell", "left_anti")
+    a = cold.select(F.col("_id").alias("id_a"), "_cell")
+    b = cold.select(F.col("_id").alias("id_b"), "_cell")
+    # one cell per row → a pair meets at most once; no distinct needed
+    cands = a.join(b, "_cell").filter(F.col("id_b") < F.col("id_a")).select(
+        "id_a", "id_b"
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    score = V.dot("_va", "_vb") if unit_norm else V.cosine("_va", "_vb")
+    dominated = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(score >= threshold)
+        .select(F.col("id_a").alias("_dead"))
+        .distinct()
+    )
+    return df.join(dominated, df[id_col] == dominated["_dead"], "left_anti")

@@ -169,3 +169,58 @@ def test_ivf_topk_finds_planted_twin(spark):
     top = [r.cand_id for r in out.orderBy("rank").collect()]
     # twin is near-identical → same KMeans cell → found at rank 1
     assert top and top[0] == 4
+
+
+def _semdedup_corpus(spark):
+    """40 8-dim unit vectors: ids (i, i+1) identical when i % 10 == 0 (4
+    planted duplicate pairs); everything else seeded-random — random
+    8-dim directions essentially never reach cosine 0.999. (A first cut
+    used harmonics of i·0.37 and accidentally planted near-dups at id
+    distance 17 ≈ 2π/0.37 — angles wrap.)"""
+    import math
+    import random
+
+    rows = []
+    for i in range(40):
+        base_id = i - 1 if (i % 10 == 1) else i
+        rng = random.Random(1000 + base_id)
+        v = [rng.gauss(0.0, 1.0) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semantic_dedup_drops_planted_keeps_min_id(spark):
+    from spark_ml_showcase_spark.functions import similarity as S
+
+    df = _semdedup_corpus(spark)
+    out = S.semantic_dedup(
+        df, n_clusters=8, threshold=0.999, seed=40, unit_norm=True
+    )
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    for i in (0, 10, 20, 30):
+        assert i in ids and (i + 1) not in ids, f"pair ({i},{i+1})"
+    # non-duplicates all survive
+    assert len(ids) == 36
+
+
+def test_semantic_dedup_deterministic_and_idempotent(spark):
+    from spark_ml_showcase_spark.functions import similarity as S
+
+    df = _semdedup_corpus(spark)
+    a = {r.vec_id for r in S.semantic_dedup(df, n_clusters=8, threshold=0.999).collect()}
+    b = {r.vec_id for r in S.semantic_dedup(df, n_clusters=8, threshold=0.999).collect()}
+    assert a == b
+    out = S.semantic_dedup(df, n_clusters=8, threshold=0.999)
+    again = {r.vec_id for r in S.semantic_dedup(out, n_clusters=8, threshold=0.999).collect()}
+    assert again == a
+
+
+def test_semantic_dedup_hot_cluster_guard_is_conservative(spark):
+    from spark_ml_showcase_spark.functions import similarity as S
+
+    df = _semdedup_corpus(spark)
+    # max_cluster=1: every non-singleton cell is "hot" → no pairwise step
+    # anywhere → everything conservatively survives
+    out = S.semantic_dedup(df, n_clusters=4, threshold=0.999, max_cluster=1)
+    assert out.count() == 40
