@@ -57,14 +57,30 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     verbose = "--verbose" in sys.argv
+    plain = "--plain" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
-    from spark_ml_showcase_spark.session import get_session
 
-    spark = get_session("check_oracle")
+    if plain:
+        # Mimic the DRIVER's session exactly: no engine configs, default
+        # 200 shuffle partitions — catches queries that silently depend
+        # on session.py's setup (the fixture-type incident of round 5
+        # only reproduced on a plain session at first).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.ui.enabled", "false")
+            .appName("check_oracle_plain")
+            .getOrCreate()
+        )
+    else:
+        from spark_ml_showcase_spark.session import get_session
+
+        spark = get_session("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
