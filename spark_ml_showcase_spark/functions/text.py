@@ -265,3 +265,47 @@ def shingle_array_udf(n: int = 3):
         return pd.Series(out)
 
     return F.pandas_udf(fn, "array<string>")
+
+
+def winnow_fingerprint_udf(k: int = 25, window: int = 8):
+    """Arrow-batched twin of :func:`winnow_fingerprints` for the hot
+    dedup path: numpy-vectorized rolling byte-k-gram hashes with
+    sliding-window-min selection (distinct survivors, array<bigint>).
+
+    Hash VALUES differ from the column form (polynomial-mod-2⁶⁴ over
+    utf-8 BYTES here vs xxhash64 over char substrings there — xxhash64
+    has no Python twin), but the winnowing guarantee is hash-agnostic:
+    equal substrings hash equally under any deterministic scheme, so any
+    shared substring of length ≥ window+k-1 still forces ≥ 1 shared
+    fingerprint. Use whichever side of the pair the consumer needs —
+    never MIX the two forms in one comparison.
+
+    Normalization matches the column form: ASCII-whitespace runs
+    collapse to one space, ends trimmed, lowercased. Docs shorter than
+    k+window-1 normalized chars yield an empty array.
+    """
+    import numpy as np
+
+    base = np.uint64(1099511628211)  # FNV-ish odd multiplier, wraps mod 2^64
+    powers = np.empty(k, dtype=np.uint64)
+    powers[k - 1] = np.uint64(1)
+    for i in range(k - 2, -1, -1):
+        powers[i] = powers[i + 1] * base
+
+    def fn(texts: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out = []
+        for t in texts:
+            norm = _ASCII_WS.sub(" ", (t or "").lower()).strip()
+            data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+            if len(data) < k + window - 1:
+                out.append([])
+                continue
+            grams = sliding_window_view(data, k).astype(np.uint64)
+            hashes = (grams * powers).sum(axis=1, dtype=np.uint64)
+            mins = sliding_window_view(hashes, window).min(axis=1)
+            out.append(np.unique(mins).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "array<bigint>")

@@ -446,9 +446,12 @@ def winnow_overlap_pairs(
     """
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # numpy-vectorized fingerprint twin (hash values differ from the
+    # T.winnow_fingerprints column form but the winnowing guarantee is
+    # hash-agnostic; both sides of the join use THIS udf)
     fps = src.select(
         "_id",
-        F.explode(T.winnow_fingerprints("_t", k=k, window=window)).alias("fp"),
+        F.explode(T.winnow_fingerprint_udf(k=k, window=window)("_t")).alias("fp"),
     )
     # Hot-fingerprint guard as agg + broadcast anti-join: the hot list
     # (fingerprints shared by > max_bucket docs — boilerplate) is tiny,
