@@ -1,0 +1,78 @@
+"""Round-over-round bench comparison on the DETERMINISTIC signal.
+
+Wall-times at sf0.1 are ±20-25% noisy with machine load, but a plan's
+shuffle bytes and stage count only change when the PLAN changes — so
+this diffs `plan_metrics` between two BENCH_LOCAL.json snapshots (e.g.
+the committed one vs a fresh run, or two git revisions via
+`git show <rev>:BENCH_LOCAL.json > /tmp/old.json`) and flags:
+
+- queries whose shuffle_write_mb grew > threshold (lost broadcast, new
+  exchange, combiner stopped firing),
+- stage-count jumps,
+- queries appearing/disappearing.
+
+Timing deltas are printed for context but never flagged on their own.
+
+Usage: python tools/bench_diff.py OLD.json [NEW.json] [--grow=1.5]
+(NEW defaults to the repo's BENCH_LOCAL.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    grow = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--grow="):
+            grow = float(a.split("=", 1)[1])
+    if not args:
+        print(__doc__)
+        return 2
+    old = json.load(open(args[0]))
+    new_path = args[1] if len(args) > 1 else os.path.join(REPO, "BENCH_LOCAL.json")
+    new = json.load(open(new_path))
+    om, nm = old.get("plan_metrics", {}), new.get("plan_metrics", {})
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+
+    flagged = 0
+    for name in sorted(set(om) | set(nm)):
+        if name not in nm:
+            print(f"GONE  {name} (was {oq.get(name)}s)")
+            flagged += 1
+            continue
+        if name not in om:
+            m = nm[name]
+            print(
+                f"NEW   {name}: {nq.get(name)}s, {m['n_stages']} stages, "
+                f"{m['shuffle_write_mb']} MB shuffled"
+            )
+            continue
+        o, n = om[name], nm[name]
+        osh, nsh = o["shuffle_write_mb"], n["shuffle_write_mb"]
+        msgs = []
+        if nsh > max(osh * grow, osh + 0.5):
+            msgs.append(f"shuffle {osh} -> {nsh} MB")
+        if n["n_stages"] > o["n_stages"] + 2:
+            msgs.append(f"stages {o['n_stages']} -> {n['n_stages']}")
+        if msgs:
+            flagged += 1
+            print(
+                f"FLAG  {name}: {'; '.join(msgs)} "
+                f"(time {oq.get(name)} -> {nq.get(name)}s)"
+            )
+    print(
+        f"\n{flagged} flagged; suite {old.get('value')}s ({old.get('n_queries')}q)"
+        f" -> {new.get('value')}s ({new.get('n_queries')}q)"
+    )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
