@@ -90,3 +90,45 @@ def test_orc_roundtrip(spark, tmp_path):
     pruned = io.read_orc(spark, out, "k", "v")
     assert pruned.columns == ["k", "v"]
     assert back.agg(F.sum("v")).first()[0] == sum(range(100))
+
+
+def test_catalog_events_ts_adapts_to_both_fixture_generations(spark, tmp_path):
+    """The fixture generator has shipped events.ts as TIMESTAMP(NANOS)
+    (read as raw long under nanosAsLong) and as naive timestamp[us]
+    (TIMESTAMP_NTZ). Catalog.table must normalize BOTH to the same
+    session-UTC instants — epoch seconds are what every oracle compares."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    base = dt.datetime(2024, 5, 1, 8, 30, 0)
+    instants = [base + dt.timedelta(hours=i) for i in range(4)]
+    cols = {
+        "event_id": pa.array(range(4), pa.int64()),
+        "user_id": pa.array([1, 2, 1, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "props": pa.array(["{}"] * 4),
+    }
+    want = {int(t.replace(tzinfo=dt.timezone.utc).timestamp()) for t in instants}
+
+    got = {}
+    for unit in ("us", "ns"):
+        d = os.path.join(str(tmp_path), f"gen_{unit}")
+        os.makedirs(d)
+        ts = pa.array(instants, pa.timestamp(unit))
+        table = pa.table({**cols, "ts": ts})
+        pq.write_table(table, os.path.join(d, "events.parquet"))
+        ev = Catalog(spark, d).events
+        assert str(ev.schema["ts"].dataType) == "TimestampType()"
+        got[unit] = {
+            r.s for r in ev.select(F.col("ts").cast("long").alias("s")).collect()
+        }
+        shutil.rmtree(d)
+    assert got["us"] == got["ns"] == want
