@@ -18,6 +18,7 @@ from spark_ml_showcase_spark.functions import similarity, text as TX
 from spark_ml_showcase_spark.operators import (
     boilerplate,
     chunking,
+    corpus_pipeline,
     decontaminate,
     dedup,
     lm_score,
@@ -602,68 +603,22 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 # property-tested individually).
 @query("clean_corpus_funnel")
 def clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard cleaning recipe through the composable pipeline API
+    (operators/corpus_pipeline.py): exact dedup → MinHash near-dedup →
+    quality/lang → cross-doc boilerplate → bigram-LM fluency → chunk and
+    shard. Materialization boundaries (cache/lineage-cut) are declared
+    per stage in the pipeline — see the module docstring for the
+    measured reasons. Rows-only: attrition counts are seed/hash-derived.
+    """
     docs = Catalog(spark, sf_dir).documents
-    exact = dedup.exact_dedup(docs, "text", "doc_id").cache()
-    near_pairs = dedup.minhash_near_dup(
-        exact, "doc_id", "text", ngram=3, k=32, bands=8, threshold=0.8
+    pipe = corpus_pipeline.standard_cleaning_pipeline().then(
+        "chunks",
+        lambda d: chunking.assign_shards(
+            chunking.chunk_documents(d, max_tokens=64, overlap=8), 16
+        ),
     )
-    # drop the HIGHER id of every near-dup pair (min-id representative)
-    losers = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    after_near = exact.join(losers, "doc_id", "left_anti").cache()
-    # ONE lineage cut here: every stage-count branch of the final union
-    # re-ANALYZES its full lineage even when data is cached, and the
-    # boilerplate/LM/chunk branches stack on top of the dedup tree — a
-    # fresh session spent most of a 60 s run in analysis/codegen at
-    # sf0.1. Checkpointing the (tiny) cleaned survivor set keeps the
-    # downstream branch plans small while the dedup chain itself stays
-    # lazy/cached.
-    cleaned = after_near.filter(
-        (TX.quality_score("text") >= 0.5) & (TX.lang_id("text") == "en")
-    ).localCheckpoint()
-    # round-5 stages: drop docs that are mostly cross-corpus boilerplate,
-    # then docs whose bigram-LM cross-entropy marks them corpus-atypical.
-    # Annotate ONCE and count with conditional filters — an anti-join
-    # chain would re-evaluate the boilerplate/LM subtrees for every
-    # downstream stage (measured 18 s vs ~4 s at sf0.1).
-    boiler = boilerplate.boilerplate_fraction(cleaned, n=6, min_docs=2)
-    deboiler = cleaned.join(
-        boiler.select("doc_id", "boiler_frac"), "doc_id", "left"
-    ).filter(
-        # no spans to judge (short doc) → keep
-        F.coalesce(F.col("boiler_frac") <= 0.5, F.lit(True))
-    )
-    lm = lm_score.bigram_lm_scores(deboiler)
-    annotated = (
-        deboiler.join(lm.select("doc_id", "avg_nll_bits"), "doc_id", "left")
-        .withColumn(
-            "_keep_lm",
-            # no bigrams (single-token doc) → keep
-            F.coalesce(F.col("avg_nll_bits") <= 9.0, F.lit(True)),
-        )
-        .cache()
-    )
-    fluent = annotated.filter("_keep_lm").select(*cleaned.columns)
-    # final stage: shard-ready overlapping chunks of the cleaned corpus
-    chunks = chunking.assign_shards(
-        chunking.chunk_documents(fluent, max_tokens=64, overlap=8), 16
-    )
-
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
-            "stage", F.lit(name)
-        )
-
-    return (
-        stage("0_input", docs)
-        .unionByName(stage("1_exact_dedup", exact))
-        .unionByName(stage("2_near_dedup", after_near))
-        .unionByName(stage("3_quality_lang", cleaned))
-        .unionByName(stage("4_boilerplate", annotated))
-        .unionByName(stage("5_lm_fluency", annotated.filter("_keep_lm")))
-        .unionByName(stage("6_chunks", chunks))
-        .select("stage", "n_docs")
-        .orderBy("stage")
-    )
+    _, report = pipe.run(docs)
+    return report
 
 
 # X6: benchmark decontamination — distinct 5-gram overlap between the

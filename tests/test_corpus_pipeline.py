@@ -1,0 +1,59 @@
+"""Composable corpus-pipeline API (operators/corpus_pipeline.py):
+stage ordering, attrition report shape, materialization flags, and the
+standard cleaning recipe end-to-end on a tiny corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.operators import corpus_pipeline as CP
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river delta"),
+        (3, "for general text the and of to in is that it with words making prose"),
+        (4, "!!! ??? ;;; ***"),  # punctuation junk → quality gate
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pipeline_report_counts_every_stage_in_order(spark):
+    df = _docs(spark)
+    pipe = (
+        CP.CorpusPipeline()
+        .then("keep_even", lambda d: d.filter(F.col("doc_id") % 2 == 0))
+        .then("keep_small", lambda d: d.filter(F.col("doc_id") < 4),
+              materialize="cache")
+    )
+    out, report = pipe.run(df)
+    rows = [(r.stage, r.n_docs) for r in report.collect()]
+    assert rows == [("0_input", 5), ("1_keep_even", 3), ("2_keep_small", 2)]
+    assert {r.doc_id for r in out.collect()} == {0, 2}
+
+
+def test_pipeline_rejects_unknown_materialize(spark):
+    pipe = CP.CorpusPipeline().then("x", lambda d: d, materialize="persist?")
+    with pytest.raises(ValueError, match="persist"):
+        pipe.run(_docs(spark))
+
+
+def test_standard_cleaning_pipeline_end_to_end(spark):
+    out, report = CP.standard_cleaning_pipeline().run(_docs(spark))
+    counts = {r.stage: r.n_docs for r in report.collect()}
+    assert counts["0_input"] == 5
+    assert counts["1_exact_dedup"] == 4  # doc 1 is an exact dup of 0
+    assert counts["2_near_dedup"] == 3  # doc 2 near-dups 0 at 0.8
+    assert counts["3_quality_lang"] == 2  # junk doc 4 fails quality
+    # conservative gates drop nothing further on this tiny clean corpus
+    assert counts["4_boilerplate"] == 2 and counts["5_lm_fluency"] == 2
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {0, 3}
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_pipeline_then_returns_self_for_chaining(spark):
+    p = CP.CorpusPipeline()
+    assert p.then("a", lambda d: d) is p and len(p.stages) == 1
