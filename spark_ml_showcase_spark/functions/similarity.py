@@ -365,8 +365,20 @@ def semantic_dedup(
 
     base = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
     feat = base.withColumn("_feat", array_to_vector("_v"))
+    # KMeans breaks when k exceeds the DISTINCT point count (k-means||
+    # init underfills its center array → AIOOBE in the aggregator).
+    # Clamp for small corpora (tests, tail partitions) — the distinct
+    # count is only computed when the row count is already ≤ n_clusters,
+    # so big corpora pay one scalar count against a fit that is itself
+    # many jobs. A web-scale corpus with < n_clusters distinct vectors
+    # is degenerate input either way.
+    n_rows = feat.count()
+    if n_rows <= n_clusters:
+        k_eff = max(1, min(n_clusters, feat.select("_v").distinct().count()))
+    else:
+        k_eff = n_clusters
     km = KMeans(
-        k=n_clusters,
+        k=k_eff,
         seed=seed,
         maxIter=5,
         featuresCol="_feat",

@@ -93,11 +93,18 @@ def standard_cleaning_pipeline(
     boiler_min_docs: int = 2,
     boiler_frac_max: float = 0.5,
     lm_bits_max: float = 9.0,
+    embeddings: DataFrame | None = None,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    semantic_threshold: float = 0.95,
 ) -> CorpusPipeline:
     """The standard LLM-corpus cleaning recipe as a pipeline:
-    exact dedup → MinHash near-dedup (min-id reps) → quality/lang gate →
-    cross-doc boilerplate drop → bigram-LM fluency gate. Compose further
-    (``.then("chunks", ...)``) for chunking/sharding."""
+    exact dedup → MinHash near-dedup (min-id reps) → [semantic dedup when
+    an ``embeddings`` table is supplied: SemDeDup over the surviving
+    docs' vectors, ids matched ``id_col``↔``vec_id_col``] → quality/lang
+    gate → cross-doc boilerplate drop → bigram-LM fluency gate. Compose
+    further (``.then("chunks", ...)``) for chunking/sharding."""
+    from spark_ml_showcase_spark.functions import similarity
     from spark_ml_showcase_spark.functions import text as TX
     from spark_ml_showcase_spark.operators import boilerplate, dedup, lm_score
 
@@ -134,11 +141,32 @@ def standard_cleaning_pipeline(
             F.coalesce(F.col("avg_nll_bits") <= lm_bits_max, F.lit(True))
         ).drop("avg_nll_bits")
 
-    return (
+    def semantic_gate(df: DataFrame) -> DataFrame:
+        emb = embeddings.join(
+            df.select(F.col(id_col).alias(vec_id_col)), vec_id_col, "left_semi"
+        )
+        survivors = similarity.semantic_dedup(
+            emb,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            threshold=semantic_threshold,
+        )
+        return df.join(
+            survivors.select(F.col(vec_id_col).alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+
+    pipe = (
         CorpusPipeline()
         .then("exact_dedup", lambda d: dedup.exact_dedup(d, text_col, id_col),
               materialize="cache")
         .then("near_dedup", near_dedup, materialize="cache")
+    )
+    if embeddings is not None:
+        pipe = pipe.then("semantic_dedup", semantic_gate, materialize="cache")
+    return (
+        pipe
         # lineage cut HERE: the report fans out one branch per stage and
         # the boiler/LM subtrees stack on the dedup chain (see module
         # docstring) — everything upstream stays lazy/cached

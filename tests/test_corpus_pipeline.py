@@ -57,3 +57,38 @@ def test_standard_cleaning_pipeline_end_to_end(spark):
 def test_pipeline_then_returns_self_for_chaining(spark):
     p = CP.CorpusPipeline()
     assert p.then("a", lambda d: d) is p and len(p.stages) == 1
+
+
+def test_standard_pipeline_with_semantic_dedup_stage(spark):
+    """Supplying an embeddings table inserts the SemDeDup stage after
+    near-dedup: docs whose embeddings are near-identical to a lower-id
+    doc's are dropped even when their TEXT differs."""
+    import math
+    import random
+
+    docs = spark.createDataFrame(
+        [
+            (0, "for general text the and of to in is that it with prose one"),
+            (3, "for written work the and of to in is that it with style two"),
+            (5, "for common words the and of to in is that it with tone three"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    def vec(seed):
+        rng = random.Random(seed)
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # doc 3's embedding == doc 0's (semantic dup); doc 5 distinct
+    emb = spark.createDataFrame(
+        [(0, vec(1)), (3, vec(1)), (5, vec(2))],
+        "vec_id bigint, embedding array<double>",
+    )
+    out, report = CP.standard_cleaning_pipeline(
+        embeddings=emb, semantic_threshold=0.999
+    ).run(docs)
+    counts = {r.stage: r.n_docs for r in report.collect()}
+    assert counts["3_semantic_dedup"] == 2
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {0, 5}
