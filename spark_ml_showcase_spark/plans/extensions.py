@@ -846,8 +846,15 @@ def minhash_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     stress = dedup.skew_stress_corpus(docs)
     cands = dedup.minhash_candidate_pairs(stress, max_bucket=20).localCheckpoint()
     hot_ids = stress.filter("is_hot").select(F.col("doc_id").alias("id_a"))
+    # candidates are ALREADY materialized above, so the candidates-only
+    # verify is pure win here: the shingle pass touches the ~dozens of
+    # candidate docs instead of the whole stress corpus
     pairs = dedup.minhash_near_dup(
-        stress, max_bucket=20, threshold=0.5, candidates=cands
+        stress,
+        max_bucket=20,
+        threshold=0.5,
+        candidates=cands,
+        verify_candidates_only=True,
     )
     planted = dedup.skew_stress_planted_pairs(stress)
     planted_found = pairs.join(planted, ["id_a", "id_b"], "left_semi")
