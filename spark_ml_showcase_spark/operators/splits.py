@@ -148,6 +148,57 @@ def portable_sample_by(
     return df.filter(u < thresh)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[object, int],
+) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling — the unit a training-mixture
+    spec is actually written in ("200 B tokens of web, 30 B of code"),
+    as opposed to ``portable_sample_by``'s row fractions.
+
+    Rows in each stratum are ordered by ``md5(key)`` (engine-portable
+    uniform shuffle, same contract as ``portable_sample_by``; ``key`` as
+    tie-break) and kept while the INCLUSIVE running ``token_col`` total
+    stays within the stratum's budget. The running sum is monotone, so
+    "keep while ≤ budget" is an exact prefix — deterministic on any
+    partitioning, any cluster size, and reproducible by any SQL engine
+    with md5 + window sums (the DuckDB oracle). Strata without a budget
+    are dropped (a mixture spec enumerates its domains).
+
+    Adds ``cum_tokens`` (the running total) to the output. Plan: one
+    shuffle on ``strata_col`` for the window sum — at 100 TB that is a
+    per-domain sort; domains far larger than their budget should be
+    pre-filtered with a cheap fraction cap (budget / est. total tokens,
+    with slack) via ``portable_sample_by`` before the exact pass, which
+    keeps the sorted set near the budget size instead of domain size.
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one stratum")
+    for v, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {v!r} must be ≥ 0, got {b}")
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 16)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(h, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = None
+    for value, b in sorted(budgets.items(), key=lambda kv: str(kv[0])):
+        clause = (F.col(strata_col) == F.lit(value), F.lit(int(b)))
+        budget = F.when(*clause) if budget is None else budget.when(*clause)
+    return (
+        df.filter(F.col(strata_col).isin(list(budgets)))
+        .withColumn(
+            "cum_tokens", F.sum(F.col(token_col).cast("bigint")).over(w)
+        )
+        .filter(F.col("cum_tokens") <= budget.cast("bigint"))
+    )
+
+
 def temporal_split(
     df: DataFrame,
     time_col: str,

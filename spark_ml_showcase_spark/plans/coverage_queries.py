@@ -344,3 +344,35 @@ def price_stats_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# A-family extension: EXACT interpolated percentiles per group (Spark
+# `percentile` ≡ SQL percentile_cont: rank (n−1)·p, linear interpolation
+# — the same formula DuckDB's quantile_cont uses, so the oracle matches
+# to rounding). Exact percentile is a per-group sort whose memory is
+# O(group size): right for bounded groups like the 5 event types; the
+# unbounded-cardinality scale path is approx_percentile (t-digest-style
+# sketch, registered as `quantile_sketch_prices`).
+@query(
+    "value_quartiles_by_event_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def value_quartiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -878,3 +878,47 @@ def minhash_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(metric("planted_pairs_found", planted_found))
         .orderBy("metric")
     )
+
+
+# X8+: token-budget sampling — the mixture-spec unit ("N tokens per
+# domain") rather than row fractions. md5-ordered prefix per source with
+# an inclusive running token sum; fully oracle-checked because both the
+# order and the running sum are engine-portable. Cum sums are exact
+# BIGINTs — no float drift.
+@query(
+    "token_budget_sample_docs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS h
+        FROM documents
+        WHERE source IN ('src0', 'src1', 'src2')
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens <= CASE source WHEN 'src0' THEN 800
+                                    WHEN 'src1' THEN 600
+                                    ELSE 400 END
+    ORDER BY doc_id
+    """,
+)
+def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "source",
+        TX.whitespace_token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    sampled = splits.token_budget_sample(
+        docs, "source", "doc_id", "n_tokens",
+        {"src0": 800, "src1": 600, "src2": 400},
+    )
+    return sampled.select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    ).orderBy("doc_id")

@@ -175,3 +175,126 @@ def user_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.ntile(10).over(w).cast("bigint").alias("decile"),
     ).orderBy("user_id")
+
+
+# TPC-H Q3 shape (shipping priority): selective filters on all THREE
+# join inputs (pushed to the parquet scans), a 3-way join where the
+# filtered customer side is broadcast-small, partial-aggregated revenue
+# per order, and a top-10 via TakeOrderedAndProject — the canonical
+# "filter early, broadcast the small side, never full-sort for a LIMIT"
+# plan. Money math is decimal-exact per the module convention; revenue
+# ties break on orderkey so the LIMIT is a total order.
+@query(
+    "shipping_priority_top10",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cutoff = "TIMESTAMP_NTZ '1998-06-01 00:00:00'"
+    c = cat.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    o = cat.orders.filter(F.col("o_orderdate") < F.expr(cutoff)).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = cat.lineitem.filter(F.col("l_shipdate") > F.expr(cutoff)).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    # the segment-filtered 1-column customer projection is the small
+    # side at any scale factor (1/5 of customers, 8 bytes each) —
+    # broadcast it; orders⋈lineitem stays a shuffle join (both fact-
+    # sized at 100 TB) with the date filters already pushed to the scans
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# TPC-H Q5 shape (local supplier volume): the 6-way join whose defining
+# feature is the CYCLE-closing second equi-condition — supplier joins on
+# l_suppkey AND must share the customer's nation — so revenue counts
+# only order lines fulfilled by a supplier in the customer's own nation.
+# region/nation/supplier broadcast (fixed-size / sub-linear dims);
+# customer⋈orders⋈lineitem are the shuffle joins that carry the scale.
+@query(
+    "local_supplier_volume_asia",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY revenue DESC, nation
+    """,
+)
+def local_supplier_volume_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select("c_custkey", "c_nationkey")
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'"))
+    ).select("o_orderkey", "o_custkey")
+    li = cat.lineitem.select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = cat.supplier.select("s_suppkey", "s_nationkey")
+    n = cat.nation.select("n_nationkey", "n_name", "n_regionkey")
+    r = cat.region.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )

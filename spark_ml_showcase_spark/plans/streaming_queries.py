@@ -150,3 +150,106 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("user_id", "event_type", "day").orderBy(
         "user_id", "event_type", "day"
     )
+
+
+# Stream-stream interval join (click→purchase attribution): purchases
+# matched to every click by the SAME user within the preceding 30
+# minutes. Both sides of the join are STREAMS (a self-join of the events
+# file stream), watermarked so the join state is bounded; run to
+# completion the inner join is complete, so a plain batch inequality
+# join is an exact oracle. Gap is computed on epoch SECONDS (both
+# engines floor the µs timestamps identically).
+@query(
+    "stream_interval_join_click_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_interval_join_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = se.stream_events(spark, f"{sf_dir}/events.parquet")
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = se.stream_stream_interval_join(
+        clicks,
+        purchases,
+        left_on="c_user",
+        right_on="p_user",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        max_gap="30 minutes",
+        watermark="2 hours",
+    )
+    result = se.run_to_memory(joined, spark, output_mode="append")
+    return result.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("gap_sec"),
+    ).orderBy("click_id", "purchase_id")
+
+
+# foreachBatch SCD-1 upsert sink: the events fixture is re-staged as 4
+# event-id-ranged files and replayed one file per micro-batch, so the
+# latest-per-user state is built INCREMENTALLY across 4 merges — and
+# because the ranges interleave in event time, a merge that depended on
+# arrival order would get this wrong. Oracle: plain latest-row-per-user
+# (ts desc, event_id desc as total order).
+@query(
+    "stream_upsert_latest_per_user",
+    oracle="""
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_sec,
+           event_type AS last_type,
+           value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    ORDER BY user_id
+    """,
+)
+def stream_upsert_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    staged = se.stage_events_split(spark, sf_dir, n_files=4)
+    stream = se.stream_staged(spark, staged, max_files_per_trigger=1)
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        "smss_upsert",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    state = se.upsert_latest_per_key(
+        stream,
+        state_dir=state_dir,
+        keys=["user_id"],
+        ts_col="ts",
+        tie_col="event_id",
+    )
+    return state.select(
+        "user_id",
+        F.col("ts").cast("long").alias("last_ts_sec"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    ).orderBy("user_id")

@@ -330,3 +330,193 @@ def run_to_memory(
     # stream's own session (an isolated _stream_session, not
     # necessarily the `spark` the caller passed)
     return stream_df.sparkSession.table(name)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER equi-join with a time-interval constraint:
+    ``left_on = right_on AND right_ts ∈ [left_ts, left_ts + max_gap]``
+    (the attribution-window shape: purchases joined to the clicks they
+    followed within ``max_gap``).
+
+    ALL four column names must be distinct between the two sides
+    (pre-rename before calling) so the joined row keeps both halves
+    unambiguously — the streaming join has no ``on=[name]``
+    deduplicating shorthand worth the ambiguity.
+
+    Both sides are watermarked, which is what lets Spark bound the join
+    STATE on an unbounded stream: a buffered left row stops waiting for
+    matches once the right watermark passes ``left_ts + max_gap``, and
+    buffered right rows expire once the left watermark passes their
+    event time — without the time bound in the join condition the state
+    would grow forever. That state-cleanup contract is the whole reason
+    this is an operator and not just ``.join`` with a filter.
+
+    The reference has no streaming at all (SURVEY §2.10); this is the
+    engine-surface twin of the batch interval join, verified against a
+    plain batch/DuckDB inequality join when the finite stream runs to
+    completion (AvailableNow): inner-join results are complete because
+    state eviction only ever drops rows whose match window has provably
+    passed.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_on) == F.col(right_on))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + interval {max_gap}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def stage_events_split(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_files: int = 4,
+    base_dir: str | None = None,
+) -> str:
+    """Re-stage the single-file events fixture as ``n_files`` parquet
+    files so a file-source stream with ``maxFilesPerTrigger=1`` replays
+    them as ``n_files`` separate micro-batches — the multi-batch
+    incremental shape the foreachBatch upsert sink needs to demonstrate
+    anything (a one-file fixture collapses to a single merge).
+
+    Files are ranged on ``event_id`` (NOT time), so micro-batches
+    interleave in event time — deliberately: an upsert keyed on
+    event-time ordering must be ARRIVAL-ORDER independent, and this
+    staging makes the test actually exercise that.
+
+    Idempotent per fixture: keyed on a content fingerprint of the source
+    (same contract as ``sources.io.materialize_events_by_day`` — a
+    regenerated fixture under the same path rebuilds the staging).
+    Returns the staged directory path.
+    """
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+    from spark_ml_showcase_spark.sources.io import _source_fingerprint
+
+    base = base_dir or os.path.join(tempfile.gettempdir(), "smss_stream_stage")
+    key = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(base, key, f"events_{n_files}parts")
+    fp_path = os.path.join(base, key, f"_SOURCE_FP_{n_files}")
+    fp = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    cached = (
+        os.path.exists(os.path.join(out, "_SUCCESS"))
+        and os.path.exists(fp_path)
+        and open(fp_path).read() == fp
+    )
+    if not cached:
+        ev = Catalog(spark, sf_dir).events
+        ev.repartitionByRange(n_files, "event_id").write.mode(
+            "overwrite"
+        ).parquet(out)
+        with open(fp_path, "w") as fh:
+            fh.write(fp)
+    return out
+
+
+def stream_staged(
+    spark: SparkSession, staged_dir: str, *, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source stream over a directory staged by
+    ``stage_events_split`` (Spark-written parquet: ts is already a
+    normalized UTC timestamp — no NANOS/NTZ adaptation needed). Runs on
+    an isolated ``_stream_session``; the declared schema is taken from a
+    batch read of the same directory."""
+    spark = _stream_session(spark)
+    schema = spark.read.parquet(staged_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(staged_dir)
+
+
+def upsert_latest_per_key(
+    stream_df: DataFrame,
+    *,
+    state_dir: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    timeout_sec: int = 240,
+) -> DataFrame:
+    """foreachBatch SCD-1 upsert sink: maintain, across micro-batches,
+    the LATEST row per ``keys`` (greatest ``ts_col``, then greatest
+    ``tie_col`` — a total order, so the result is arrival-order
+    independent). Runs the stream to exhaustion (AvailableNow) and
+    returns the final state as a batch DataFrame.
+
+    Each batch merges into a parquet state directory: read current
+    state, union the batch, keep row_number()=1 per key, write a new
+    version, atomically promote it. This is the poor-man's MERGE — on a
+    real deployment the state table would be Delta/Iceberg and the merge
+    a storage-level MERGE INTO; the foreachBatch driver logic (the part
+    Spark itself provides no operator for) is identical. Rewriting the
+    whole state per batch is O(state) per micro-batch — fine for a
+    dimension-table-sized state (latest-per-user), the documented scope;
+    a 100 TB fact-state upsert belongs in a MERGE-capable table format,
+    not a parquet swap.
+
+    DESTRUCTIVE: ``state_dir`` is wiped at the start of each call (a
+    deterministic result needs an empty initial state).
+    """
+    from pyspark.sql import Window
+
+    if os.path.isdir(state_dir):
+        shutil.rmtree(state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    cur_dir = os.path.join(state_dir, "current")
+    ckpt_dir = os.path.join(state_dir, "ckpt")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), F.col(tie_col).desc()
+    )
+    cols = stream_df.columns
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        merged = batch_df.select(cols)
+        if os.path.exists(os.path.join(cur_dir, "_SUCCESS")):
+            merged = s.read.parquet(cur_dir).select(cols).unionByName(merged)
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        nxt = os.path.join(state_dir, f"v{batch_id}")
+        # write (materializes BEFORE the swap — the read above still
+        # sees the old `current`), then promote atomically-enough: the
+        # only reader is the next micro-batch of this same query, which
+        # cannot overlap with this one.
+        latest.write.mode("overwrite").parquet(nxt)
+        old = cur_dir + ".old"
+        if os.path.isdir(cur_dir):
+            os.rename(cur_dir, old)
+        os.rename(nxt, cur_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"foreachBatch upsert did not finish within {timeout_sec}s; "
+                "refusing to read a partial state"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.read.parquet(cur_dir)

@@ -151,3 +151,37 @@ def test_gopher_zero_exchange_scan_to_project(spark):
     body = plan.split("AdaptiveSparkPlan")[-1]
     assert "Exchange hashpartitioning" not in body
     assert "ArrowEvalPython" in body
+
+
+def test_shipping_priority_plan(spark):
+    """TPC-H Q3 shape: top-10 via TakeOrderedAndProject (no global
+    sort), date filters pushed to BOTH fact scans, segment-filtered
+    customer broadcast, lineitem scan pruned to 3 columns."""
+    qs = entry.queries()
+    plan = _plan(qs["shipping_priority_top10"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan reads only join key + money columns (+ the filter col)
+    li_read = [
+        seg.split("ReadSchema:")[1].splitlines()[0]
+        for seg in plan.split("FileScan parquet")
+        if "lineitem.parquet" in seg
+    ][0]
+    assert "l_quantity" not in li_read and "l_returnflag" not in li_read
+
+
+def test_local_supplier_volume_plan(spark):
+    """TPC-H Q5 shape: the cycle-closing supplier join is a HASH join on
+    the composite (l_suppkey, c_nationkey) key — never a cartesian — and
+    the fixed-size dims broadcast."""
+    qs = entry.queries()
+    plan = _plan(qs["local_supplier_volume_asia"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # composite-key supplier join present: both key columns in one join
+    assert "s_suppkey" in plan and "s_nationkey" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan

@@ -25,12 +25,22 @@ def test_every_stale_query_fits_in_window_or_defers_loudly():
     the newest round — plus every query with no record at all — should
     sit inside the first _WINDOW registry entries, i.e. get a fresh
     record next driver run. Once the registry exceeds 2×window, that is
-    mathematically impossible (pigeonhole): the overflow is then allowed
-    ONLY under the deliberate deferral contract — each deferred query is
-    rows-only (never oracle-checked), already has a clean record at most
-    one round older than the newest, and the overflow is small. The
-    oracle-first subsort in ``plans.front_order`` is what steers the
-    overflow onto rows-only queries."""
+    mathematically impossible (pigeonhole): the worst-case refresh
+    cadence becomes ceil(N / window) rounds, and the overflow is allowed
+    ONLY under the deliberate deferral contract:
+
+    - bounded: at most N − 2×window + a small slack of stale queries
+      defer (i.e. exactly the amount the capacity shortfall forces);
+    - fresh enough: every deferred query already has a clean record at
+      most one round older than the newest (it was verified two rounds
+      ago and will lead the NEXT round's window — nothing silently ages
+      past the ceil(N/window) cadence);
+    - rows-only pay first: within the age group the window boundary
+      cuts, every rows-only query defers before any oracle-checked one
+      does (the oracle-first subsort in ``plans.front_order``) — an
+      oracle-checked query defers only when its whole age group no
+      longer fits.
+    """
     names = _registry_names()
     latest = plans.latest_correctness_rounds()
     max_round = max(latest.values(), default=0)
@@ -48,15 +58,26 @@ def test_every_stale_query_fits_in_window_or_defers_loudly():
     assert len(missed) <= len(names) - capacity + 2, (
         f"overflow {missed} larger than the registry growth explains"
     )
+    missed_set = set(missed)
     for q in missed:
-        assert q not in oracles, (
-            f"oracle-checked query {q!r} deferred past the window — the "
-            "overflow must land on rows-only queries"
-        )
         assert latest.get(q, 0) >= max_round - 1, (
             f"deferred query {q!r} last recorded in round {latest.get(q, 0)} "
-            f"(newest {max_round}) — would go >2 rounds without evidence"
+            f"(newest {max_round}) — would age past the ceil(N/window) "
+            "cadence"
         )
+        if q in oracles:
+            # an oracle-checked deferral is legal only once every
+            # rows-only query of the same age group is deferred too
+            group_rows_only = [
+                g
+                for g in names
+                if latest.get(g, -1) == latest.get(q, -1) and g not in oracles
+            ]
+            not_deferred = [g for g in group_rows_only if g not in missed_set]
+            assert not not_deferred, (
+                f"oracle-checked {q!r} deferred while rows-only peers "
+                f"{not_deferred} kept window slots — rows-only must pay first"
+            )
 
 
 def test_order_is_new_first_then_oldest_record():

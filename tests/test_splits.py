@@ -80,3 +80,38 @@ def test_random_split_seeded_sizes(spark):
     df = _orders(spark)
     a, b = splits.random_split(df, [0.5, 0.5], seed=40)
     assert a.count() + b.count() == 1000
+
+
+def test_token_budget_sample_invariants(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"d{i % 3}", rng.randint(5, 40)) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, dom string, toks bigint")
+    budgets = {"d0": 200, "d1": 120}
+    out = splits.token_budget_sample(df, "dom", "id", "toks", budgets)
+    got = out.collect()
+    # unbudgeted stratum dropped entirely
+    assert all(r.dom != "d2" for r in got)
+    # budget respected inclusively per stratum
+    for dom, cap in budgets.items():
+        tot = sum(r.toks for r in got if r.dom == dom)
+        assert tot <= cap
+        # non-trivial: something was kept and something was cut
+        full = sum(t for _, d, t in rows if d == dom)
+        assert 0 < tot and tot < full
+    # cum_tokens is the inclusive running sum in md5 order (prefix rule:
+    # max(cum_tokens) == sum of kept tokens)
+    for dom, cap in budgets.items():
+        kept = [r for r in got if r.dom == dom]
+        assert max(r.cum_tokens for r in kept) == sum(r.toks for r in kept)
+    # partitioning-independence: same rows kept after a repartition
+    got2 = {
+        (r.id, r.cum_tokens)
+        for r in splits.token_budget_sample(
+            df.repartition(7, "toks"), "dom", "id", "toks", budgets
+        ).collect()
+    }
+    assert {(r.id, r.cum_tokens) for r in got} == got2

@@ -177,3 +177,102 @@ def test_stream_events_adapts_to_us_ntz_fixture(spark, tmp_path):
     assert len(got) == 6 and all(n == 1 for _, n in got)
     starts = sorted(ws for ws, _ in got)
     assert starts[0].hour == 12 and starts[-1].hour == 17
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join run to completion == batch inequality
+    join. Purchases land 0–45 min after clicks; only gaps ≤ 30 min match."""
+    MIN = 60
+    clicks = [(i, 1_000_000 + i * HOUR, i % 4, 1.0) for i in range(8)]
+    purchases = [
+        (100 + i, 1_000_000 + i * HOUR + (i % 4) * 15 * MIN, i % 4, 2.0)
+        for i in range(8)
+    ]
+    d = _write_events(spark, tmp_path, clicks + purchases, subdir="ij")
+    # rewrite with two event types: clicks get type 'click', purchases 'purchase'
+    batch = spark.read.schema(se.EVENTS_SCHEMA).parquet(d).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withColumn(
+        "event_type",
+        F.when(F.col("event_id") >= 100, "purchase").otherwise("click"),
+    )
+    d2 = os.path.join(str(tmp_path), "ij2")
+    batch.write.parquet(d2)
+
+    stream = se.stream_staged(spark, d2, max_files_per_trigger=None)
+    c = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = se.stream_stream_interval_join(
+        c, p, left_on="c_user", right_on="p_user",
+        left_ts="click_ts", right_ts="purchase_ts",
+        max_gap="30 minutes", watermark="2 hours",
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in se.run_to_memory(joined, spark, output_mode="append").collect()
+    }
+
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in bc.join(
+            bp,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("interval 30 minutes")
+            ),
+        ).collect()
+    }
+    assert got == want and want  # non-trivial: some pairs match, some don't
+    # the 45-min-gap purchases must NOT have matched their own click
+    assert all(
+        (pid - 100) % 4 != 3 or pid - 100 != cid for cid, pid in got
+    )
+
+
+def test_upsert_latest_per_key_multi_batch(spark, tmp_path):
+    """foreachBatch upsert across multiple micro-batches equals batch
+    latest-per-key, regardless of arrival order (later event times land
+    in an EARLIER file)."""
+    # user 1: latest ts=2000 arrives in file 1; stale ts=1000 in file 2
+    # user 2: ties on ts -> higher event_id wins; spread across files
+    rows_f1 = [(10, 2000, 1, 5.0), (20, 500, 2, 1.0)]
+    rows_f2 = [(11, 1000, 1, 7.0), (21, 500, 2, 3.0)]
+    d = os.path.join(str(tmp_path), "ups")
+    for i, part in enumerate((rows_f1, rows_f2)):
+        spark.createDataFrame(
+            [(eid, float(ts), uid, "e", val) for eid, ts, uid, val in part],
+            "event_id bigint, ts double, user_id bigint, t string, value double",
+        ).withColumn("ts", F.timestamp_seconds("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    stream = se.stream_staged(spark, d, max_files_per_trigger=1)
+    state = se.upsert_latest_per_key(
+        stream,
+        state_dir=os.path.join(str(tmp_path), "state"),
+        keys=["user_id"],
+        ts_col="ts",
+        tie_col="event_id",
+    )
+    got = {(r.user_id, r.event_id, r.value) for r in state.collect()}
+    assert got == {(1, 10, 5.0), (2, 21, 3.0)}
