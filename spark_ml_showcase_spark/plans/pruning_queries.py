@@ -59,3 +59,48 @@ def dpp_events_mondays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def bucketed_sales_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed join under test, shared by the registered query and
+    the plan assertion: orders ⋈ lineitem, both pre-bucketed on orderkey
+    — with broadcast disabled (the plan pin), this sort-merge join has
+    NO Exchange on either side."""
+    o_tbl, l_tbl = io.materialize_bucketed_sales(spark, sf_dir)
+    o = spark.table(o_tbl).select("o_orderkey", "o_orderpriority")
+    li = spark.table(l_tbl).select("l_orderkey", "l_quantity", "l_extendedprice")
+    return o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+
+
+# Bucketed (pre-shuffled) co-located join: the ingest-time layout that
+# removes the orders⋈lineitem shuffle from EVERY downstream query — the
+# explicit 100 TB answer to "is there a shuffle here that becomes the
+# bottleneck at scale". The small final agg still exchanges on the
+# 5-value priority key; the point is the two fact tables don't.
+@query(
+    "bucketed_join_priority_volume",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_price,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def bucketed_join_priority_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = bucketed_sales_join(spark, sf_dir)
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("priority")
+    )

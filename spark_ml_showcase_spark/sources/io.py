@@ -172,6 +172,62 @@ def materialize_events_by_day(
     return fact_path, dim_path
 
 
+def materialize_bucketed_sales(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_buckets: int = 8,
+    base_dir: str = "/tmp/smss_bucketed",
+) -> tuple[str, str]:
+    """Materialize ``orders`` and ``lineitem`` as BUCKETED tables on the
+    join key (``bucketBy(n, orderkey) + sortBy``), the ingest-time layout
+    that makes every later orderkey join/aggregation exchange-free: both
+    sides are pre-shuffled into the same bucket scheme, so a sort-merge
+    join reads bucket i against bucket i with NO Exchange in the plan
+    (pinned in tests/test_plans.py). At 100 TB this is the difference
+    between shuffling the two largest tables per query and never
+    shuffling them again.
+
+    Bucketed tables must live in the session catalog (``saveAsTable``) —
+    the bucket metadata rides in the catalog, not the files — so tables
+    are named per scale factor and rebuilt when the source fingerprint
+    changes (same freshness contract as ``materialize_events_by_day``).
+    Returns the two table names.
+    """
+    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    o_tbl = f"smss_orders_b_{key}"
+    l_tbl = f"smss_lineitem_b_{key}"
+    marker_dir = os.path.join(base_dir, key)
+    os.makedirs(marker_dir, exist_ok=True)
+    fp_path = os.path.join(marker_dir, "_SOURCE_FP")
+    fp = _source_fingerprint(
+        os.path.join(sf_dir, "orders.parquet")
+    ) + _source_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    cached = (
+        spark.catalog.tableExists(o_tbl)
+        and spark.catalog.tableExists(l_tbl)
+        and os.path.exists(fp_path)
+        and open(fp_path).read() == fp
+    )
+    if not cached:
+        from spark_ml_showcase_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, sf_dir)
+        for name, df, bucket_col in (
+            (o_tbl, cat.orders, "o_orderkey"),
+            (l_tbl, cat.lineitem, "l_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            df.write.bucketBy(n_buckets, bucket_col).sortBy(
+                bucket_col
+            ).mode("overwrite").option(
+                "path", os.path.join(marker_dir, name)
+            ).saveAsTable(name)
+        with open(fp_path, "w") as f:
+            f.write(fp)
+    return o_tbl, l_tbl
+
+
 def read_orc(spark: SparkSession, path: str, *columns: str) -> DataFrame:
     """ORC scan — same pushdown/pruning properties as parquet (column
     pruning + predicate pushdown reach the reader). Optional column list

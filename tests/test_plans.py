@@ -185,3 +185,19 @@ def test_local_supplier_volume_plan(spark):
     # composite-key supplier join present: both key columns in one join
     assert "s_suppkey" in plan and "s_nationkey" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_bucketed_sales_join_exchange_free(spark):
+    """The materialized bucketed layout makes orders⋈lineitem a
+    sort-merge join with NO Exchange on either input (bucket
+    co-location); broadcast disabled so the SMJ is what we observe."""
+    from spark_ml_showcase_spark.plans import pruning_queries as pq
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(pq.bucketed_sales_join(spark, SF))
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
