@@ -922,3 +922,45 @@ def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     ).orderBy("doc_id")
+
+
+# X12+: tokenizer-training statistics — global adjacent character-pair
+# counts over whitespace tokens, the distributed inner loop of BPE/
+# WordPiece vocabulary induction (each merge round re-ranks pair
+# frequencies; this is one round at corpus scale). Pure JVM explode →
+# hash aggregate: partial (map-side) aggregation collapses the tiny
+# pair domain before the exchange, so the shuffle carries counts, not
+# text; top-20 via TakeOrderedAndProject with pair as the tie-break.
+@query(
+    "bpe_pair_counts_top20",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ), pairs AS (
+        SELECT unnest([substr(tok, i, 2)
+                       for i in generate_series(1, len(tok) - 1)]) AS pair
+        FROM toks WHERE len(tok) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        F.explode(TX._tokens(F.lower(F.col("text")))).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

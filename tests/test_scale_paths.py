@@ -92,3 +92,46 @@ def test_retrain_with_best_extracts_cv_params(spark):
     assert full.getNumTrees == best.getNumTrees
     assert full.getSubsamplingRate() == best.getSubsamplingRate()
     assert full.transform(assembled).count() == 300
+
+
+def test_aqe_skew_join_splits_partitions(spark):
+    """AQE's runtime skew-join handling — the first line of defense
+    SCALE.md prescribes before reaching for `salted_join` — actually
+    fires: with the skew thresholds forced low, a join against a
+    pathologically hot key finishes with the sort-merge join marked
+    skew=true in the final adaptive plan (the hot partition was split)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 60_000).select(
+            # 95% of rows share key 0; the rest spread over 1000 keys
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("v"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("d")
+        )
+        joined = big.join(dim, "k")
+        # execute THIS DataFrame's own query execution (count() would plan
+        # a different query and leave this one's adaptive plan unfinalized)
+        assert len(joined.collect()) == 60_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
