@@ -127,8 +127,13 @@ def main() -> int:
         "n_queries": len(times),
         "cpus": int(CPUS),
     }
+    # A BENCH_ONLY subset run must NOT clobber the committed full-suite
+    # artifact (the natural workflow is "full run, then isolate a few
+    # suspicious queries" — the isolation runs used to overwrite the
+    # artifact the full run just produced).
+    detail_name = "BENCH_LOCAL.partial.json" if only else "BENCH_LOCAL.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
