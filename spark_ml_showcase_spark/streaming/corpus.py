@@ -1,0 +1,162 @@
+"""Incremental corpus ingestion: streaming MinHash near-dup dedup.
+
+The batch dedup family (``operators/dedup.py``) answers "dedup this
+corpus"; a 100 TB/day feed instead asks "is this NEW document a
+near-dup of anything we already kept?" — an LSH *index* maintained
+across micro-batches. This module implements that shape with
+foreachBatch + an append-only parquet state:
+
+- ``buckets`` state: (band, bh, _id) — the LSH index of every RETAINED
+  document's band buckets. Append-only (no rewrites): lookups are an
+  equi-join on (band, bh), exactly the banded join of the batch
+  operator, against state that only ever grows by survivors.
+- ``sigs`` state: (_id, _sig) — retained signatures, used to verify
+  candidates by SIGNATURE-estimated Jaccard (fraction of agreeing
+  minhash components, an unbiased estimator of the true Jaccard), so no
+  raw text is ever stored or shuffled.
+
+Per micro-batch: sign + band the new docs (same
+``_minhash_signatures_agg`` / ``_band_structs`` as the batch path, so a
+doc gets identical buckets either way) → candidate-join against state
+buckets ∪ smaller-id same-batch buckets → estimate Jaccard from
+signatures → drop new docs at/above threshold → append survivors to
+both state tables.
+
+Semantics note (documented divergence from the batch operator): a new
+doc is dropped if it matches ANY earlier-seen or smaller-id-in-batch
+candidate, including one that was itself dropped — near-dup chains
+collapse immediately instead of via connected components. That is
+deterministic and arrival-order independent within the (ordered) file
+replay, slightly more aggressive than the batch operator's
+component/min-id semantics, and the standard trade for an online
+filter; the batch op remains the exact-cluster tool.
+
+Scale posture: state grows O(retained docs × bands) rows of 3 longs;
+the per-batch work is one narrow sign/band pass over the batch plus an
+equi-join against the index — no O(corpus) rescan, no cartesian. At
+real scale the bucket state would be a key-value store or a bucketed
+table; append-only parquet keeps the same join shape.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.operators.dedup import (
+    _band_structs,
+    _minhash_signatures_agg,
+)
+
+
+def stream_minhash_dedup(
+    doc_stream: DataFrame,
+    *,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    timeout_sec: int = 240,
+) -> DataFrame:
+    """Run a streaming (id, text) DataFrame to exhaustion (AvailableNow)
+    through the incremental near-dup filter and return the RETAINED
+    (id, signature) set as a batch DataFrame.
+
+    DESTRUCTIVE: ``state_dir`` is wiped at the start of each call (a
+    deterministic result needs an empty initial index).
+    """
+    if os.path.isdir(state_dir):
+        shutil.rmtree(state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    sig_dir = os.path.join(state_dir, "sigs")
+    bucket_dir = os.path.join(state_dir, "buckets")
+    ckpt_dir = os.path.join(state_dir, "ckpt")
+    rows_per_band = k // bands
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        sigs = _minhash_signatures_agg(
+            batch_df, id_col, text_col, ngram=ngram, k=k
+        ).localCheckpoint()  # reused 3× below; truncate the explode lineage
+        bks = sigs.select(
+            "_id",
+            F.explode(
+                _band_structs(F.col("_sig"), bands, rows_per_band)
+            ).alias("_b"),
+        ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+
+        refs = bks.select("band", "bh", F.col("_id").alias("_rid")).withColumn(
+            "_state", F.lit(False)
+        )
+        have_state = os.path.exists(os.path.join(bucket_dir, "_SUCCESS"))
+        if have_state:
+            refs = (
+                s.read.parquet(bucket_dir)
+                .select("band", "bh", F.col("_id").alias("_rid"))
+                .withColumn("_state", F.lit(True))
+                .unionByName(refs)
+            )
+        cand = (
+            bks.join(refs, ["band", "bh"])
+            .filter(F.col("_state") | (F.col("_rid") < F.col("_id")))
+            .select(F.col("_id").alias("_nid"), "_rid")
+            .distinct()
+        )
+        all_sigs = sigs
+        if have_state:
+            all_sigs = s.read.parquet(sig_dir).unionByName(sigs)
+        est = (
+            cand.join(
+                sigs.select(F.col("_id").alias("_nid"), F.col("_sig").alias("_ns")),
+                "_nid",
+            )
+            .join(
+                all_sigs.select(
+                    F.col("_id").alias("_rid"), F.col("_sig").alias("_rs")
+                ),
+                "_rid",
+            )
+            .withColumn(
+                "_est_j",
+                F.size(
+                    F.filter(
+                        F.zip_with("_ns", "_rs", lambda x, y: x == y), lambda v: v
+                    )
+                )
+                / F.lit(k),
+            )
+        )
+        dropped = est.filter(F.col("_est_j") >= threshold).select("_nid").distinct()
+        survivors = sigs.join(
+            dropped, sigs["_id"] == dropped["_nid"], "left_anti"
+        ).localCheckpoint()  # materialize BEFORE the state appends read/extend it
+        survivors.write.mode("append").parquet(sig_dir)
+        bks.join(survivors.select("_id"), "_id", "left_semi").write.mode(
+            "append"
+        ).parquet(bucket_dir)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"streaming minhash dedup did not finish within {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return (
+        doc_stream.sparkSession.read.parquet(sig_dir)
+        .select(F.col("_id").alias(id_col))
+    )

@@ -276,3 +276,37 @@ def test_upsert_latest_per_key_multi_batch(spark, tmp_path):
     )
     got = {(r.user_id, r.event_id, r.value) for r in state.collect()}
     assert got == {(1, 10, 5.0), (2, 21, 3.0)}
+
+
+def test_stream_minhash_dedup_incremental(spark, tmp_path):
+    """Incremental LSH dedup across micro-batches: exact copies of
+    already-retained docs are dropped (signature match = 1.0 ≥ any
+    threshold), near-dups with high shingle overlap are dropped, novel
+    docs survive, and intra-batch duplicates collapse to the smaller id."""
+    from spark_ml_showcase_spark.streaming import corpus as sc_
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the old stone bridge at dawn every single day"
+    variant = base.rsplit(" ", 1)[0] + " night"  # one word changed
+    novel1 = "completely different words about spark partitions shuffles and broadcast joins in a distributed analytics engine running at scale"
+    novel2 = "yet another unrelated document mentioning tokenizers embeddings quality filters and corpus assembly for language model training runs"
+    batch1 = [(1, base), (2, novel1)]
+    batch2 = [(101, base), (102, variant), (103, novel2), (104, novel2)]
+    d = os.path.join(str(tmp_path), "docs")
+    for part in (batch1, batch2):
+        spark.createDataFrame(part, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    stream = se.stream_staged(spark, d, max_files_per_trigger=1)
+    kept = sc_.stream_minhash_dedup(
+        stream,
+        state_dir=os.path.join(str(tmp_path), "lsh_state"),
+        ngram=3,
+        k=32,
+        bands=8,
+        threshold=0.5,
+    )
+    got = {r.doc_id for r in kept.collect()}
+    # 101 = exact copy of retained 1 → dropped; 102 = near-dup of 1 →
+    # dropped; 103 survives (novel); 104 = intra-batch copy of 103 → dropped
+    assert got == {1, 2, 103}
