@@ -132,3 +132,23 @@ def test_catalog_events_ts_adapts_to_both_fixture_generations(spark, tmp_path):
         }
         shutil.rmtree(d)
     assert got["us"] == got["ns"] == want
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from spark_ml_showcase_spark.sources.io import compact_parquet_dir
+
+    d = os.path.join(str(tmp_path), "many")
+    # 12 tiny appended files, the append-only-sink pathology
+    for i in range(12):
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{i}_{j}") for j in range(10)], "k bigint, v string"
+        ).coalesce(1).write.mode("append").parquet(d)
+    n_before = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    assert n_before == 12
+    before = {(r.k, r.v) for r in spark.read.parquet(d).collect()}
+
+    n_after = compact_parquet_dir(spark, d, target_file_mb=128, sort_by=["k"])
+    assert n_after == 1
+    after = {(r.k, r.v) for r in spark.read.parquet(d).collect()}
+    assert after == before and len(after) == 120
+    assert not os.path.exists(d + ".old") and not os.path.exists(d + ".compacting")
