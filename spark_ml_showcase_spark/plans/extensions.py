@@ -964,3 +964,42 @@ def bpe_pair_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+# X5: resize operator through the REAL codec path — synthesize the
+# deterministic per-doc BMP, nearest-neighbor resize to 4×3 over Arrow
+# batches, then decode the RESIZED payload. Solid-color sources make
+# every decoded feature a pure function of doc_id: dims/byte-size
+# constants (stride math re-done for the new width) and channel means
+# equal to the source color — so a resize that mangles the header,
+# padding, or BGR order hash-mismatches. The NN kernel's pixel
+# selection is unit-tested (tests/test_text_multimodal.py).
+@query(
+    "multimodal_resize_roundtrip",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(4 AS INT) AS width,
+           CAST(3 AS INT) AS height,
+           CAST(doc_id % 256 AS BIGINT) AS mean_r,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+           CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b,
+           CAST(54 + ((3 * 4 + 3) // 4) * 4 * 3 AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.select(F.col("doc_id").alias("id"))
+    blobs = multimodal.synthesize_bmp(docs, id_col="id")
+    resized = multimodal.resize_images(blobs, 4, 3)
+    feats = multimodal.extract_features(
+        resized.select("id", "payload"), decode_stub=False
+    )
+    return feats.select(
+        "id",
+        "width",
+        "height",
+        F.round(F.element_at("feat", 1)).cast("bigint").alias("mean_r"),
+        F.round(F.element_at("feat", 2)).cast("bigint").alias("mean_g"),
+        F.round(F.element_at("feat", 3)).cast("bigint").alias("mean_b"),
+        F.col("n_bytes").cast("bigint"),
+    )

@@ -161,3 +161,50 @@ def test_scrub_pii_patterns(spark):
     assert got[2] == "call [NUM] or acct [NUM]"
     assert got[3] == rows[3][1]
     assert got[4] == "[EMAIL] sent [URL] from [NUM]"
+
+
+def test_resize_bmp_nearest_neighbor():
+    import struct
+
+    # 2×1 BMP: left pixel black, right pixel white (hand-built: encode_bmp
+    # only does solid fills)
+    row = bytes((0, 0, 0)) + bytes((255, 255, 255))
+    row += b"\x00" * ((4 - (3 * 2) % 4) % 4)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(row), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 2835, 2835, 0, 0
+    )
+    buf = header + info + row
+
+    out = multimodal.resize_bmp(buf, 4, 2)
+    w, h, means = multimodal.decode_bmp(out)
+    # columns duplicate (B B W W), rows duplicate: mean stays 127.5
+    assert (w, h) == (4, 2)
+    assert means == [127.5, 127.5, 127.5]
+    # solid-color resize preserves the exact channel means at any dims
+    solid = multimodal.encode_bmp(7, 5, (10, 200, 30))
+    w2, h2, m2 = multimodal.decode_bmp(multimodal.resize_bmp(solid, 3, 9))
+    assert (w2, h2) == (3, 9) and m2 == [10.0, 200.0, 30.0]
+    # upscale then downscale back to the original dims is identity for NN
+    assert multimodal.resize_bmp(multimodal.resize_bmp(buf, 4, 2), 2, 1) == buf
+
+
+def test_resize_images_operator(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(6)], "doc_id bigint, text string"
+    )
+    blobs = multimodal.synthesize_bmp(docs)
+    out = multimodal.resize_images(blobs, 4, 3).collect()
+    assert len(out) == 6
+    assert all(r.resized and (r.width, r.height) == (4, 3) for r in out)
+    # every resized payload decodes to the target dims with the SOLID
+    # source color preserved (synthesize_bmp fills one color per id)
+    for r in out:
+        w, h, means = multimodal.decode_bmp(bytes(r.payload))
+        assert (w, h) == (4, 3)
+    # non-BMP payloads pass through untouched
+    wav = multimodal.encode_wav(64, 8000, 1000)
+    mixed = spark.createDataFrame([(99, bytearray(wav))], "id bigint, payload binary")
+    (row,) = multimodal.resize_images(mixed, 4, 3).collect()
+    assert not row.resized and bytes(row.payload) == wav and row.width is None
