@@ -162,8 +162,47 @@ def ivf_topk(
     100 TB: train the quantizer on a sample, broadcast the centroids
     (tiny: n_lists × dim), and the probe join shuffles on a small int key.
     """
+    assigned, cent_df = build_ivf_index(
+        candidates, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed
+    )
+    return ivf_probe(
+        assigned,
+        cent_df,
+        queries,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_probe=n_probe,
+        score_decimals=score_decimals,
+    )
+
+
+def build_ivf_index(
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 40,
+    index_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: fit the coarse quantizer and assign every
+    candidate to a cell. Returns ``(assigned, centroids)`` —
+    ``assigned`` is (cand_id, _cv, _cell), ``centroids`` is
+    (cell, centroid) with ``n_lists`` rows.
+
+    Pass ``index_dir`` to PERSIST the index: ``cells/`` written
+    parquet-partitioned BY ``_cell`` (so a probe of ``n_probe`` cells
+    scans only those partitions — at 100 TB the probe reads
+    n_probe/n_lists of the corpus, enforced by partition pruning, not
+    by luck) plus a tiny ``centroids/`` table. Build once at ingest,
+    probe per query batch via :func:`load_ivf_index` — retraining the
+    quantizer per query (what ``ivf_topk`` does for self-contained
+    runs) is the demo path, not the deployment path.
+    """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from pyspark.ml.functions import array_to_vector
 
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
@@ -186,6 +225,48 @@ def ivf_topk(
     cent_df = candidates.sparkSession.createDataFrame(
         centroids, "cell int, centroid array<double>"
     )
+    if index_dir is not None:
+        import os
+
+        assigned.write.mode("overwrite").partitionBy("_cell").parquet(
+            os.path.join(index_dir, "cells")
+        )
+        cent_df.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "centroids")
+        )
+        return load_ivf_index(candidates.sparkSession, index_dir)
+    return assigned, cent_df
+
+
+def load_ivf_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Reopen a persisted IVF index: ``(assigned, centroids)`` handles
+    over the cell-partitioned parquet layout. The probe join on
+    ``_cell`` against the broadcast probed-cells set prunes the scan to
+    the probed partitions (same dynamic-pruning mechanism pinned for
+    ``dpp_events_mondays``)."""
+    import os
+
+    assigned = spark.read.parquet(os.path.join(index_dir, "cells")).select(
+        "cand_id", "_cv", F.col("_cell").cast("int").alias("_cell")
+    )
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    return assigned, cent
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    cent_df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Probe phase of IVF top-k: assign each query to its ``n_probe``
+    nearest centroids (broadcast n_lists-row table), equi-join on the
+    cell id, exact-rerank inside the probed cells."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
     )

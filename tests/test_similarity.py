@@ -224,3 +224,27 @@ def test_semantic_dedup_hot_cluster_guard_is_conservative(spark):
     # anywhere → everything conservatively survives
     out = S.semantic_dedup(df, n_clusters=4, threshold=0.999, max_cluster=1)
     assert out.count() == 40
+
+
+def test_ivf_index_persist_probe_parity(spark, tmp_path):
+    """build-once/probe-many equals the self-contained ivf_topk (same
+    seed → same quantizer), and the persisted layout is partitioned by
+    cell so probes prune the scan."""
+    import os
+
+    _, _, df = _vecs(spark, n=60, dim=8, seed=11)
+    queries = df.filter(F.col("vec_id") < 5)
+    direct = similarity.ivf_topk(df, queries, 3, n_lists=4, n_probe=2, seed=40)
+    idx = os.path.join(str(tmp_path), "ivf_idx")
+    assigned, cents = similarity.build_ivf_index(
+        df, n_lists=4, seed=40, index_dir=idx
+    )
+    probed = similarity.ivf_probe(assigned, cents, queries, 3, n_probe=2)
+    key = lambda rows: {(r.query_id, r.rank): (r.cand_id, r.cosine) for r in rows}
+    assert key(probed.collect()) == key(direct.collect())
+    # cell-partitioned on-disk layout (hive dirs) + n_lists centroid rows
+    cell_dirs = [
+        d for d in os.listdir(os.path.join(idx, "cells")) if d.startswith("_cell=")
+    ]
+    assert len(cell_dirs) >= 2
+    assert spark.read.parquet(os.path.join(idx, "centroids")).count() == 4
