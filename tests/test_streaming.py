@@ -310,3 +310,45 @@ def test_stream_minhash_dedup_incremental(spark, tmp_path):
     # 101 = exact copy of retained 1 → dropped; 102 = near-dup of 1 →
     # dropped; 103 survives (novel); 104 = intra-batch copy of 103 → dropped
     assert got == {1, 2, 103}
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination (literal-set filter + stream-static
+    semi join) classifies docs exactly like the batch operator."""
+    from spark_ml_showcase_spark.operators import decontaminate as dc
+    from spark_ml_showcase_spark.streaming import corpus as sc_
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (3, "alpha beta gamma delta epsilon different tail"),
+        (4, "totally unrelated words in this document here"),
+        (5, "tiny doc"),  # < n tokens → no shingles → always clean
+    ]
+    bench = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id bigint, text string",
+    )
+    d = os.path.join(str(tmp_path), "docs")
+    spark.createDataFrame(docs, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(d)
+
+    stream = se.stream_staged(spark, d, max_files_per_trigger=None)
+    clean_s, hits_s = sc_.stream_decontaminate(stream, bench, n=5)
+    got_clean = {
+        r.doc_id
+        for r in se.run_to_memory(clean_s, spark, output_mode="append").collect()
+    }
+    got_hit_docs = {
+        r.doc_id
+        for r in se.run_to_memory(hits_s, spark, output_mode="append").collect()
+    }
+
+    batch_docs = spark.createDataFrame(docs, "doc_id bigint, text string")
+    b_clean, b_hits = dc.ngram_decontaminate(batch_docs, bench, n=5)
+    assert got_clean == {r.doc_id for r in b_clean.collect()}
+    assert got_hit_docs == {r.doc_id for r in b_hits.collect()}
+    # sanity on the scenario itself: 1 and 3 share the 5-gram with the
+    # benchmark, 2/4/5 are clean
+    assert got_clean == {2, 4, 5} and got_hit_docs == {1, 3}
