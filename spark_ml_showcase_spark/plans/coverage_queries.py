@@ -376,3 +376,39 @@ def value_quartiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# PySpark 4 Python Data Source API: rows are GENERATED on executors by
+# the custom `synthdocs` format (sources/pydatasource.py) — zero driver
+# memory, zero input I/O — and every value is closed-form arithmetic on
+# the row index, so DuckDB reproduces the identical relation from a bare
+# range(n): the custom source → scan → aggregate path is under the
+# value hash end-to-end. (sf-independent by design: the generator IS
+# the data.)
+@query(
+    "pyds_gen_docs_stats",
+    oracle="""
+    SELECT 'src' || CAST(i % 8 AS VARCHAR) AS source,
+           COUNT(*) AS n_docs,
+           SUM(20 + (i * 37) % 200) AS sum_tokens,
+           CAST(SUM(CASE WHEN (i * 7919) % 101 >= 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good
+    FROM range(0, 10000) t(i)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def pyds_gen_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.sources.pydatasource import read_synth_docs
+
+    docs = read_synth_docs(spark, n=10_000, partitions=8, sources=8)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(
+                F.when(F.col("quality_centi") >= 50, 1).otherwise(0)
+            ).cast("bigint").alias("n_good"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,91 @@
+"""Custom Python Data Source (PySpark 4 DataSource API): a partitioned,
+deterministic synthetic-corpus generator.
+
+Why this exists in an analytics engine: scale rehearsal. Driving a
+100 TB-shaped plan (shuffle sizing, skew behavior, agg combiners) needs
+inputs far larger than any committed fixture, and generating them on the
+DRIVER (``spark.createDataFrame`` over a Python list) caps out at driver
+memory. A DataSource generates ON THE EXECUTORS: ``partitions()``
+returns P index ranges, and each executor materializes only its range —
+a terabyte of synthetic rows costs zero driver memory and no input I/O.
+
+Every generated value is CLOSED-FORM arithmetic on the row index (no
+hashing, no RNG state), so any SQL engine reproduces the exact rows from
+a bare ``range(n)`` — which is how the DuckDB oracle checks the full
+source → scan → aggregate path bit-for-bit (`pyds_gen_docs_stats`).
+
+This is the extension point for real custom connectors (internal feed
+formats, RPC-backed sources): same two classes, same partition-planning
+contract, plus ``pushFilters`` when the backend can prune.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+FORMAT_NAME = "synthdocs"
+
+# Closed-form row: (doc_id, source, n_tokens, quality_centi)
+#   source        = 'src' || (doc_id % n_sources)
+#   n_tokens      = 20 + (doc_id * 37) % 200
+#   quality_centi = (doc_id * 7919) % 101          (0..100, "percent")
+# Keep these three lines in sync with the oracle SQL in
+# plans/coverage_queries.py::pyds_gen_docs_stats.
+
+
+def _gen(lo: int, hi: int, n_sources: int) -> Iterator[tuple]:
+    for i in range(lo, hi):
+        yield (i, f"src{i % n_sources}", 20 + (i * 37) % 200, (i * 7919) % 101)
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 10_000))
+        self.parts = int(options.get("partitions", 8))
+        self.n_sources = int(options.get("sources", 8))
+
+    def partitions(self):  # executor-side parallelism: P index ranges
+        step = (self.n + self.parts - 1) // self.parts
+        return [
+            InputPartition((lo, min(lo + step, self.n)))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        lo, hi = partition.value
+        return _gen(lo, hi, self.n_sources)
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthdocs").option("n", N).load()`` after
+    ``spark.dataSource.register(SyntheticDocsDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return "doc_id bigint, source string, n_tokens bigint, quality_centi bigint"
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration on this session."""
+    spark.dataSource.register(SyntheticDocsDataSource)
+
+
+def read_synth_docs(
+    spark, *, n: int = 10_000, partitions: int = 8, sources: int = 8
+):
+    register(spark)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("n", str(n))
+        .option("partitions", str(partitions))
+        .option("sources", str(sources))
+        .load()
+    )

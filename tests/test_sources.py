@@ -152,3 +152,21 @@ def test_compact_parquet_dir(spark, tmp_path):
     after = {(r.k, r.v) for r in spark.read.parquet(d).collect()}
     assert after == before and len(after) == 120
     assert not os.path.exists(d + ".old") and not os.path.exists(d + ".compacting")
+
+
+def test_python_datasource_generates_on_executors(spark):
+    from spark_ml_showcase_spark.sources.pydatasource import read_synth_docs
+
+    df = read_synth_docs(spark, n=1000, partitions=4, sources=5)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    rows = {r.doc_id: r for r in df.collect()}
+    # closed-form determinism, spot-checked
+    assert rows[0].source == "src0" and rows[0].n_tokens == 20
+    assert rows[123].source == f"src{123 % 5}"
+    assert rows[123].n_tokens == 20 + (123 * 37) % 200
+    assert rows[999].quality_centi == (999 * 7919) % 101
+    # re-read is identical (no RNG state anywhere)
+    again = {r.doc_id: r.n_tokens for r in read_synth_docs(
+        spark, n=1000, partitions=2, sources=5).collect()}
+    assert again == {k: v.n_tokens for k, v in rows.items()}
