@@ -23,7 +23,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 FORMAT_NAME = "synthdocs"
 
@@ -72,6 +77,9 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent format registration on this session."""
@@ -89,3 +97,31 @@ def read_synth_docs(
         .option("sources", str(sources))
         .load()
     )
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the `synthdocs` source: each micro-batch emits
+    the next ``rows_per_batch`` closed-form rows, up to ``n`` total —
+    offsets are plain row indices, checkpoint-serializable as dicts.
+    The deterministic generator makes replay-after-restart produce
+    byte-identical batches (the exactly-once contract a custom stream
+    source must honor: ``readBetweenOffsets`` re-derives any committed
+    range from the offsets alone, no side state)."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 10_000))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 1000))
+        self.n_sources = int(options.get("sources", 8))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        lo = int(start["idx"])
+        hi = min(lo + self.rows_per_batch, self.n)
+        # a LIST, not a generator: the runtime pickles the prefetched
+        # rows to ship them from the driver-side planner to executors
+        return list(_gen(lo, hi, self.n_sources)), {"idx": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(_gen(int(start["idx"]), int(end["idx"]), self.n_sources))

@@ -170,3 +170,44 @@ def test_python_datasource_generates_on_executors(spark):
     again = {r.doc_id: r.n_tokens for r in read_synth_docs(
         spark, n=1000, partitions=2, sources=5).collect()}
     assert again == {k: v.n_tokens for k, v in rows.items()}
+
+
+def test_python_datasource_stream_batches(spark):
+    """Streaming half of the synthdocs source: micro-batches of
+    rowsPerBatch rows, exhausting at n, aggregating to the exact same
+    totals as the batch reader (deterministic replayable offsets)."""
+    import time
+    import uuid
+
+    from spark_ml_showcase_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("n", "2000")
+        .option("rowsPerBatch", "500")
+        .option("sources", "4")
+        .load()
+    )
+    agg = stream.groupBy("source").count()
+    name = f"pyds_{uuid.uuid4().hex[:8]}"
+    # continuous micro-batch trigger: availableNow would stop after the
+    # single prefetched batch of a SimpleDataSourceStreamReader — the
+    # point here is that the source feeds MULTIPLE batches (2000/500=4)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if sum(r["count"] for r in rows) >= 2000:
+                break
+            time.sleep(1)
+        got = {r.source: r["count"] for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert got == {f"src{i}": 500 for i in range(4)}
