@@ -211,3 +211,29 @@ def test_python_datasource_stream_batches(spark):
     finally:
         q.stop()
     assert got == {f"src{i}": 500 for i in range(4)}
+
+
+def test_jsonl_shard_writer_with_manifest(spark, tmp_path):
+    import json
+
+    from spark_ml_showcase_spark.sources.pydatasource import write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", i % 3) for i in range(100)],
+        "doc_id bigint, text string, bucket bigint",
+    )
+    out = os.path.join(str(tmp_path), "export")
+    write_jsonl_shards(df, out, shards=4)
+
+    manifest = json.load(open(os.path.join(out, "MANIFEST.json")))
+    assert manifest["total_rows"] == 100
+    assert len(manifest["shards"]) == 4
+    # shard tallies agree with the files themselves; rows roundtrip
+    seen = []
+    for s in manifest["shards"]:
+        lines = open(os.path.join(out, s["shard"])).read().splitlines()
+        assert len(lines) == s["n_rows"]
+        assert sum(len(l) + 1 for l in lines) == s["n_bytes"]
+        seen += [json.loads(l) for l in lines]
+    assert {r["doc_id"] for r in seen} == set(range(100))
+    assert all(r["text"] == f"text {r['doc_id']}" for r in seen)

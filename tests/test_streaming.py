@@ -352,3 +352,37 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     # sanity on the scenario itself: 1 and 3 share the 5-gram with the
     # benchmark, 2/4/5 are clean
     assert got_clean == {2, 4, 5} and got_hit_docs == {1, 3}
+
+
+def test_parquet_sink_exactly_once_across_restarts(spark, tmp_path):
+    """The checkpointed file sink is exactly-once across query RESTARTS:
+    run to exhaustion, land more input, re-run with the SAME checkpoint —
+    new rows appear once, old rows are not re-emitted, and an idle
+    re-run adds nothing."""
+    src = os.path.join(str(tmp_path), "src")
+    base = os.path.join(str(tmp_path), "sink")
+    data_dir, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+
+    def land(lo, hi):
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, hi)], "k bigint, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("k bigint, v double").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", data_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(r.k for r in spark.read.parquet(data_dir).collect())
+
+    land(0, 50)
+    assert run_once() == list(range(50))
+    land(50, 80)  # new file lands between runs (a "restart" of the job)
+    assert run_once() == list(range(80))  # 0-49 NOT duplicated
+    assert run_once() == list(range(80))  # idle re-run: no-op
