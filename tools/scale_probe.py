@@ -1,0 +1,144 @@
+"""Scale rehearsal: run the engine's core operator shapes at 20-100M rows
+(200-1000× the sf0.1 fixtures) and record wall time + rows/sec.
+
+The committed fixtures prove CORRECTNESS; this probe addresses the scale
+question directly: do the plan shapes hold when the data is 3 orders of
+magnitude bigger than the test fixtures? Input rows are generated
+JVM-side (``spark.range`` + column expressions — no Python, no I/O), so
+the probe measures the OPERATOR, not a generator bottleneck.
+
+Probes (each a plan shape the engine leans on):
+- ``exact_dedup_50m``      hash-agg dedup on a 64-bit fingerprint, ~40% dups
+- ``window_budget_20m``    per-domain ordered window prefix sum (token budget)
+- ``skew_join_20m``        90%-hot-key join under AQE skew handling
+- ``agg_100m``             map-side-combined groupBy sum, 1k groups
+- ``topk_50m``             TakeOrderedAndProject top-100, no global sort
+
+Usage: python tools/scale_probe.py  → one JSON line + SCALE_PROBE.json.
+Wall times carry the usual ±25% machine noise; the point is the ORDER of
+magnitude (tens of millions of rows/sec through each shape on 32 local
+cores — a 1000-executor cluster multiplies the partition count, not the
+per-partition work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_ml_showcase_spark.session import get_session  # noqa: E402
+
+
+def probe_exact_dedup_50m(spark):
+    n = 50_000_000
+    df = spark.range(n).select(
+        F.xxhash64((F.col("id") % 30_000_000).cast("string")).alias("fp"),
+        F.col("id"),
+    )
+    out = df.groupBy("fp").agg(F.min("id").alias("keep"))
+    cnt = out.count()
+    assert cnt == 30_000_000, cnt
+    return n
+
+
+def probe_window_budget_20m(spark):
+    from pyspark.sql.window import Window
+
+    n = 20_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 100).cast("string").alias("dom"),
+        F.col("id"),
+        (20 + (F.col("id") * 37) % 200).alias("toks"),
+    )
+    h = F.substring(F.md5(F.col("id").cast("string")), 1, 16)
+    w = (
+        Window.partitionBy("dom")
+        .orderBy(h, "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        df.withColumn("cum", F.sum("toks").over(w))
+        .filter(F.col("cum") <= 1_000_000)
+        .count()
+    )
+    assert 0 < kept < n, kept
+    return n
+
+
+def probe_skew_join_20m(spark):
+    n = 20_000_000
+    big = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("d"))
+    cnt = big.join(dim, "k").count()
+    assert cnt == n, cnt
+    return n
+
+
+def probe_agg_100m(spark):
+    n = 100_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("g"), (F.col("id") % 97).alias("v")
+    )
+    out = df.groupBy("g").agg(F.sum("v").alias("s"))
+    assert out.count() == 1000
+    return n
+
+
+def probe_topk_50m(spark):
+    n = 50_000_000
+    df = spark.range(n).select(
+        F.col("id"), F.xxhash64(F.col("id").cast("string")).alias("score")
+    )
+    rows = df.orderBy(F.desc("score"), F.asc("id")).limit(100).collect()
+    assert len(rows) == 100
+    return n
+
+
+PROBES = {
+    "exact_dedup_50m": probe_exact_dedup_50m,
+    "window_budget_20m": probe_window_budget_20m,
+    "skew_join_20m": probe_skew_join_20m,
+    "agg_100m": probe_agg_100m,
+    "topk_50m": probe_topk_50m,
+}
+
+
+def main() -> int:
+    spark = get_session("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for name, fn in PROBES.items():
+        t0 = time.perf_counter()
+        n = fn(spark)
+        dt = time.perf_counter() - t0
+        results[name] = {
+            "rows": n,
+            "sec": round(dt, 2),
+            "mrows_per_sec": round(n / dt / 1e6, 1),
+        }
+        print(f"{name}: {n:,} rows in {dt:.1f}s "
+              f"({results[name]['mrows_per_sec']} M rows/s)", file=sys.stderr)
+    out = {"metric": "scale_probe", "cpus": os.cpu_count(), "probes": results}
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
