@@ -105,12 +105,39 @@ def probe_topk_50m(spark):
     return n
 
 
+def probe_minhash_200k_docs(spark):
+    """The dedup-family flagship at 400× the sf0.1 document count:
+    200k docs × 30 pseudo-words (JVM-generated: md5-substring words, so
+    ~1.2k exact-dup pairs are planted via id%199k collisions), through
+    signatures → banding → hot-bucket guard → banded join → verify."""
+    from spark_ml_showcase_spark.operators.dedup import minhash_near_dup
+
+    n = 200_000
+    words = F.array(
+        *[
+            F.substring(
+                F.md5(F.concat((F.col("id") % 199_000).cast("string"), F.lit(i))),
+                1,
+                6,
+            )
+            for i in range(30)
+        ]
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+    pairs = minhash_near_dup(docs, threshold=0.9).count()
+    assert pairs >= 900, pairs  # planted exact dups must be found
+    return n
+
+
 PROBES = {
     "exact_dedup_50m": probe_exact_dedup_50m,
     "window_budget_20m": probe_window_budget_20m,
     "skew_join_20m": probe_skew_join_20m,
     "agg_100m": probe_agg_100m,
     "topk_50m": probe_topk_50m,
+    "minhash_200k_docs": probe_minhash_200k_docs,
 }
 
 
@@ -125,10 +152,10 @@ def main() -> int:
         results[name] = {
             "rows": n,
             "sec": round(dt, 2),
-            "mrows_per_sec": round(n / dt / 1e6, 1),
+            "rows_per_sec": int(n / dt),
         }
         print(f"{name}: {n:,} rows in {dt:.1f}s "
-              f"({results[name]['mrows_per_sec']} M rows/s)", file=sys.stderr)
+              f"({results[name]['rows_per_sec']:,} rows/s)", file=sys.stderr)
     out = {"metric": "scale_probe", "cpus": os.cpu_count(), "probes": results}
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
