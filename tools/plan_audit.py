@@ -1,0 +1,143 @@
+"""Plan-hygiene audit: scan every registered BATCH query's physical plan
+for scale anti-patterns and write PLAN_AUDIT.json.
+
+Automates the review a careful reader does by hand: at 100 TB, one
+accidental CartesianProduct or non-broadcast nested-loop join is a
+dead job, and a scan that stopped pushing filters is a silent 10×. The
+audit flags, per query:
+
+- ``cartesian``  — CartesianProduct anywhere in the plan
+- ``bnlj``       — BroadcastNestedLoopJoin (legal only against
+                   broadcast-small sides; every use needs a justification)
+- ``n_exchanges``— shuffle count (tracked, not judged: the oracle of
+                   record is bench telemetry round over round)
+
+Uses sf0.001 so queries whose build is eager (layout materialization,
+quantizer fits) stay cheap. Streaming (`stream_`) and ML (`ml_`)
+queries are skipped: constructing them RUNS a stream / fits a model,
+and their plan hygiene is covered by their own tests.
+
+An ALLOWLIST maps each accepted flag to its justification; any flagged
+query NOT in the allowlist exits non-zero — so a regression (new
+cartesian, lost broadcast) fails loudly in any round that runs this.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SKIP_PREFIXES = ("stream_", "ml_")
+
+# query -> {flag: justification}; a flag on a query absent here FAILS.
+ALLOWLIST = {
+    "cosine_topk_bruteforce": {
+        "bnlj": "by design: broadcast(queries) × candidates — the exact "
+        "brute-force baseline; candidates stream once past the tiny "
+        "broadcast side"
+    },
+    "ann_recall_report": {
+        "bnlj": "crossJoin against a broadcast 1-row scalar (truth size) "
+        "plus the brute-force truth computation itself"
+    },
+    "cached_two_branch_report": {
+        "bnlj": "two single-row global aggregates joined to the report "
+        "rows — both sides broadcast-tiny"
+    },
+    "event_type_share": {
+        "bnlj": "share-of-total: single-row global total crossed into "
+        "the per-type rows"
+    },
+    "frame_sample_stats": {
+        "bnlj": "per-row fan-out against a broadcast frame-index literal"
+    },
+    "minhash_skew_stress": {
+        "bnlj": "stress harness compares candidate counts against a "
+        "broadcast single-row bound"
+    },
+    "bigram_lm_scores": {
+        "bnlj": "crossJoin(broadcast(vocab)) — vocab is a single-row "
+        "scalar (vocabulary size for add-k smoothing); "
+        "operators/lm_score.py:101"
+    },
+    "clean_corpus_funnel": {
+        "bnlj": "inherits the LM-fluency stage's broadcast-scalar vocab "
+        "cross (see bigram_lm_scores)"
+    },
+    "ngram_jaccard_pairs": {
+        "bnlj": "the DOCUMENTED O(n²) exact-verification twin of the "
+        "banded path — bounded oracle use only; operators/dedup.py:223"
+    },
+    "ivf_topk": {
+        "bnlj": "query-side probe: crossJoin(broadcast(centroids)) with "
+        "n_lists rows; functions/similarity.py:274"
+    },
+}
+
+
+def main() -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import __spark_entry__ as entry
+    from spark_ml_showcase_spark.session import get_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    violations: list[str] = []
+    for name, fn in entry.queries().items():
+        if name.startswith(SKIP_PREFIXES):
+            continue
+        try:
+            plan = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # noqa: BLE001 - audit must cover the rest
+            results[name] = {"error": str(e)[:200]}
+            violations.append(f"{name}: plan build failed: {e}")
+            continue
+        flags = {
+            "cartesian": "CartesianProduct" in plan,
+            "bnlj": "BroadcastNestedLoopJoin" in plan,
+            "n_exchanges": plan.count("Exchange "),
+        }
+        results[name] = flags
+        allowed = ALLOWLIST.get(name, {})
+        for flag in ("cartesian", "bnlj"):
+            if flags[flag] and flag not in allowed:
+                violations.append(f"{name}: unjustified {flag}")
+
+    out = {
+        "metric": "plan_audit",
+        "n_audited": len(results),
+        "n_violations": len(violations),
+        "violations": violations,
+        "allowlist": {q: list(f) for q, f in ALLOWLIST.items()},
+        "queries": results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_AUDIT.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {k: out[k] for k in ("metric", "n_audited", "n_violations", "violations")}
+        )
+    )
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
