@@ -77,9 +77,25 @@ def read_json(
     return reader.json(path)
 
 
-def read_parquet(spark: SparkSession, path: str, *columns: str) -> DataFrame:
-    """Parquet scan (S7). Optional column list prunes at the reader."""
-    df = spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    *columns: str,
+    ignore_corrupt: bool = False,
+) -> DataFrame:
+    """Parquet scan (S7). Optional column list prunes at the reader.
+
+    ``ignore_corrupt=True`` skips unreadable files instead of failing
+    the job — the posture for a 100 TB lake where bit rot and partial
+    uploads are routine (one bad file out of millions must not kill a
+    day-long job; pair with an ingest-time manifest/row-count check so
+    the skip is OBSERVED, not silent). Default False: a small curated
+    fixture set should fail loudly on corruption.
+    """
+    reader = spark.read
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    df = reader.parquet(path)
     return df.select(*columns) if columns else df
 
 

@@ -237,3 +237,21 @@ def test_jsonl_shard_writer_with_manifest(spark, tmp_path):
         seen += [json.loads(l) for l in lines]
     assert {r["doc_id"] for r in seen} == set(range(100))
     assert all(r["text"] == f"text {r['doc_id']}" for r in seen)
+
+
+def test_read_parquet_ignore_corrupt_files(spark, tmp_path):
+    """One garbage file among good parquet: the default read fails
+    loudly; ignore_corrupt=True survives with exactly the good rows."""
+    import pytest
+
+    d = os.path.join(str(tmp_path), "lake")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k bigint, v string"
+    ).coalesce(1).write.parquet(d)
+    with open(os.path.join(d, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not actually parquet \x00\x01\x02")
+
+    with pytest.raises(Exception):
+        io.read_parquet(spark, d).count()
+    ok = io.read_parquet(spark, d, ignore_corrupt=True)
+    assert sorted(r.k for r in ok.collect()) == list(range(20))
