@@ -205,3 +205,96 @@ def test_boilerplate_fraction_matches_python_reference(spark, strings, min_docs)
         if gs
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # stratum
+            st.integers(min_value=1, max_value=50),  # token count
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=300),  # budget
+)
+def test_token_budget_sample_matches_python_reference(spark, rows, budget):
+    """token_budget_sample == a pure-Python reference: per stratum, sort
+    by (md5(id) 16-hex prefix, id), take the maximal prefix whose
+    inclusive token sum stays ≤ budget."""
+    import hashlib
+
+    from spark_ml_showcase_spark.operators import splits
+
+    data = [(i, dom, toks) for i, (dom, toks) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id bigint, dom string, toks bigint")
+    budgets = {"a": budget, "b": budget * 2}
+    got = {
+        (r.id, r.cum_tokens)
+        for r in splits.token_budget_sample(df, "dom", "id", "toks", budgets).collect()
+    }
+
+    want = set()
+    for dom, cap in budgets.items():
+        members = sorted(
+            (rid for rid, d, _ in data if d == dom),
+            key=lambda rid: (hashlib.md5(str(rid).encode()).hexdigest()[:16], rid),
+        )
+        toks_of = {rid: t for rid, d, t in data if d == dom}
+        cum = 0
+        for rid in members:
+            cum += toks_of[rid]
+            if cum > cap:
+                break
+            want.add((rid, cum))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=9),   # src w
+    st.integers(min_value=1, max_value=9),   # src h
+    st.integers(min_value=1, max_value=12),  # dst w
+    st.integers(min_value=1, max_value=12),  # dst h
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+)
+def test_resize_bmp_matches_numpy_reference(w, h, nw, nh, seed):
+    """resize_bmp == numpy nearest-neighbor over arbitrary dims and
+    pixel contents (hand-built multi-color BMPs, all stride residues)."""
+    import struct
+
+    import numpy as np
+
+    from spark_ml_showcase_spark.operators import multimodal
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)  # BGR rows
+    stride_pad = b"\x00" * ((4 - (3 * w) % 4) % 4)
+    pixels = b"".join(img[y].tobytes() + stride_pad for y in range(h))
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    buf = header + info + pixels
+
+    out = multimodal.resize_bmp(buf, nw, nh)
+    # decode the output back into a numpy array
+    (pix_off,) = struct.unpack_from("<I", out, 10)
+    _, ow, oh = struct.unpack_from("<Iii", out, 14)
+    assert (ow, oh) == (nw, nh)
+    ostride = (3 * nw + 3) // 4 * 4
+    got = np.stack(
+        [
+            np.frombuffer(
+                out[pix_off + y * ostride : pix_off + y * ostride + 3 * nw],
+                dtype=np.uint8,
+            ).reshape(nw, 3)
+            for y in range(nh)
+        ]
+    )
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    want = img[np.ix_(ys, xs)]
+    assert np.array_equal(got, want)
