@@ -201,3 +201,17 @@ def test_bucketed_sales_join_exchange_free(spark):
         assert "Exchange hashpartitioning" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_explicit_broadcast_survives_disabled_auto_threshold(spark):
+    """The engine's dimension broadcasts are EXPLICIT hints, not
+    autoBroadcastJoinThreshold luck: with the threshold off entirely,
+    revenue_by_region still broadcast-joins region/nation."""
+    qs = entry.queries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(qs["revenue_by_region"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

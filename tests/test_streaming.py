@@ -386,3 +386,27 @@ def test_parquet_sink_exactly_once_across_restarts(spark, tmp_path):
     land(50, 80)  # new file lands between runs (a "restart" of the job)
     assert run_once() == list(range(80))  # 0-49 NOT duplicated
     assert run_once() == list(range(80))  # idle re-run: no-op
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark, tmp_path):
+    """SCALE.md prescribes the RocksDB state store for large streaming
+    state; this proves the provider actually runs our stateful shapes:
+    a watermarked tumbling aggregate on RocksDB produces the same
+    result as the default (HDFS-backed) provider."""
+    rows = [(i, 1_000_000 + (i % 5) * HOUR + i, i % 3, 1.0) for i in range(60)]
+    d = _write_events(spark, tmp_path, rows, subdir="rocks")
+
+    def run(provider=None):
+        stream = se.stream_events(spark, d)
+        s = stream.sparkSession
+        if provider:
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        agg = se.tumbling_counts(stream, watermark=None)
+        out = se.run_to_memory(agg, spark, output_mode="complete")
+        return {(r.window_start, r.n) for r in out.collect()}
+
+    default = run()
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    assert rocks == default and len(rocks) == 5
