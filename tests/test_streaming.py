@@ -410,3 +410,30 @@ def test_stateful_agg_on_rocksdb_state_store(spark, tmp_path):
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
     assert rocks == default and len(rocks) == 5
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas (arbitrary-stateful v2) totals equal
+    the plain batch aggregate — parity with the applyInPandasWithState
+    twin's contract. Skipped where google.protobuf (the v2 state-server
+    wire format) is absent; the gate itself is asserted either way."""
+    import pytest
+
+    if not se.tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            se.running_totals_tws(
+                se.stream_events(spark, _write_events(spark, tmp_path, [(1, 1, 1, 1.0)], subdir="twsgate"))
+            )
+        pytest.skip("google.protobuf not in this container; gate verified")
+    rows = [(i, 1_000_000 + i, i % 4, float(i % 7)) for i in range(80)]
+    d = _write_events(spark, tmp_path, rows, subdir="tws")
+    stream = se.stream_events(spark, d)
+    totals = se.running_totals_tws(stream)
+    out = se.run_to_memory(totals, spark, output_mode="update")
+    # last row per user = final state (single batch → one row each)
+    final = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    want = {}
+    for _, _, uid, val in rows:
+        n, t = want.get(uid, (0, 0.0))
+        want[uid] = (n + 1, t + val)
+    assert final == want
