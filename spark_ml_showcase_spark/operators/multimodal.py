@@ -167,6 +167,12 @@ def resize_bmp(buf: bytes, new_w: int, new_h: int) -> bytes:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     h_abs = abs(h)
     stride = (3 * w + 3) // 4 * 4
+    if len(buf) < pix_off + h_abs * stride:
+        # truncated payload (partial upload): fail HERE rather than
+        # silently emitting short pixel slices into a corrupt output
+        raise ValueError(
+            f"truncated BMP: need {pix_off + h_abs * stride} bytes, have {len(buf)}"
+        )
     new_w, new_h = int(new_w), int(new_h)
     if new_w < 1 or new_h < 1:
         raise ValueError("target dimensions must be ≥ 1")
@@ -214,7 +220,15 @@ def resize_images(
             for rid, buf in zip(pdf["id"], pdf["payload"]):
                 b = bytes(buf)
                 if b[:2] == b"BM":
-                    nb = resize_bmp(b, target_w, target_h)
+                    try:
+                        nb = resize_bmp(b, target_w, target_h)
+                    except ValueError:
+                        # 'BM' magic but not a decodable 24-bit BMP
+                        # (8-bit/RLE/32-bit variants, truncated payloads):
+                        # honor the pass-through contract — one odd file
+                        # in a 100 TB corpus must not kill the job
+                        rows.append((int(rid), b, None, None, len(b), False))
+                        continue
                     rows.append(
                         (int(rid), nb, target_w, target_h, len(nb), True)
                     )

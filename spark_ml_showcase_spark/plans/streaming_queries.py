@@ -235,10 +235,14 @@ def stream_upsert_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame
 
     staged = se.stage_events_split(spark, sf_dir, n_files=4)
     stream = se.stream_staged(spark, staged, max_files_per_trigger=1)
+    # pid-scoped state dir: the upsert wipes its state at call start, so
+    # two PROCESSES (driver + bench/pytest) running this query
+    # concurrently must not share one — bounded leak of one dir per
+    # (process, sf), reused across calls within a process
     state_dir = os.path.join(
         tempfile.gettempdir(),
         "smss_upsert",
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     state = se.upsert_latest_per_key(
         stream,

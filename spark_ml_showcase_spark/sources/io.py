@@ -150,6 +150,26 @@ def _source_fingerprint(path: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
+def fp_cache_ok(fp_path: str, fp: str) -> bool:
+    """True iff the marker file exists and records exactly ``fp`` — one
+    half of the content-fingerprint freshness contract shared by every
+    cached materialization (events-by-day, bucketed tables, stream
+    staging): a regenerated fixture under the same path must rebuild the
+    cache, never silently serve stale data against a fresh oracle."""
+    try:
+        with open(fp_path) as f:
+            return f.read() == fp
+    except OSError:
+        return False
+
+
+def fp_record(fp_path: str, fp: str) -> None:
+    """Record ``fp`` AFTER the materialization succeeds (ordering is the
+    crash-safety: a half-built cache without a matching marker rebuilds)."""
+    with open(fp_path, "w") as f:
+        f.write(fp)
+
+
 def materialize_events_by_day(
     spark: SparkSession, sf_dir: str, *, base_dir: str = "/tmp/smss_partitioned"
 ) -> tuple[str, str]:
@@ -172,8 +192,7 @@ def materialize_events_by_day(
     cached = (
         os.path.exists(os.path.join(fact_path, "_SUCCESS"))
         and os.path.exists(os.path.join(dim_path, "_SUCCESS"))
-        and os.path.exists(fp_path)
-        and open(fp_path).read() == fp
+        and fp_cache_ok(fp_path, fp)
     )
     if not cached:
         ev = Catalog(spark, sf_dir).events.withColumn("day", F.to_date("ts"))
@@ -183,8 +202,7 @@ def materialize_events_by_day(
             "dow_iso", ((F.dayofweek("day") + 5) % 7 + 1).cast("int")
         )
         write_parquet(cal, dim_path)
-        with open(fp_path, "w") as f:
-            f.write(fp)
+        fp_record(fp_path, fp)
     return fact_path, dim_path
 
 
@@ -222,8 +240,7 @@ def materialize_bucketed_sales(
     cached = (
         spark.catalog.tableExists(o_tbl)
         and spark.catalog.tableExists(l_tbl)
-        and os.path.exists(fp_path)
-        and open(fp_path).read() == fp
+        and fp_cache_ok(fp_path, fp)
     )
     if not cached:
         from spark_ml_showcase_spark.sources.catalog import Catalog
@@ -239,8 +256,7 @@ def materialize_bucketed_sales(
             ).mode("overwrite").option(
                 "path", os.path.join(marker_dir, name)
             ).saveAsTable(name)
-        with open(fp_path, "w") as f:
-            f.write(fp)
+        fp_record(fp_path, fp)
     return o_tbl, l_tbl
 
 
@@ -291,7 +307,12 @@ def compact_parquet_dir(
     the Spark-side plan is identical.
     """
     import math
+    import shutil
 
+    # recover from a prior crashed compaction: a leftover .old/.compacting
+    # would make the renames below fail on every subsequent run
+    shutil.rmtree(path.rstrip("/") + ".old", ignore_errors=True)
+    shutil.rmtree(path.rstrip("/") + ".compacting", ignore_errors=True)
     df = spark.read.parquet(path)
     total = sum(
         os.path.getsize(os.path.join(r, f))
@@ -304,10 +325,12 @@ def compact_parquet_dir(
     staging = path.rstrip("/") + ".compacting"
     out.write.mode("overwrite").parquet(staging)
     old = path.rstrip("/") + ".old"
+    # two renames = a crash window where `path` is briefly absent (data
+    # safe in .old, recovered by the pre-clean above on the next run) —
+    # acceptable for the local/test context; a production lake runs this
+    # under a table-format transaction, as the docstring says
     os.rename(path, old)
     os.rename(staging, path)
-    import shutil
-
     shutil.rmtree(old, ignore_errors=True)
     return sum(
         1

@@ -54,6 +54,10 @@ class SyntheticDocsReader(DataSourceReader):
         self.n_sources = int(options.get("sources", 8))
 
     def partitions(self):  # executor-side parallelism: P index ranges
+        if self.parts < 1:
+            raise ValueError(f"partitions must be ≥ 1, got {self.parts}")
+        if self.n <= 0:  # empty source → one empty partition, not range(0,0,0)
+            return [InputPartition((0, 0))]
         step = (self.n + self.parts - 1) // self.parts
         return [
             InputPartition((lo, min(lo + step, self.n)))
@@ -170,9 +174,28 @@ class JsonlShardWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         shard = f"shard-{pid:05d}.jsonl"
         n_rows = n_bytes = 0
+
+        def jsonable(v):
+            # timestamps/dates → ISO strings, Decimal → str, binary →
+            # hex: JSONL must accept any Spark row, not just scalars
+            import base64
+            import datetime
+            import decimal
+
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat()
+            if isinstance(v, decimal.Decimal):
+                return str(v)
+            if isinstance(v, (bytes, bytearray)):
+                return base64.b64encode(bytes(v)).decode()
+            raise TypeError(f"not JSON-serializable: {type(v)}")
+
         with open(os.path.join(self.path, shard), "w") as f:
             for row in iterator:
-                line = json.dumps(row.asDict(), sort_keys=True) + "\n"
+                line = (
+                    json.dumps(row.asDict(), sort_keys=True, default=jsonable)
+                    + "\n"
+                )
                 f.write(line)
                 n_rows += 1
                 n_bytes += len(line)

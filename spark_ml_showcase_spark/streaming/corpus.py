@@ -65,8 +65,11 @@ def stream_minhash_dedup(
     timeout_sec: int = 240,
 ) -> DataFrame:
     """Run a streaming (id, text) DataFrame to exhaustion (AvailableNow)
-    through the incremental near-dup filter and return the RETAINED
-    (id, signature) set as a batch DataFrame.
+    through the incremental near-dup filter and return the RETAINED set
+    as a batch DataFrame with columns ``(id_col, signature)`` — the
+    signature rides along so downstream consumers can verify/extend the
+    index without re-signing. Empty input → empty result (no state dir
+    is ever written, handled explicitly).
 
     DESTRUCTIVE: ``state_dir`` is wiped at the start of each call (a
     deterministic result needs an empty initial index).
@@ -156,9 +159,14 @@ def stream_minhash_dedup(
     finally:
         if q.isActive:
             q.stop()
-    return (
-        doc_stream.sparkSession.read.parquet(sig_dir)
-        .select(F.col("_id").alias(id_col))
+    s = doc_stream.sparkSession
+    if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
+        # zero input rows/files → no batch ever ran → empty retained set
+        return s.createDataFrame(
+            [], f"{id_col} bigint, signature array<bigint>"
+        )
+    return s.read.parquet(sig_dir).select(
+        F.col("_id").alias(id_col), F.col("_sig").alias("signature")
     )
 
 

@@ -409,18 +409,17 @@ def stage_events_split(
     out = os.path.join(base, key, f"events_{n_files}parts")
     fp_path = os.path.join(base, key, f"_SOURCE_FP_{n_files}")
     fp = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    cached = (
-        os.path.exists(os.path.join(out, "_SUCCESS"))
-        and os.path.exists(fp_path)
-        and open(fp_path).read() == fp
+    from spark_ml_showcase_spark.sources.io import fp_cache_ok, fp_record
+
+    cached = os.path.exists(os.path.join(out, "_SUCCESS")) and fp_cache_ok(
+        fp_path, fp
     )
     if not cached:
         ev = Catalog(spark, sf_dir).events
         ev.repartitionByRange(n_files, "event_id").write.mode(
             "overwrite"
         ).parquet(out)
-        with open(fp_path, "w") as fh:
-            fh.write(fp)
+        fp_record(fp_path, fp)
     return out
 
 
@@ -519,7 +518,11 @@ def upsert_latest_per_key(
     finally:
         if q.isActive:
             q.stop()
-    return stream_df.sparkSession.read.parquet(cur_dir)
+    s = stream_df.sparkSession
+    if not os.path.exists(os.path.join(cur_dir, "_SUCCESS")):
+        # zero input → no batch ever ran → empty state, same schema
+        return s.createDataFrame([], stream_df.schema)
+    return s.read.parquet(cur_dir)
 
 
 def tws_available() -> bool:

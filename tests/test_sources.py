@@ -255,3 +255,23 @@ def test_read_parquet_ignore_corrupt_files(spark, tmp_path):
         io.read_parquet(spark, d).count()
     ok = io.read_parquet(spark, d, ignore_corrupt=True)
     assert sorted(r.k for r in ok.collect()) == list(range(20))
+
+
+def test_jsonl_shard_writer_serializes_rich_types(spark, tmp_path):
+    """Timestamps/dates/decimals/binary export as ISO/str/base64 instead
+    of crashing the writer — the events fixture shape must be exportable."""
+    import json
+
+    from spark_ml_showcase_spark.sources.pydatasource import write_jsonl_shards
+
+    df = spark.sql(
+        "SELECT 1 AS id, TIMESTAMP'2024-01-02 03:04:05' AS ts, "
+        "DATE'2024-01-02' AS d, CAST(1.50 AS DECIMAL(10,2)) AS m, "
+        "X'DEAD' AS b"
+    )
+    out = os.path.join(str(tmp_path), "rich")
+    write_jsonl_shards(df, out, shards=1)
+    (line,) = open(os.path.join(out, "shard-00000.jsonl")).read().splitlines()
+    row = json.loads(line)
+    assert row["ts"].startswith("2024-01-02T03:04:05")
+    assert row["d"] == "2024-01-02" and row["m"] == "1.50" and row["b"] == "3q0="

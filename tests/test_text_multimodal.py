@@ -208,3 +208,24 @@ def test_resize_images_operator(spark):
     mixed = spark.createDataFrame([(99, bytearray(wav))], "id bigint, payload binary")
     (row,) = multimodal.resize_images(mixed, 4, 3).collect()
     assert not row.resized and bytes(row.payload) == wav and row.width is None
+
+
+def test_resize_images_passes_through_undecodable_bm(spark):
+    """'BM'-magic payloads that aren't decodable 24-bit BMPs (other
+    variants, truncated uploads) pass through untouched instead of
+    killing the job — and truncation raises at the kernel level."""
+    import pytest
+
+    good = multimodal.encode_bmp(4, 3, (1, 2, 3))
+    truncated = good[: len(good) - 5]
+    notbmp = b"BM" + b"\x00" * 60  # BM magic, garbage header
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.resize_bmp(truncated, 2, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(truncated)), (3, bytearray(notbmp))],
+        "id bigint, payload binary",
+    )
+    rows = {r.id: r for r in multimodal.resize_images(df, 2, 2).collect()}
+    assert rows[1].resized and (rows[1].width, rows[1].height) == (2, 2)
+    assert not rows[2].resized and bytes(rows[2].payload) == truncated
+    assert not rows[3].resized and bytes(rows[3].payload) == notbmp

@@ -109,7 +109,12 @@ def main() -> int:
         flags = {
             "cartesian": "CartesianProduct" in plan,
             "bnlj": "BroadcastNestedLoopJoin" in plan,
-            "n_exchanges": plan.count("Exchange "),
+            # SHUFFLE exchanges only — a bare 'Exchange ' count would also
+            # match BroadcastExchange/ReusedExchange and mislabel harmless
+            # broadcasts as shuffles
+            "n_shuffle_exchanges": plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition"),
         }
         results[name] = flags
         allowed = ALLOWLIST.get(name, {})
