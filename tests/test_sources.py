@@ -275,3 +275,21 @@ def test_jsonl_shard_writer_serializes_rich_types(spark, tmp_path):
     row = json.loads(line)
     assert row["ts"].startswith("2024-01-02T03:04:05")
     assert row["d"] == "2024-01-02" and row["m"] == "1.50" and row["b"] == "3q0="
+
+
+def test_compact_recovers_from_crashed_prior_run(spark, tmp_path):
+    """A leftover .old/.compacting dir from a killed compaction must not
+    wedge the next run."""
+    from spark_ml_showcase_spark.sources.io import compact_parquet_dir
+
+    d = os.path.join(str(tmp_path), "dir")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string").coalesce(
+        1
+    ).write.parquet(d)
+    os.makedirs(d + ".old")
+    with open(os.path.join(d + ".old", "stale"), "w") as f:
+        f.write("leftover from a crash")
+    os.makedirs(d + ".compacting")
+    assert compact_parquet_dir(spark, d) == 1
+    assert {r.k for r in spark.read.parquet(d).collect()} == {1, 2}
+    assert not os.path.exists(d + ".old")

@@ -437,3 +437,29 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
         n, t = want.get(uid, (0, 0.0))
         want[uid] = (n + 1, t + val)
     assert final == want
+
+
+def test_empty_stream_paths_return_empty(spark, tmp_path):
+    """Zero-row input: the LSH dedup and the upsert sink return EMPTY
+    DataFrames with their documented schemas instead of failing on a
+    never-created state path."""
+    from spark_ml_showcase_spark.streaming import corpus as sc_
+
+    d = os.path.join(str(tmp_path), "emptydocs")
+    spark.createDataFrame([], "doc_id bigint, text string").write.parquet(d)
+
+    stream = se.stream_staged(spark, d, max_files_per_trigger=None)
+    kept = sc_.stream_minhash_dedup(
+        stream, state_dir=os.path.join(str(tmp_path), "st1")
+    )
+    assert kept.columns == ["doc_id", "signature"] and kept.count() == 0
+
+    d2 = os.path.join(str(tmp_path), "emptyev")
+    spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, value double"
+    ).write.parquet(d2)
+    stream2 = se.stream_staged(spark, d2, max_files_per_trigger=None)
+    state = se.upsert_latest_per_key(
+        stream2, state_dir=os.path.join(str(tmp_path), "st2"), keys=["user_id"]
+    )
+    assert state.count() == 0 and "user_id" in state.columns
