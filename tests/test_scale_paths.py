@@ -135,3 +135,41 @@ def test_aqe_skew_join_splits_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    """Runtime row-level filtering: with the bloom-filter optimization
+    on, a selective dim side injects a might_contain() pre-filter into
+    the fact scan of a shuffle join — rows that cannot match are dropped
+    BEFORE the exchange (the runtime complement of static pushdown and
+    DPP)."""
+    import os
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        d = str(tmp_path)
+        spark.range(500_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        ).write.parquet(os.path.join(d, "fact"))
+        spark.range(50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("f")
+        ).write.parquet(os.path.join(d, "dim"))
+        fact = spark.read.parquet(os.path.join(d, "fact"))
+        dim = spark.read.parquet(os.path.join(d, "dim")).filter(F.col("f") == 3)
+        joined = fact.join(dim, "k")
+        plan = _plan(joined)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        assert joined.count() == 50_000 // 7 + (1 if 3 < 50_000 % 7 else 0)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
