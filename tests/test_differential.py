@@ -1,0 +1,99 @@
+"""Differential fuzzing: hypothesis-generated queries run on BOTH Spark
+and DuckDB over the same parquet (SURVEY §5 strategy, generalized).
+
+The 112 registered queries freeze one set of shapes; these properties
+sample the predicate/aggregate space around them — random filters,
+group-bys, and aggregates over `orders` — and require the two engines
+to agree exactly. Counts and decimal-exact sums are order-independent,
+so agreement is bit-for-bit, no rounding slop.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_STATUSES = ["F", "O", "P"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    return con
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.sampled_from(_PRIORITIES), min_size=1, max_size=3, unique=True),
+    st.sampled_from(_STATUSES + [None]),
+    st.floats(min_value=0, max_value=400_000, allow_nan=False),
+    st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+)
+def test_filtered_grouped_aggregate_parity(spark, ddb, prios, status, price_lo, group_col):
+    """Random conjunctive filters + group-by: per-group COUNT and
+    decimal-exact SUM(o_totalprice) agree bit-for-bit."""
+    df = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority").isin(prios)
+        & (F.col("o_totalprice") >= price_lo)
+    )
+    cond = (
+        "o_orderpriority IN ("
+        + ",".join(f"'{p}'" for p in prios)
+        + f") AND o_totalprice >= {price_lo!r}"
+    )
+    if status is not None:
+        df = df.filter(F.col("o_orderstatus") == status)
+        cond += f" AND o_orderstatus = '{status}'"
+    got = {
+        (r.g, r.n, r.s)
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    want = {
+        (g, n, s)
+        for g, n, s in ddb.execute(
+            f"SELECT {group_col}, COUNT(*), "
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+            f"FROM orders WHERE {cond} GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=50),
+    st.sampled_from(["ASC", "DESC"]),
+)
+def test_topk_parity(spark, ddb, k, direction):
+    """Random top-k over a totally ordered key list: identical ordered
+    prefix on both engines."""
+    df = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    col = F.col("o_totalprice")
+    ordered = df.orderBy(
+        col.asc() if direction == "ASC" else col.desc(),
+        F.col("o_orderkey").asc(),
+    ).limit(k)
+    got = [(r.o_orderkey, r.o_totalprice) for r in ordered.collect()]
+    want = ddb.execute(
+        f"SELECT o_orderkey, o_totalprice FROM orders "
+        f"ORDER BY o_totalprice {direction}, o_orderkey ASC LIMIT {k}"
+    ).fetchall()
+    assert got == want
