@@ -31,6 +31,15 @@ def ddb():
     return con
 
 
+@pytest.fixture(scope="module")
+def ddb_events():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    return con
+
+
 @settings(**_SETTINGS)
 @given(
     st.lists(st.sampled_from(_PRIORITIES), min_size=1, max_size=3, unique=True),
@@ -96,4 +105,54 @@ def test_topk_parity(spark, ddb, k, direction):
         f"SELECT o_orderkey, o_totalprice FROM orders "
         f"ORDER BY o_totalprice {direction}, o_orderkey ASC LIMIT {k}"
     ).fetchall()
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=0, max_value=29),  # window start, days into fixture
+    st.integers(min_value=1, max_value=10),  # window length, days
+    st.lists(
+        st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_events_time_range_parity(spark, ddb_events, day_off, n_days, types):
+    """Random event-time ranges + type filters over the ts-normalized
+    events table: per-type counts and decimal-exact value sums agree —
+    the regression net for the timestamp-normalization path (the one
+    surface that has actually broken across fixture generations)."""
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    base = 1704067200  # 2024-01-01 UTC, the fixture epoch
+    lo = base + day_off * 86400
+    hi = lo + n_days * 86400
+    ev = Catalog(spark, SF).events
+    got = {
+        (r.t, r.n, r.s)
+        for r in ev.filter(
+            F.col("event_type").isin(types)
+            & (F.col("ts").cast("long") >= lo)
+            & (F.col("ts").cast("long") < hi)
+        )
+        .groupBy(F.col("event_type").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    tlist = ",".join(f"'{t}'" for t in types)
+    want = {
+        (t, n, s)
+        for t, n, s in ddb_events.execute(
+            f"SELECT event_type, COUNT(*), "
+            f"CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) FROM events "
+            f"WHERE event_type IN ({tlist}) "
+            f"AND floor(epoch(ts)) >= {lo} AND floor(epoch(ts)) < {hi} "
+            f"GROUP BY 1"
+        ).fetchall()
+    }
     assert got == want
