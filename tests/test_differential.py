@@ -156,3 +156,47 @@ def test_events_time_range_parity(spark, ddb_events, day_off, n_days, types):
         ).fetchall()
     }
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def ddb_docs():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from(["en", "de", "fr", "es", None]),
+    st.text(alphabet="abcdefghij", min_size=1, max_size=3),
+    st.integers(min_value=0, max_value=200),
+)
+def test_documents_string_predicate_parity(spark, ddb_docs, lang, needle, min_chars):
+    """Random language filters + substring predicates + length bounds
+    over documents: counts and whitespace-token totals agree (generative
+    net over the text-analysis expression surface)."""
+    from spark_ml_showcase_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("text").contains(needle) & (F.col("n_chars") >= min_chars)
+    )
+    cond = (
+        f"contains(text, '{needle}') AND n_chars >= {min_chars}"
+    )
+    if lang is not None:
+        docs = docs.filter(F.col("lang") == lang)
+        cond += f" AND lang = '{lang}'"
+    got = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(T.whitespace_token_count("text").cast("bigint")), F.lit(0)
+        ).alias("toks"),
+    ).first()
+    want = ddb_docs.execute(
+        r"SELECT COUNT(*), COALESCE(SUM(len(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> ''))), 0) "
+        f"FROM documents WHERE {cond}"
+    ).fetchone()
+    assert (got.n, got.toks) == want
