@@ -200,3 +200,86 @@ def test_documents_string_predicate_parity(spark, ddb_docs, lang, needle, min_ch
         f"FROM documents WHERE {cond}"
     ).fetchone()
     assert (got.n, got.toks) == want
+
+
+@pytest.fixture(scope="module")
+def ddb_join():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF}/customer.parquet')"
+    )
+    return con
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    st.sampled_from(["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]),
+    st.sampled_from(_PRIORITIES),
+)
+def test_join_type_parity(spark, ddb_join, how, segment, prio):
+    """Random join types with filters on both sides: row counts agree.
+    Semi/anti are the subtle cases (existence semantics, null handling);
+    left-outer checks preserved-row counting."""
+    c = spark.read.parquet(f"{SF}/customer.parquet").filter(
+        F.col("c_mktsegment") == segment
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == prio
+    )
+    got = c.join(o, c.c_custkey == o.o_custkey, how).count()
+    sql = {
+        "inner": "SELECT COUNT(*) FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '{p}' WHERE c.c_mktsegment = '{s}'",
+        "left": "SELECT COUNT(*) FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '{p}') o ON c.c_custkey = o.o_custkey WHERE c.c_mktsegment = '{s}'",
+        "left_semi": "SELECT COUNT(*) FROM customer c WHERE c.c_mktsegment = '{s}' AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '{p}')",
+        "left_anti": "SELECT COUNT(*) FROM customer c WHERE c.c_mktsegment = '{s}' AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '{p}')",
+    }[how].format(p=prio, s=segment)
+    (want,) = ddb_join.execute(sql).fetchone()
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.sampled_from(["click", "purchase", "view"]),
+)
+def test_window_running_sum_parity(spark, ddb_events, nth, etype):
+    """Analytic windows: the running decimal-exact value sum at every
+    user's nth event (ordered by ts, event_id) agrees across engines."""
+    from pyspark.sql.window import Window
+
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, SF).events.filter(F.col("event_type") == etype)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    got = {
+        (r.user_id, r.s)
+        for r in ev.withColumn(
+            "s",
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == nth)
+        .select("user_id", "s")
+        .collect()
+    }
+    want = {
+        (u, s)
+        for u, s in ddb_events.execute(
+            f"""
+            SELECT user_id, CAST(s AS DOUBLE) FROM (
+              SELECT user_id,
+                     SUM(CAST(value AS DECIMAL(28,6)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS s,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events WHERE event_type = '{etype}'
+            ) WHERE rn = {nth}
+            """
+        ).fetchall()
+    }
+    assert got == want
