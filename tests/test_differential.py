@@ -283,3 +283,77 @@ def test_window_running_sum_parity(spark, ddb_events, nth, etype):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from(_PRIORITIES),
+    st.sampled_from(_PRIORITIES),
+    st.sampled_from(["except", "intersect", "union"]),
+)
+def test_set_op_parity(spark, ddb, p1, p2, op):
+    """Random EXCEPT/INTERSECT/UNION (distinct semantics) over filtered
+    key sets: Spark's set operators match DuckDB's."""
+    a = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == p1
+    ).select("o_custkey")
+    b = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == p2
+    ).select("o_custkey")
+    got = {
+        "except": a.subtract(b),  # EXCEPT DISTINCT, matching SQL EXCEPT
+        "intersect": a.intersect(b),
+        "union": a.union(b).distinct(),
+    }[op].count()
+    sql_op = {"except": "EXCEPT", "intersect": "INTERSECT", "union": "UNION"}[op]
+    (want,) = ddb.execute(
+        f"SELECT COUNT(*) FROM ("
+        f"SELECT o_custkey FROM orders WHERE o_orderpriority = '{p1}' "
+        f"{sql_op} "
+        f"SELECT o_custkey FROM orders WHERE o_orderpriority = '{p2}')"
+    ).fetchone()
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.sampled_from(["ROLLUP", "CUBE"]), st.sampled_from(_STATUSES + [None]))
+def test_rollup_cube_parity(spark, ddb, shape, status):
+    """Random ROLLUP/CUBE over (priority, status): every grouping level's
+    counts and decimal-exact sums agree, including the NULL supergroup
+    markers."""
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    cond = "1=1"
+    if status is not None:
+        df = df.filter(F.col("o_orderstatus") == status)
+        cond = f"o_orderstatus = '{status}'"
+    grouped = (
+        df.rollup("o_orderpriority", "o_orderstatus")
+        if shape == "ROLLUP"
+        else df.cube("o_orderpriority", "o_orderstatus")
+    )
+    got = {
+        (r.p, r.s, r.n, r.t)
+        for r in grouped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("t"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("s"),
+            "n",
+            "t",
+        )
+        .collect()
+    }
+    want = {
+        (p, s, n, t)
+        for p, s, n, t in ddb.execute(
+            f"SELECT o_orderpriority, o_orderstatus, COUNT(*), "
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+            f"FROM orders WHERE {cond} "
+            f"GROUP BY {shape}(o_orderpriority, o_orderstatus)"
+        ).fetchall()
+    }
+    assert got == want
