@@ -97,12 +97,17 @@ def standard_cleaning_pipeline(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     semantic_threshold: float = 0.95,
+    model_quality_min: float | None = None,
 ) -> CorpusPipeline:
     """The standard LLM-corpus cleaning recipe as a pipeline:
     exact dedup → MinHash near-dedup (min-id reps) → [semantic dedup when
     an ``embeddings`` table is supplied: SemDeDup over the surviving
     docs' vectors, ids matched ``id_col``↔``vec_id_col``] → quality/lang
-    gate → cross-doc boilerplate drop → bigram-LM fluency gate. Compose
+    gate → cross-doc boilerplate drop → bigram-LM fluency gate →
+    [learned quality filter when ``model_quality_min`` is set: a
+    weak-supervision classifier (``ml.quality_filter``) trained on the
+    surviving corpus's own heuristic extremes, dropping docs scored
+    below the threshold — the CCNet/LLaMA model-filter step]. Compose
     further (``.then("chunks", ...)``) for chunking/sharding."""
     from spark_ml_showcase_spark.functions import similarity
     from spark_ml_showcase_spark.functions import text as TX
@@ -165,7 +170,7 @@ def standard_cleaning_pipeline(
     )
     if embeddings is not None:
         pipe = pipe.then("semantic_dedup", semantic_gate, materialize="cache")
-    return (
+    pipe = (
         pipe
         # lineage cut HERE: the report fans out one branch per stage and
         # the boiler/LM subtrees stack on the dedup chain (see module
@@ -174,3 +179,16 @@ def standard_cleaning_pipeline(
         .then("boilerplate", boiler_gate, materialize="cache")
         .then("lm_fluency", lm_gate, materialize="cache")
     )
+    if model_quality_min is not None:
+
+        def model_gate(df: DataFrame) -> DataFrame:
+            from spark_ml_showcase_spark.ml import quality_filter as qf
+
+            model = qf.train_quality_filter(df, text_col=text_col, seed=40)
+            keep = qf.score_quality(
+                model, df, id_col=id_col, text_col=text_col
+            ).filter(F.col("quality_prob") >= model_quality_min)
+            return df.join(keep.select(id_col), id_col, "left_semi")
+
+        pipe = pipe.then("model_quality", model_gate, materialize="cache")
+    return pipe

@@ -92,3 +92,40 @@ def test_standard_pipeline_with_semantic_dedup_stage(spark):
     counts = {r.stage: r.n_docs for r in report.collect()}
     assert counts["3_semantic_dedup"] == 2
     assert {r.doc_id for r in out.select("doc_id").collect()} == {0, 5}
+
+
+def test_standard_pipeline_with_model_quality_stage(spark):
+    """model_quality_min adds the learned-filter stage: clean prose
+    survives it, degenerate junk that slipped the heuristic threshold
+    gets dropped, and the report gains the stage row."""
+    from spark_ml_showcase_spark.operators import corpus_pipeline as cp
+
+    clean = [
+        (i, "for general text the and of to in is that it with good prose "
+            "about one topic and another idea " + f"tail{i}")
+        for i in range(20)
+    ]
+    # junk the HEURISTIC labeler also dislikes (symbol-heavy): weak
+    # supervision can only teach the model what its labels know, so the
+    # negatives must be heuristic-visible junk — stopword-spam, which
+    # the heuristic reads as prose, would invert the labels
+    junk = [
+        (100 + i, "!!! ??? ### @@@ %%% ^^^ &&& *** ((( ))) "
+                  "=== +++ ~~~ ||| " + f"x{i}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(clean + junk, "doc_id bigint, text string")
+    pipe = cp.standard_cleaning_pipeline(
+        near_threshold=0.95,  # tails differ; keep all through dedup
+        quality_min=0.0,      # heuristic gate wide open → the MODEL decides
+        lm_bits_max=1e9,
+        boiler_min_docs=10_000,
+        model_quality_min=0.5,
+    )
+    cleaned, report = pipe.run(docs)
+    stages = {r.stage for r in report.collect()}
+    assert any("model_quality" in s for s in stages)
+    kept = {r.doc_id for r in cleaned.collect()}
+    # every surviving doc is from the clean half; most clean docs survive
+    assert kept and all(k < 100 for k in kept)
+    assert len(kept) >= 15

@@ -154,3 +154,34 @@ def test_als_reference_params():
     assert a.getColdStartStrategy() == "drop"
     d = recommend.als()
     assert d.getSeed() == 40
+
+
+def test_quality_filter_weak_supervision(spark):
+    """The learned quality filter: seeded-deterministic, scores every
+    doc, and ranks clean prose above degenerate junk it never saw
+    labeled as such."""
+    from spark_ml_showcase_spark.ml import quality_filter as qf
+
+    clean = [
+        (i, "the quick brown fox jumps over the lazy dog near the river bank " * 3)
+        for i in range(30)
+    ]
+    junk = [
+        (100 + i, "zzz " * 2 + "!!! ??? ### @@@ " * 6) for i in range(30)
+    ]
+    mixed = [(200 + i, "some words mixed with !!! noise tokens here") for i in range(10)]
+    docs = spark.createDataFrame(clean + junk + mixed, "doc_id bigint, text string")
+
+    model = qf.train_quality_filter(docs, seed=40)
+    scored = qf.score_quality(model, docs)
+    rows = {r.doc_id: r.quality_prob for r in scored.collect()}
+    assert len(rows) == 70  # full corpus scored, middle tercile included
+    avg_clean = sum(rows[i] for i in range(30)) / 30
+    avg_junk = sum(rows[100 + i] for i in range(30)) / 30
+    assert avg_clean > 0.8 > 0.2 > avg_junk
+    # seeded determinism: refit → identical probabilities
+    rows2 = {
+        r.doc_id: r.quality_prob
+        for r in qf.score_quality(qf.train_quality_filter(docs, seed=40), docs).collect()
+    }
+    assert rows == rows2
