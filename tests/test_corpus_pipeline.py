@@ -129,3 +129,69 @@ def test_standard_pipeline_with_model_quality_stage(spark):
     # every surviving doc is from the clean half; most clean docs survive
     assert kept and all(k < 100 for k in kept)
     assert len(kept) >= 15
+
+
+def test_offline_trained_filter_scores_stream(spark, tmp_path):
+    """Train the quality filter OFFLINE, score documents arriving as a
+    STREAM: the MLlib transform is row-local, so the same model serves
+    batch backfill and online ingestion — scores must match exactly."""
+    import os
+
+    from spark_ml_showcase_spark.ml import quality_filter as qf
+    from spark_ml_showcase_spark.streaming import events as se
+
+    clean = [(i, "plain words about a topic with reasonable text " + f"t{i}")
+             for i in range(15)]
+    junk = [(100 + i, "!!! ### @@@ %%% ^^^ &&& *** " + f"x{i}") for i in range(15)]
+    docs = spark.createDataFrame(clean + junk, "doc_id bigint, text string")
+    model = qf.train_quality_filter(docs, seed=40)
+    batch_scores = {
+        r.doc_id: r.quality_prob for r in qf.score_quality(model, docs).collect()
+    }
+
+    d = os.path.join(str(tmp_path), "docstream")
+    docs.coalesce(1).write.parquet(d)
+    stream = se.stream_staged(spark, d, max_files_per_trigger=None)
+    scored_stream = qf.score_quality(model, stream)
+    out = se.run_to_memory(scored_stream, spark, output_mode="append")
+    stream_scores = {r.doc_id: r.quality_prob for r in out.collect()}
+    assert stream_scores == batch_scores
+
+
+def test_pipeline_to_training_shards_end_to_end(spark, tmp_path):
+    """The full corpus path in one composition: clean → chunk → pack →
+    export as manifest-gated JSONL shards. Every packed sequence lands in
+    exactly one shard line and the manifest tallies agree."""
+    import json
+    import os
+
+    from spark_ml_showcase_spark.operators import chunking
+    from spark_ml_showcase_spark.operators import corpus_pipeline as cp
+    from spark_ml_showcase_spark.sources.pydatasource import write_jsonl_shards
+
+    docs = spark.createDataFrame(
+        [
+            (i, "some reasonably long prose text with many plain words "
+                "repeated across documents to survive cleaning " + f"tail{i}")
+            for i in range(12)
+        ],
+        "doc_id bigint, text string",
+    )
+    pipe = cp.standard_cleaning_pipeline(
+        near_threshold=0.99, quality_min=0.0, lm_bits_max=1e9,
+        boiler_min_docs=10_000,
+    )
+    cleaned, _ = pipe.run(docs)
+    chunks = chunking.assign_shards(
+        chunking.chunk_documents(cleaned, max_tokens=8, overlap=2), 2
+    )
+    packed = chunking.pack_sequences(chunks, max_tokens=32)
+    out = os.path.join(str(tmp_path), "shards")
+    write_jsonl_shards(packed, out, shards=2)
+    manifest = json.load(open(os.path.join(out, "MANIFEST.json")))
+    assert manifest["total_rows"] == packed.count() > 0
+    n_lines = sum(
+        len(open(os.path.join(out, s["shard"])).read().splitlines())
+        for s in manifest["shards"]
+    )
+    assert n_lines == manifest["total_rows"]
