@@ -131,6 +131,38 @@ def probe_minhash_200k_docs(spark):
     return n
 
 
+def probe_stream_agg_1m(spark):
+    """Structured Streaming at 10× the fixture: 1M events in 4 files
+    replayed as micro-batches through the watermarked tumbling aggregate
+    into the checkpointed parquet sink (the production path end-to-end:
+    source listing, state store, watermark finalization, sink manifest)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_ml_showcase_spark.streaming import events as se
+
+    n = 1_000_000
+    base = os.path.join(tempfile.gettempdir(), "smss_probe_stream")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(1_700_000_000 + (F.col("id") % 600) * 360).alias("ts"),
+        (F.col("id") % 5000).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") % 97).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.repartitionByRange(4, "event_id").write.parquet(src)
+    stream = se.stream_staged(spark, src, max_files_per_trigger=1)
+    agg = se.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    sink = se.run_to_parquet(agg, spark, out_dir=os.path.join(base, "sink"))
+    assert sink.count() > 0
+    shutil.rmtree(base, ignore_errors=True)
+    return n
+
+
 PROBES = {
     "exact_dedup_50m": probe_exact_dedup_50m,
     "window_budget_20m": probe_window_budget_20m,
@@ -138,6 +170,7 @@ PROBES = {
     "agg_100m": probe_agg_100m,
     "topk_50m": probe_topk_50m,
     "minhash_200k_docs": probe_minhash_200k_docs,
+    "stream_agg_1m": probe_stream_agg_1m,
 }
 
 
