@@ -90,14 +90,25 @@ def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
     )
 
 
+def mean_word_length(col: str | Column) -> Column:
+    """Mean characters per whitespace token (total chars — whitespace
+    included — over token count; 0.0 for empty/blank). ONE definition
+    shared by the heuristic ``quality_score`` and the learned filter's
+    feature vector (``ml.quality_filter``): the learned model's feature
+    must stay in lockstep with the weak-label signal it trains on."""
+    c = _c(col)
+    n_tok = whitespace_token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(n_chars / n_tok)
+
+
 def quality_score(col: str | Column) -> Column:
     """Composite heuristic quality score in [0, 1]: rewards moderate length,
     low punctuation density, mid-range mean word length — the standard
     cheap pre-filters of web-scale corpus cleaning (C4-style)."""
     c = _c(col)
     n_tok = whitespace_token_count(c).cast("double")
-    n_chars = F.length(c).cast("double")
-    mean_word_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(n_chars / n_tok)
+    mean_word_len = mean_word_length(c)
     len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     word_len_score = F.when(
         (mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0)

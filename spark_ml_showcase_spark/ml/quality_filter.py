@@ -15,10 +15,13 @@ the engine:
    length, punctuation/stopword ratios — JVM expressions) plus a hashed
    lexical bag (RegexTokenizer → HashingTF → IDF), assembled into one
    vector.
-3. **Seeded LogisticRegression** fit on the confident extremes, then
-   scored over the FULL corpus — the filter's output is a calibrated
-   ``quality_prob``, thresholded by the caller per use-case (pretrain
-   vs fine-tune corpora want different purity).
+3. **LogisticRegression** fit on the confident extremes (deterministic:
+   L-BFGS over deterministic features — ``seed`` governs only the
+   optional training subsample), then scored over the FULL corpus — the
+   filter's output is a calibrated ``quality_prob``, thresholded by the
+   caller per use-case (pretrain vs fine-tune corpora want different
+   purity). NULL text scores like an empty string; rows are never
+   dropped by the scorer.
 
 Scale posture: labeling and featurization are narrow column work; the
 LR fit is MLlib's distributed L-BFGS over the (subsampled) training
@@ -35,19 +38,20 @@ from pyspark.sql import functions as F
 from spark_ml_showcase_spark.functions import text as TX
 
 _NUMERIC_FEATS = ["n_tok", "mean_wlen", "punct_r", "stop_r"]
+_SAFE_TEXT = "_qf_text"
 
 
 def _with_text_stats(docs: DataFrame, text_col: str) -> DataFrame:
-    toks = TX.whitespace_token_count(text_col).cast("double")
-    chars = F.length(F.col(text_col)).cast("double")
+    # NULL text → empty string: the row stays scoreable (gets a low
+    # probability) instead of crashing the tokenizer/assembler —
+    # score_quality's contract is one score per input row
+    safe = F.coalesce(F.col(text_col), F.lit(""))
     return (
-        docs.withColumn("n_tok", toks)
-        .withColumn(
-            "mean_wlen",
-            F.when(toks > 0, chars / toks).otherwise(F.lit(0.0)),
-        )
-        .withColumn("punct_r", TX.punct_ratio(text_col))
-        .withColumn("stop_r", TX.stopword_ratio(text_col))
+        docs.withColumn(_SAFE_TEXT, safe)
+        .withColumn("n_tok", TX.whitespace_token_count(_SAFE_TEXT).cast("double"))
+        .withColumn("mean_wlen", TX.mean_word_length(_SAFE_TEXT))
+        .withColumn("punct_r", TX.punct_ratio(_SAFE_TEXT))
+        .withColumn("stop_r", TX.stopword_ratio(_SAFE_TEXT))
     )
 
 
@@ -62,7 +66,14 @@ def train_quality_filter(
     PipelineModel whose ``transform`` adds ``probability``/``prediction``
     (use :func:`score_quality` for the tidy (doc_id, quality_prob)
     surface). ``train_fraction`` subsamples the labeled extremes before
-    the fit — the 100 TB path."""
+    the fit — the 100 TB path; ``seed`` governs ONLY that subsample
+    (refits are reproducible regardless: deterministic featurization +
+    deterministic L-BFGS, which is what the determinism test pins).
+
+    Raises ``ValueError`` on a corpus with no labelable rows — callers
+    composing pipelines should guard the empty case (the
+    ``model_quality`` stage passes empties through untouched).
+    """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import (
@@ -73,29 +84,43 @@ def train_quality_filter(
     )
 
     stats = _with_text_stats(docs, text_col).withColumn(
-        "_q", TX.quality_score(text_col)
+        "_q", TX.quality_score(_SAFE_TEXT)
     )
-    lo, hi = stats.approxQuantile("_q", [1 / 3, 2 / 3], 0.001)
+    quantiles = stats.approxQuantile("_q", [1 / 3, 2 / 3], 0.001)
+    if not quantiles:
+        raise ValueError(
+            "cannot train a quality filter on an empty corpus "
+            "(no rows to derive weak labels from)"
+        )
+    lo, hi = quantiles
     labeled = stats.filter((F.col("_q") <= lo) | (F.col("_q") >= hi)).withColumn(
         "label", (F.col("_q") >= hi).cast("double")
     )
     if train_fraction is not None:
         labeled = labeled.sample(fraction=train_fraction, seed=seed)
-
-    pipe = Pipeline(
-        stages=[
-            RegexTokenizer(inputCol=text_col, outputCol="_tok", pattern=r"\s+"),
-            HashingTF(inputCol="_tok", outputCol="_tf", numFeatures=128),
-            IDF(inputCol="_tf", outputCol="_tfidf"),
-            VectorAssembler(
-                inputCols=[*_NUMERIC_FEATS, "_tfidf"], outputCol="features"
-            ),
-            LogisticRegression(
-                maxIter=25, regParam=0.01, standardization=True
-            ),
-        ]
-    )
-    return pipe.fit(labeled)
+    # the fit is several actions (IDF fit, L-BFGS iterations) over the
+    # same labeled frame — cache it so the text-stats/labeling lineage
+    # computes once, not per action
+    labeled = labeled.cache()
+    try:
+        pipe = Pipeline(
+            stages=[
+                RegexTokenizer(
+                    inputCol=_SAFE_TEXT, outputCol="_tok", pattern=r"\s+"
+                ),
+                HashingTF(inputCol="_tok", outputCol="_tf", numFeatures=128),
+                IDF(inputCol="_tf", outputCol="_tfidf"),
+                VectorAssembler(
+                    inputCols=[*_NUMERIC_FEATS, "_tfidf"], outputCol="features"
+                ),
+                LogisticRegression(
+                    maxIter=25, regParam=0.01, standardization=True
+                ),
+            ]
+        )
+        return pipe.fit(labeled)
+    finally:
+        labeled.unpersist()
 
 
 def score_quality(

@@ -98,6 +98,7 @@ def standard_cleaning_pipeline(
     vec_col: str = "embedding",
     semantic_threshold: float = 0.95,
     model_quality_min: float | None = None,
+    model_train_fraction: float | None = None,
 ) -> CorpusPipeline:
     """The standard LLM-corpus cleaning recipe as a pipeline:
     exact dedup → MinHash near-dedup (min-id reps) → [semantic dedup when
@@ -184,7 +185,16 @@ def standard_cleaning_pipeline(
         def model_gate(df: DataFrame) -> DataFrame:
             from spark_ml_showcase_spark.ml import quality_filter as qf
 
-            model = qf.train_quality_filter(df, text_col=text_col, seed=40)
+            if df.isEmpty():
+                return df  # nothing to learn from or filter
+            model = qf.train_quality_filter(
+                df,
+                text_col=text_col,
+                seed=40,
+                # at 100 TB fit on a sample, score everything — the
+                # documented posture of the learned-filter module
+                train_fraction=model_train_fraction,
+            )
             keep = qf.score_quality(
                 model, df, id_col=id_col, text_col=text_col
             ).filter(F.col("quality_prob") >= model_quality_min)

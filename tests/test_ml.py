@@ -185,3 +185,37 @@ def test_quality_filter_weak_supervision(spark):
         for r in qf.score_quality(qf.train_quality_filter(docs, seed=40), docs).collect()
     }
     assert rows == rows2
+
+
+def test_quality_filter_null_text_and_empty_corpus(spark):
+    """NULL text scores like an empty string (rows never dropped); an
+    empty corpus raises a clear error from training, and the pipeline
+    stage passes empties through instead."""
+    import pytest
+
+    from spark_ml_showcase_spark.ml import quality_filter as qf
+    from spark_ml_showcase_spark.operators import corpus_pipeline as cp
+
+    docs = spark.createDataFrame(
+        [(i, "plain words about a topic here " + f"t{i}") for i in range(10)]
+        + [(50, None), (51, "!!! ### @@@ %%% ^^^")],
+        "doc_id bigint, text string",
+    )
+    model = qf.train_quality_filter(docs, seed=40)
+    scored = {r.doc_id: r.quality_prob for r in qf.score_quality(model, docs).collect()}
+    assert len(scored) == 12 and scored[50] is not None  # NULL row scored
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        qf.train_quality_filter(
+            spark.createDataFrame([], "doc_id bigint, text string")
+        )
+    # pipeline stage: all docs die upstream (lang gate) → empty out, no crash
+    nonenglish = spark.createDataFrame(
+        [(i, "das ist ein deutscher satz mit vielen worten und mehr text "
+             + f"n{i}") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    out, _ = cp.standard_cleaning_pipeline(
+        lang="en", model_quality_min=0.5
+    ).run(nonenglish)
+    assert out.count() == 0

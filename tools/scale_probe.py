@@ -154,7 +154,11 @@ def probe_stream_agg_1m(spark):
         (F.col("id") % 97).cast("double").alias("value"),
         F.lit("{}").alias("props"),
     )
-    ev.repartitionByRange(4, "event_id").write.parquet(src)
+    # range files on TIME, not id: files replay in event-time order, so
+    # the watermark advances batch over batch without late-dropping the
+    # bulk of later files — the probe measures the aggregate, not the
+    # late-row discard path
+    ev.repartitionByRange(4, "ts", "event_id").write.parquet(src)
     stream = se.stream_staged(spark, src, max_files_per_trigger=1)
     agg = se.tumbling_counts(stream, window="1 hour", watermark="2 hours")
     sink = se.run_to_parquet(agg, spark, out_dir=os.path.join(base, "sink"))
