@@ -215,16 +215,24 @@ def resize_images(
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
         for pdf in batches:
             rows = []
             for rid, buf in zip(pdf["id"], pdf["payload"]):
+                if buf is None:
+                    # NULL payload (missing blob): pass-through, never a
+                    # job-killing TypeError at bytes(None)
+                    rows.append((int(rid), None, None, None, 0, False))
+                    continue
                 b = bytes(buf)
                 if b[:2] == b"BM":
                     try:
                         nb = resize_bmp(b, target_w, target_h)
-                    except ValueError:
+                    except (ValueError, struct.error):
                         # 'BM' magic but not a decodable 24-bit BMP
-                        # (8-bit/RLE/32-bit variants, truncated payloads):
+                        # (8-bit/RLE/32-bit variants, payloads shorter
+                        # than the 54-byte header → struct.error):
                         # honor the pass-through contract — one odd file
                         # in a 100 TB corpus must not kill the job
                         rows.append((int(rid), b, None, None, len(b), False))

@@ -58,10 +58,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _WINDOW = 50
 
 
+def _record_green(rec) -> bool:
+    """A driver record counts as evidence only if it PASSED: no error
+    (rows-only checks carry err='no_oracle' and are fine) and no explicit
+    False on any match flag. A red record is not evidence — the query
+    must sort back into the window next round (round-5 incident: two
+    hash-FAIL queries had the NEWEST records and would otherwise have
+    rotated to the back, staying red for two more rounds)."""
+    if not isinstance(rec, dict):
+        return False
+    if rec.get("err") not in (None, "no_oracle"):
+        return False
+    return not any(
+        rec.get(k) is False for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
 def latest_correctness_rounds() -> dict[str, int]:
-    """Latest CORRECTNESS_r*.json round per query name, read from the
-    repo root. Queries absent from every artifact (registered this
-    round) simply don't appear."""
+    """Latest GREEN CORRECTNESS_r*.json round per query name, read from
+    the repo root. Queries absent from every artifact (registered this
+    round) — or never recorded green — simply don't appear."""
     import json
     import re
     from pathlib import Path
@@ -77,8 +93,9 @@ def latest_correctness_rounds() -> dict[str, int]:
             records = json.loads(p.read_text())
         except (OSError, ValueError):
             continue  # a malformed artifact must not break the registry
-        for q in records:
-            latest[q] = max(latest.get(q, 0), rnd)
+        for q, rec in records.items():
+            if _record_green(rec):
+                latest[q] = max(latest.get(q, 0), rnd)
     return latest
 
 

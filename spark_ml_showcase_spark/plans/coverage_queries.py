@@ -390,7 +390,7 @@ def value_quartiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT 'src' || CAST(i % 8 AS VARCHAR) AS source,
            COUNT(*) AS n_docs,
-           SUM(20 + (i * 37) % 200) AS sum_tokens,
+           CAST(SUM(20 + (i * 37) % 200) AS BIGINT) AS sum_tokens,
            CAST(SUM(CASE WHEN (i * 7919) % 101 >= 50 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_good
     FROM range(0, 10000) t(i)

@@ -96,7 +96,8 @@ def project_cast_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_derive_log",
     oracle="""
     SELECT o_orderkey AS order_key,
-           CASE WHEN o_totalprice > 200000 THEN 1.0 ELSE 0.0 END AS big_order,
+           CAST(CASE WHEN o_totalprice > 200000 THEN 1.0 ELSE 0.0 END
+                AS DOUBLE) AS big_order,
            ROUND(LN(CASE WHEN o_totalprice = 0 THEN 0.5 ELSE o_totalprice END), 6)
                AS log_price
     FROM orders

@@ -69,7 +69,10 @@ def stream_minhash_dedup(
     as a batch DataFrame with columns ``(id_col, signature)`` — the
     signature rides along so downstream consumers can verify/extend the
     index without re-signing. Empty input → empty result (no state dir
-    is ever written, handled explicitly).
+    is ever written, handled explicitly). Docs with fewer than ``ngram``
+    tokens shingle to nothing and are retained unconditionally with an
+    EMPTY signature — same as the batch pipeline, where they simply form
+    no candidate pairs.
 
     DESTRUCTIVE: ``state_dir`` is wiped at the start of each call (a
     deterministic result needs an empty initial index).
@@ -136,9 +139,23 @@ def stream_minhash_dedup(
             )
         )
         dropped = est.filter(F.col("_est_j") >= threshold).select("_nid").distinct()
-        survivors = sigs.join(
-            dropped, sigs["_id"] == dropped["_nid"], "left_anti"
-        ).localCheckpoint()  # materialize BEFORE the state appends read/extend it
+        # Docs with fewer than `ngram` tokens produce ZERO shingles, so
+        # the explode inside _minhash_signatures_agg drops them from
+        # `sigs` — without this union they would silently vanish (neither
+        # retained nor flagged as dups). The batch pipeline RETAINS such
+        # docs (they form no candidate pairs); match it by appending them
+        # as automatic survivors with an empty placeholder signature —
+        # they emit no band buckets, so they can never be candidates.
+        zero_shingle = (
+            batch_df.select(F.col(id_col).alias("_id"))
+            .join(sigs.select("_id"), "_id", "left_anti")
+            .withColumn("_sig", F.array().cast("array<bigint>"))
+        )
+        survivors = (
+            sigs.join(dropped, sigs["_id"] == dropped["_nid"], "left_anti")
+            .unionByName(zero_shingle)
+            .localCheckpoint()  # materialize BEFORE the state appends read/extend it
+        )
         survivors.write.mode("append").parquet(sig_dir)
         bks.join(survivors.select("_id"), "_id", "left_semi").write.mode(
             "append"

@@ -92,6 +92,44 @@ def test_order_is_new_first_then_oldest_record():
     assert keyed == sorted(keyed), "registry order not deterministic"
 
 
+def test_red_record_is_not_evidence():
+    """Round-5 incident: two hash-FAIL queries carried the NEWEST driver
+    records and would have rotated to the back of the registry, staying
+    red for two more rounds. A record counts as evidence only if green."""
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "err": "no_oracle"}
+    assert plans._record_green(green)
+    assert plans._record_green(rows_only)
+    assert not plans._record_green({**green, "hash_match": False})
+    assert not plans._record_green({**green, "rows_match": False})
+    assert not plans._record_green({**green, "err": "spark error"})
+    assert not plans._record_green("not-a-dict")
+
+
+def test_failed_latest_record_sorts_into_front_bucket():
+    """Any query whose newest committed record is red must occupy the
+    same front bucket as an unrecorded query (rank -1 in front_order)."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(plans.__file__).resolve().parents[2]
+    newest: dict[str, tuple[int, dict]] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        for q, rec in json.loads(p.read_text()).items():
+            if q not in newest or rnd > newest[q][0]:
+                newest[q] = (rnd, rec)
+    latest_green = plans.latest_correctness_rounds()
+    names = _registry_names()
+    window = set(names[: plans._WINDOW])
+    for q, (_rnd, rec) in newest.items():
+        if q in set(names) and not plans._record_green(rec):
+            if latest_green.get(q) is None:
+                assert q in window, f"red-latest query {q!r} outside the window"
+
+
 def test_artifacts_cover_only_known_or_renamed_queries():
     """Every registered query either has a driver record already or is
     new enough to be in the front window (sanity: artifact names and

@@ -226,6 +226,21 @@ def test_semantic_dedup_hot_cluster_guard_is_conservative(spark):
     assert out.count() == 40
 
 
+def test_semantic_dedup_registered_query_self_evidence(spark):
+    """The registered `semantic_dedup` query (#113) plants exact copies
+    (vec_id+1_000_000) of the first 50 vectors; the rows-only driver
+    record is meaningful only if the planted copies are provably dropped
+    and every original provably survives — pin that contract here."""
+    from spark_ml_showcase_spark.plans import extensions as X
+
+    sf = "/root/testdata/sf0.001"
+    n_orig = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    rows = X.semantic_dedup(spark, sf).collect()
+    ids = {r.vec_id for r in rows}
+    assert len(rows) == n_orig
+    assert not any(i >= 1_000_000 for i in ids), "planted copy survived"
+
+
 def test_ivf_index_persist_probe_parity(spark, tmp_path):
     """build-once/probe-many equals the self-contained ivf_topk (same
     seed → same quantizer), and the persisted layout is partitioned by

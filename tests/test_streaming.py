@@ -312,6 +312,40 @@ def test_stream_minhash_dedup_incremental(spark, tmp_path):
     assert got == {1, 2, 103}
 
 
+def test_stream_minhash_dedup_retains_short_docs(spark, tmp_path):
+    """Docs with fewer than `ngram` tokens shingle to nothing; the batch
+    pipeline retains them (no candidate pairs), and the stream must too —
+    the pre-fix behavior silently dropped them (advisor r5: neither kept
+    nor flagged). They come back with an EMPTY placeholder signature."""
+    from spark_ml_showcase_spark.streaming import corpus as sc_
+
+    long1 = "the quick brown fox jumps over the lazy dog near the river bank at noon"
+    batch1 = [(1, long1), (2, "too short")]          # 2 tokens < ngram=3
+    batch2 = [(10, "tiny"), (11, "too short"), (12, long1)]
+    d = os.path.join(str(tmp_path), "docs")
+    for part in (batch1, batch2):
+        spark.createDataFrame(part, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    stream = se.stream_staged(spark, d, max_files_per_trigger=1)
+    kept = sc_.stream_minhash_dedup(
+        stream,
+        state_dir=os.path.join(str(tmp_path), "lsh_state"),
+        ngram=3,
+        k=32,
+        bands=8,
+        threshold=0.5,
+    )
+    rows = {r.doc_id: r.signature for r in kept.collect()}
+    # 12 is an exact dup of 1 → dropped; every zero-shingle doc survives
+    # (incl. 11, an exact text copy of 2 — matches batch semantics: no
+    # shingles, no candidate pairs, both retained)
+    assert set(rows) == {1, 2, 10, 11}
+    assert rows[2] == [] and rows[10] == [] and rows[11] == []
+    assert len(rows[1]) == 32
+
+
 def test_stream_decontaminate_matches_batch(spark, tmp_path):
     """Streaming decontamination (literal-set filter + stream-static
     semi join) classifies docs exactly like the batch operator."""

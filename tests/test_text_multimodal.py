@@ -229,3 +229,18 @@ def test_resize_images_passes_through_undecodable_bm(spark):
     assert rows[1].resized and (rows[1].width, rows[1].height) == (2, 2)
     assert not rows[2].resized and bytes(rows[2].payload) == truncated
     assert not rows[3].resized and bytes(rows[3].payload) == notbmp
+
+
+def test_resize_images_survives_header_stub_and_null_payload(spark):
+    """A payload of bare b'BM' (shorter than the 54-byte header →
+    struct.error, not ValueError) and a NULL payload must both emit
+    pass-through rows instead of failing the job (advisor r5)."""
+    good = multimodal.encode_bmp(2, 2, (9, 9, 9))
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"BM")), (3, None)],
+        "id bigint, payload binary",
+    )
+    rows = {r.id: r for r in multimodal.resize_images(df, 2, 2).collect()}
+    assert rows[1].resized
+    assert not rows[2].resized and bytes(rows[2].payload) == b"BM"
+    assert not rows[3].resized and rows[3].payload is None and rows[3].n_bytes == 0

@@ -27,10 +27,21 @@ TABLES = (
 
 def norm_cell(v) -> str:
     import datetime
+    import decimal
     import math
 
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # The DRIVER's hash normalizes Decimal differently from Spark's
+        # BIGINT/DOUBLE (round-5 incident: uncast integer SUM → DuckDB
+        # HUGEINT → decimal128 → silent hash drift that str() masked
+        # here). Never hash a Decimal locally — fail loudly instead so
+        # the drift can't pass the local gate and fail at the driver.
+        raise TypeError(
+            f"decimal.Decimal reached the value hash ({v!r}): "
+            "CAST the oracle expression to BIGINT or DOUBLE"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -40,6 +51,22 @@ def norm_cell(v) -> str:
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
+
+
+# DuckDB output types the driver fetches as Decimal/unhashable-exotic —
+# any oracle output column of these types is a correctness-gate bug even
+# when values agree (see CORRECTNESS_r05 pyds_gen_docs_stats /
+# token_budget_sample_docs).
+BAD_DUCK_TYPES = ("DECIMAL", "HUGEINT", "UHUGEINT")
+
+
+def bad_type_cols(cols: list[str], types) -> list[str]:
+    out = []
+    for c, t in zip(cols, types):
+        tu = str(t).upper()
+        if any(b in tu for b in BAD_DUCK_TYPES):
+            out.append(f"{c}:{t}")
+    return out
 
 
 def frame_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -105,6 +132,7 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oracles[name])
+            dtypes = list(rel.types)
             drows = rel.fetchall()
             dcols = rel.columns
         except Exception as e:  # noqa: BLE001
@@ -112,22 +140,37 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        bad = bad_type_cols(dcols, dtypes)
+        if bad:
+            problems.append(
+                f"oracle type drift {bad}: driver fetches these as Decimal "
+                "and hashes them differently from Spark — CAST to BIGINT/DOUBLE"
+            )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        else:
-            sh, dh = frame_hash(scols, [tuple(r) for r in srows]), frame_hash(dcols, drows)
-            if sh != dh:
-                problems.append(f"hash spark={sh} duck={dh}")
+        elif not bad:
+            try:
+                sh, dh = frame_hash(scols, [tuple(r) for r in srows]), frame_hash(dcols, drows)
+                if sh != dh:
+                    problems.append(f"hash spark={sh} duck={dh}")
+            except TypeError as e:
+                problems.append(f"unhashable cell: {e}")
         if problems:
             n_fail += 1
             print(f"FAIL  {name}: {'; '.join(problems)}")
             if verbose or only:
+                def safe_cell(v):
+                    try:
+                        return norm_cell(v)
+                    except TypeError:
+                        return f"DECIMAL({v})"
+
                 sidx = sorted(range(len(scols)), key=lambda i: scols[i])
                 didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                sset = sorted("|".join(norm_cell(r[i]) for i in sidx) for r in map(tuple, srows))
-                dset = sorted("|".join(norm_cell(r[i]) for i in didx) for r in drows)
+                sset = sorted("|".join(safe_cell(r[i]) for i in sidx) for r in map(tuple, srows))
+                dset = sorted("|".join(safe_cell(r[i]) for i in didx) for r in drows)
                 s_only = [x for x in sset if x not in set(dset)][:3]
                 d_only = [x for x in dset if x not in set(sset)][:3]
                 if s_only:
