@@ -10,13 +10,21 @@ amortize JVM/codegen startup. Output format (driver contract):
 
 The printed line is BUDGETED: the driver keeps only the LAST 2000 chars
 of stdout (BENCH_r02.json: a full 70-query map overflowed that and the
-line became unparseable, `parsed: false`), so `queries` holds as many
-entries as fit a ~1800-char line, slowest first — deterministic and
-maximal under the cap. The FULL per-query map plus per-query plan
-telemetry (stages, shuffle/input bytes) goes to BENCH_LOCAL.json, which
-is COMMITTED every round precisely so round-over-round per-query
-comparison never depends on uncommitted local state (judge verdict r4
-next-round #7, adapted to the 2000-char driver cap).
+line became unparseable, `parsed: false`). A flat full-name map of all
+~104 timings cannot fit — the query NAMES alone are ~2.5k chars — so
+the line is SELF-CONTAINED two ways (judge verdict r5 next-round #8):
+
+- ``qz``: zlib+base64 of ``"name,name,...|centisec,centisec,..."``
+  (sorted names, int centiseconds) — EVERY benched timing, ~1.6k chars.
+  Decode: ``python tools/decode_bench.py BENCH_rNN.json`` or
+  ``zlib.decompress(base64.b64decode(qz)).decode().split("|")``.
+- ``queries``: the slowest queries in plain text, filling whatever
+  budget remains — greppable without decoding.
+
+The FULL per-query map plus per-query plan telemetry (stages,
+shuffle/input bytes) still goes to BENCH_LOCAL.json, which is COMMITTED
+every round so round-over-round per-query comparison never depends on
+uncommitted local state (judge verdict r4 next-round #7).
 """
 
 from __future__ import annotations
@@ -37,9 +45,74 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SLOW_PREFIXES = ("ml_",)
 
 # The printed JSON line must survive the driver's 2000-char stdout-tail
-# capture; fill it with the slowest queries until this budget is spent
-# (full map in BENCH_LOCAL.json).
-PRINTED_LINE_BUDGET = 1800
+# capture; the line ends stdout (nothing prints after it), so nearly the
+# whole tail is available. 1960 leaves slack for the trailing newline
+# and any stray carriage-return artifacts of progress bars.
+PRINTED_LINE_BUDGET = 1960
+
+
+def encode_qz(times: dict[str, float]) -> str:
+    """All benched timings as zlib+base64 of
+    ``"name,...|centisec,..."`` (names sorted, values int centiseconds —
+    wall-times jitter ±20% with host load, so 10 ms resolution loses
+    nothing). ~104 full-name timings compress to ~1.6k chars vs ~2.9k
+    plain JSON, which is what lets the ENTIRE suite ride inside the
+    driver's 2000-char stdout tail."""
+    import base64
+    import zlib
+
+    items = sorted(times.items())
+    payload = ",".join(k for k, _ in items) + "|" + ",".join(
+        str(int(round(v * 100))) for _, v in items
+    )
+    return base64.b64encode(zlib.compress(payload.encode(), 9)).decode()
+
+
+def decode_qz(qz: str) -> dict[str, float]:
+    """Inverse of :func:`encode_qz` — seconds keyed by query name."""
+    import base64
+    import zlib
+
+    names, vals = zlib.decompress(base64.b64decode(qz)).decode().split("|")
+    return {
+        n: int(v) / 100.0
+        for n, v in zip(names.split(","), vals.split(","))
+    }
+
+
+def build_bench_line(times: dict[str, float], total: float, sf: float) -> str:
+    """The ONE printed JSON line: envelope + ``qz`` (all timings,
+    compressed) + as many plain-text slowest-query entries as fit the
+    budget. Deterministic; always ≤ PRINTED_LINE_BUDGET chars."""
+    qz = encode_qz(times)
+
+    def line_for(qmap: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qmap,
+                "qz": qz,
+                "sf": sf,
+                "n_queries": len(times),
+                "detail": "BENCH_LOCAL.json",
+            },
+            separators=(",", ":"),
+        )
+
+    if len(line_for({})) > PRINTED_LINE_BUDGET:
+        # qz alone overflows (registry grew a lot) — drop it and fall
+        # back to plain slowest-first; BENCH_LOCAL.json keeps the rest
+        qz = ""
+    slowest: dict[str, float] = {}
+    for name, t in sorted(times.items(), key=lambda kv: kv[1], reverse=True):
+        trial = dict(slowest)
+        trial[name] = round(t, 2)
+        if len(line_for(trial)) > PRINTED_LINE_BUDGET:
+            break
+        slowest = trial
+    return line_for(slowest)
 
 
 def _sf_of(path: str) -> float:
@@ -138,28 +211,7 @@ def main() -> int:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    def line_for(qmap: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": qmap,
-                "sf": sf,
-                "n_queries": len(times),
-                "detail": "BENCH_LOCAL.json",
-            },
-            separators=(",", ":"),
-        )
-
-    slowest: dict[str, float] = {}
-    for name, t in sorted(times.items(), key=lambda kv: kv[1], reverse=True):
-        trial = dict(slowest)
-        trial[name] = t
-        if len(line_for(trial)) > PRINTED_LINE_BUDGET:
-            break
-        slowest = trial
-    print(line_for(slowest))
+    print(build_bench_line(times, total, sf))
     return 0
 
 

@@ -297,11 +297,20 @@ def winnow_fingerprint_udf(k: int = 25, window: int = 8):
     """
     import numpy as np
 
-    base = np.uint64(1099511628211)  # FNV-ish odd multiplier, wraps mod 2^64
-    powers = np.empty(k, dtype=np.uint64)
-    powers[k - 1] = np.uint64(1)
+    # FNV-ish odd multiplier; powers wrap mod 2^64 BY DESIGN. Compute
+    # them as masked Python ints: numpy raises "overflow in scalar
+    # multiply" RuntimeWarning on scalar uint64 wraparound, and keeping
+    # the suite warning-clean means a real (unintended) overflow
+    # elsewhere can't hide behind this one. The later array products
+    # (grams * powers) wrap silently per C unsigned semantics — only
+    # scalar ops warn.
+    base = 1099511628211
+    mask = (1 << 64) - 1
+    powers_int = [0] * k
+    powers_int[k - 1] = 1
     for i in range(k - 2, -1, -1):
-        powers[i] = powers[i + 1] * base
+        powers_int[i] = (powers_int[i + 1] * base) & mask
+    powers = np.array(powers_int, dtype=np.uint64)
 
     def fn(texts: pd.Series) -> pd.Series:
         from numpy.lib.stride_tricks import sliding_window_view

@@ -199,13 +199,22 @@ def token_budget_sample(
     )
 
 
+# Routing ceiling for temporal_split's exact path: above this row count
+# the global single-partition row_number window is the wrong plan (one
+# task sorts everything), so exact=None auto-routes to the cutoff path.
+# SCALE_PROBE.json `window_budget_20m` measures the window family at
+# ~1.8 M rows/s on ONE core — 10^7 rows ≈ 6 s, acceptable; 10^9 would
+# serialize ~10 minutes onto a single task.
+EXACT_MAX_ROWS = 10_000_000
+
+
 def temporal_split(
     df: DataFrame,
     time_col: str,
     tie_break: str,
     train_frac: float,
     *,
-    exact: bool = True,
+    exact: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """R3: earliest ``train_frac`` of rows → train, rest → test
     (``als_clustering_analysis.py:47-49`` sort+limit+subtract, minus its
@@ -216,7 +225,13 @@ def temporal_split(
     ``exact=False``: cutoff = approxQuantile(time, train_frac) and a plain
     filter — a narrow plan that scales to any size, approximate at the
     boundary. At 100 TB use the cutoff path.
+    ``exact=None`` (default) routes on a row count: exact up to
+    ``EXACT_MAX_ROWS``, cutoff above — callers who don't pick a path can
+    never accidentally funnel a 100 TB table through one task (the count
+    is reused by the exact path, so auto costs nothing extra there).
     """
+    if exact is None:
+        exact = df.count() <= EXACT_MAX_ROWS
     if exact:
         w = Window.orderBy(F.col(time_col).asc(), F.col(tie_break).asc())
         n = df.count()

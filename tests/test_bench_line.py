@@ -1,0 +1,64 @@
+"""Bench stdout-line contract (judge verdict r5 next-round #8).
+
+The driver keeps only the last 2000 chars of bench.py stdout; a flat
+full-name timing map can't fit (~2.9k chars), so the line carries every
+timing compressed in ``qz`` plus plain-text slowest queries in the
+leftover budget. No SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import PRINTED_LINE_BUDGET, build_bench_line, decode_qz, encode_qz
+
+
+def _realistic_times() -> dict[str, float]:
+    """The actual committed full-suite map — the exact payload the next
+    round will print — plus a margin of extra queries for growth."""
+    times = dict(json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))["queries"])
+    times["semantic_dedup"] = 1.23
+    for i in range(8):  # growth margin: future rounds add queries
+        times[f"future_query_with_a_long_descriptive_name_{i}"] = 0.5 + i
+    return times
+
+
+def test_qz_roundtrip_exact_at_centisecond():
+    times = _realistic_times()
+    got = decode_qz(encode_qz(times))
+    assert set(got) == set(times)
+    for k, v in times.items():
+        assert abs(got[k] - v) <= 0.005 + 1e-9, k
+
+
+def test_line_fits_driver_tail_and_holds_all_timings():
+    times = _realistic_times()
+    line = build_bench_line(times, round(sum(times.values()), 4), 0.1)
+    assert len(line) <= PRINTED_LINE_BUDGET
+    obj = json.loads(line)
+    assert obj["n_queries"] == len(times)
+    # EVERY timing is recoverable from the line alone — self-contained
+    assert set(decode_qz(obj["qz"])) == set(times)
+    # plain-text slice exists and is the slowest-first prefix
+    assert obj["queries"]
+    floor = min(obj["queries"].values())
+    plain = set(obj["queries"])
+    missing_slower = [
+        k for k, v in times.items() if round(v, 2) > floor and k not in plain
+    ]
+    assert not missing_slower
+
+
+def test_overflow_falls_back_to_plain_slowest():
+    # a pathological registry (600 long names) overflows even qz — the
+    # builder must still emit a parseable line under budget
+    times = {f"extremely_long_query_name_number_{i:04d}_with_suffix": float(i) for i in range(600)}
+    line = build_bench_line(times, 1.0, 0.1)
+    assert len(line) <= PRINTED_LINE_BUDGET
+    obj = json.loads(line)
+    assert obj["queries"]  # slowest-first plain entries survive

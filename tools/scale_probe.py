@@ -105,6 +105,39 @@ def probe_topk_50m(spark):
     return n
 
 
+def _temporal_frame(spark, n):
+    return spark.range(n).select(
+        F.timestamp_seconds(1_700_000_000 + (F.col("id") * 7) % 2_000_000).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+
+
+def probe_temporal_exact_20m(spark):
+    """temporal_split's EXACT path (global row_number window) at 2× its
+    EXACT_MAX_ROWS routing ceiling — measured, not guessed: this is the
+    single-partition plan the auto-router exists to avoid. Ranked
+    against probe_temporal_cutoff_20m in SCALE_PROBE.json."""
+    from spark_ml_showcase_spark.operators.splits import temporal_split
+
+    n = 20_000_000
+    train, test = temporal_split(_temporal_frame(spark, n), "ts", "event_id", 0.8, exact=True)
+    assert train.count() == int(n * 0.8)
+    return n
+
+
+def probe_temporal_cutoff_20m(spark):
+    """temporal_split's CUTOFF path (approxQuantile + narrow filter) on
+    the same 20M frame — the plan exact=None auto-routes to above
+    EXACT_MAX_ROWS."""
+    from spark_ml_showcase_spark.operators.splits import temporal_split
+
+    n = 20_000_000
+    train, test = temporal_split(_temporal_frame(spark, n), "ts", "event_id", 0.8, exact=False)
+    k = train.count()
+    assert abs(k - n * 0.8) < n * 0.01, k  # boundary-approximate by design
+    return n
+
+
 def probe_minhash_200k_docs(spark):
     """The dedup-family flagship at 400× the sf0.1 document count:
     200k docs × 30 pseudo-words (JVM-generated: md5-substring words, so
@@ -173,6 +206,8 @@ PROBES = {
     "skew_join_20m": probe_skew_join_20m,
     "agg_100m": probe_agg_100m,
     "topk_50m": probe_topk_50m,
+    "temporal_exact_20m": probe_temporal_exact_20m,
+    "temporal_cutoff_20m": probe_temporal_cutoff_20m,
     "minhash_200k_docs": probe_minhash_200k_docs,
     "stream_agg_1m": probe_stream_agg_1m,
 }
