@@ -1,0 +1,124 @@
+"""Data profiling: one-pass per-column statistics over any DataFrame.
+
+The deequ/TFDV-shaped observability step of a training-data pipeline —
+before cleaning a 100 TB drop you profile it (null rates, cardinality,
+ranges) and alert on drift vs the previous drop. Nothing like it exists
+in the reference (its only data inspection is ``print``/``df.show()``,
+e.g. ``Claims_Prediction.py:62-77``); this is engine surface the corpus
+toolchain needs.
+
+Output: ONE ROW PER COLUMN with
+``(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, mean,
+min_str, max_str)`` — numeric columns fill the ``*_num``/``mean``
+family, string/date/timestamp columns fill ``*_str`` (ISO-formatted),
+each family NULL for the other kind. Deterministic and
+dialect-portable, so the registered query is DuckDB-oracle-checked.
+
+Scale posture: a single ``agg`` pass — every statistic is an
+algebraic aggregate with map-side partials; the result is
+O(columns), collected nowhere. ``exact_distinct=True`` uses
+``count(DISTINCT col)`` which Spark plans as one expand + two-phase
+aggregate per column (exact, oracle-checkable); at 100 TB set
+``exact_distinct=False`` for HLL ``approx_count_distinct`` — identical
+plan shape minus the expand, one pass total. Complex-typed columns
+(array/map/struct/binary) are skipped: min/max ordering on them is not
+dialect-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+_STRINGY = (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    exact_distinct: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Profile ``columns`` (default: every atomic-typed column) in one
+    aggregation pass; see module docstring for the output contract."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if columns is None:
+        columns = [
+            c
+            for c, t in fields.items()
+            if isinstance(t, _NUMERIC + _STRINGY)
+        ]
+    for c in columns:
+        if c not in fields:
+            raise ValueError(f"no such column: {c}")
+        if not isinstance(fields[c], _NUMERIC + _STRINGY):
+            raise ValueError(
+                f"column {c} has non-atomic type {fields[c]}; profile "
+                "supports numeric/string/date/timestamp columns"
+            )
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("bigint")).alias(f"_nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"_nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"_nd_{c}"))
+        if isinstance(fields[c], _NUMERIC):
+            d = col.cast("double")
+            aggs.append(F.round(F.min(d), round_to).alias(f"_mn_{c}"))
+            aggs.append(F.round(F.max(d), round_to).alias(f"_mx_{c}"))
+            # decimal-exact mean: a float SUM is partition-order
+            # dependent in its last ulps, which can flip the rounded
+            # digit between engines — same rule as plans.dec_sum
+            aggs.append(
+                F.round(
+                    (F.sum(col.cast("decimal(28,6)")) / F.count(col)).cast(
+                        "double"
+                    ),
+                    round_to,
+                ).alias(f"_av_{c}")
+            )
+        else:
+            s = col.cast("string")
+            aggs.append(F.min(s).alias(f"_mns_{c}"))
+            aggs.append(F.max(s).alias(f"_mxs_{c}"))
+    one = df.agg(*aggs)
+
+    # unpivot the single row into one row per column — the frame is one
+    # row wide, so the per-column structs are driver-free expressions
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in columns:
+        numeric = isinstance(fields[c], _NUMERIC)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+                (F.col(f"_mn_{c}") if numeric else null_d).alias("min_num"),
+                (F.col(f"_mx_{c}") if numeric else null_d).alias("max_num"),
+                (F.col(f"_av_{c}") if numeric else null_d).alias("mean"),
+                (null_s if numeric else F.col(f"_mns_{c}")).alias("min_str"),
+                (null_s if numeric else F.col(f"_mxs_{c}")).alias("max_str"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*structs)).alias("_p"))
+        .select("_p.*")
+        .orderBy("col_name")
+    )

@@ -123,3 +123,42 @@ def repetition_metrics(
             & (mean_len <= max_mean_word_len)
         ).alias("keep"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """C4-style term-blocklist gate (Raffel et al. 2020 drop any page
+    containing a "List of Dirty, Naughty ... Words" term): classify every
+    document by whether any whitespace TOKEN matches a blocklist term
+    (token-level, not substring — "assess" must not trip "ass").
+
+    Returns (id_col, blocked boolean, n_blocked_terms int) — a classifier
+    rather than a filter so callers can audit what a threshold would drop
+    before dropping it; ``df.filter(~F.col("blocked"))`` is the gate.
+
+    Scale posture: the blocklist rides the plan as an ARRAY LITERAL
+    (broadcast with the task binary, no join, no shuffle) and the check
+    is one narrow projection — `array_intersect` on the tokenized text.
+    Real blocklists are a few thousand terms: still literal-sized. NULL
+    text → zero tokens → not blocked.
+    """
+    from spark_ml_showcase_spark.functions.text import _tokens
+
+    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    if case_insensitive:
+        toks = F.transform(toks, lambda t: F.lower(t))
+        terms = sorted({t.lower() for t in terms})
+    else:
+        terms = sorted(set(terms))
+    hits = F.array_intersect(toks, F.array(*[F.lit(t) for t in terms]))
+    return df.select(
+        F.col(id_col),
+        (F.size(hits) > 0).alias("blocked"),
+        F.size(hits).alias("n_blocked_terms"),
+    )

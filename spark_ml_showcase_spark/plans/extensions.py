@@ -1038,3 +1038,87 @@ def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feat", 3)).cast("bigint").alias("mean_b"),
         F.col("n_bytes").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 engine-surface additions (X22/X23).
+# ---------------------------------------------------------------------------
+
+def _profile_block_num(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_num,
+           ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_num,
+           ROUND(CAST(SUM(CAST({c} AS DECIMAL(28,6))) / COUNT({c}) AS DOUBLE),
+                 6) AS mean,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders"""
+
+
+def _profile_block_str(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           CAST(NULL AS DOUBLE) AS mean,
+           MIN(CAST({c} AS VARCHAR)) AS min_str,
+           MAX(CAST({c} AS VARCHAR)) AS max_str
+    FROM orders"""
+
+
+_PROFILE_ORDERS_ORACLE = (
+    " UNION ALL ".join(
+        [_profile_block_num(c) for c in ("o_orderkey", "o_custkey", "o_totalprice")]
+        + [
+            _profile_block_str(c)
+            for c in ("o_orderstatus", "o_orderdate", "o_orderpriority")
+        ]
+    )
+    + " ORDER BY col_name"
+)
+
+
+# X22: table profiling (deequ/TFDV shape) — the observability step a
+# 100 TB corpus drop gets before cleaning. One aggregation pass, one row
+# per column; every statistic algebraic (map-side partials), the mean
+# decimal-exact so the DuckDB twin hashes identically. At scale flip
+# exact_distinct=False for single-pass HLL cardinalities.
+@query("profile_orders_table", oracle=_PROFILE_ORDERS_ORACLE)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators.profile import profile_table
+
+    return profile_table(Catalog(spark, sf_dir).orders)
+
+
+# X23: C4-style blocklist gate (Raffel et al. 2020): token-level term
+# blocklist as a zero-shuffle classifier — the list rides the plan as an
+# array literal, so no join and no broadcast exchange; substring hits
+# ("assess" vs "ass") do NOT trip it. Audit-first shape: callers filter
+# on `blocked` after inspecting what a threshold drops.
+@query(
+    "blocklist_filter_docs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_intersect(
+                   list_transform(
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''),
+                       x -> lower(x)),
+                   ['data', 'stream', 'vector']) AS hits
+        FROM documents
+    )
+    SELECT doc_id, len(hits) > 0 AS blocked,
+           CAST(len(hits) AS BIGINT) AS n_blocked_terms
+    FROM t ORDER BY doc_id
+    """,
+)
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    out = quality.blocklist_filter(docs, ["data", "stream", "vector"])
+    return out.withColumn(
+        "n_blocked_terms", F.col("n_blocked_terms").cast("bigint")
+    ).orderBy("doc_id")

@@ -47,6 +47,8 @@ def session_builder(
         # NTZ, normalized by Catalog.table). Harmless when unused.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-batch the Python UDTF boundary too (functions/udtfs.py)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
