@@ -68,22 +68,32 @@ def profile_table(
                 "supports numeric/string/date/timestamp columns"
             )
 
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    # THREE separate aggregation groups, cross-joined as single-row
+    # broadcast frames. One combined agg would be planned as a single
+    # SortAggregate over the count-distinct Expand (len(columns)× the
+    # rows): min/max over STRING buffers disqualify HashAggregate, and
+    # the distinct rewrite multiplies the input — measured 8.5 s vs
+    # ~1.5 s split, sf0.1 orders. Split, the fixed-width statistics
+    # hash-aggregate, the string min/max sort-aggregates over the
+    # UN-expanded input, and the distinct Expand feeds a hash agg.
+    fixed_aggs = [F.count(F.lit(1)).alias("n_rows")]
+    str_aggs = []
+    dist_aggs = []
     for c in columns:
         col = F.col(c)
-        aggs.append(F.sum(col.isNull().cast("bigint")).alias(f"_nn_{c}"))
+        fixed_aggs.append(F.sum(col.isNull().cast("bigint")).alias(f"_nn_{c}"))
         if exact_distinct:
-            aggs.append(F.count_distinct(col).alias(f"_nd_{c}"))
+            dist_aggs.append(F.count_distinct(col).alias(f"_nd_{c}"))
         else:
-            aggs.append(F.approx_count_distinct(col).alias(f"_nd_{c}"))
+            fixed_aggs.append(F.approx_count_distinct(col).alias(f"_nd_{c}"))
         if isinstance(fields[c], _NUMERIC):
             d = col.cast("double")
-            aggs.append(F.round(F.min(d), round_to).alias(f"_mn_{c}"))
-            aggs.append(F.round(F.max(d), round_to).alias(f"_mx_{c}"))
+            fixed_aggs.append(F.round(F.min(d), round_to).alias(f"_mn_{c}"))
+            fixed_aggs.append(F.round(F.max(d), round_to).alias(f"_mx_{c}"))
             # decimal-exact mean: a float SUM is partition-order
             # dependent in its last ulps, which can flip the rounded
             # digit between engines — same rule as plans.dec_sum
-            aggs.append(
+            fixed_aggs.append(
                 F.round(
                     (F.sum(col.cast("decimal(28,6)")) / F.count(col)).cast(
                         "double"
@@ -93,9 +103,13 @@ def profile_table(
             )
         else:
             s = col.cast("string")
-            aggs.append(F.min(s).alias(f"_mns_{c}"))
-            aggs.append(F.max(s).alias(f"_mxs_{c}"))
-    one = df.agg(*aggs)
+            str_aggs.append(F.min(s).alias(f"_mns_{c}"))
+            str_aggs.append(F.max(s).alias(f"_mxs_{c}"))
+    one = df.agg(*fixed_aggs)
+    if str_aggs:
+        one = one.crossJoin(F.broadcast(df.agg(*str_aggs)))
+    if dist_aggs:
+        one = one.crossJoin(F.broadcast(df.agg(*dist_aggs)))
 
     # unpivot the single row into one row per column — the frame is one
     # row wide, so the per-column structs are driver-free expressions

@@ -150,12 +150,16 @@ def blocklist_filter(
     """
     from spark_ml_showcase_spark.functions.text import _tokens
 
-    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    text = F.coalesce(F.col(text_col), F.lit(""))
     if case_insensitive:
-        toks = F.transform(toks, lambda t: F.lower(t))
+        # lower the STRING once (codegen'd) rather than per-token via
+        # transform() — higher-order-function lambdas are interpreted
+        # per element; lowercasing commutes with whitespace splitting
+        text = F.lower(text)
         terms = sorted({t.lower() for t in terms})
     else:
         terms = sorted(set(terms))
+    toks = _tokens(text)
     hits = F.array_intersect(toks, F.array(*[F.lit(t) for t in terms]))
     return df.select(
         F.col(id_col),

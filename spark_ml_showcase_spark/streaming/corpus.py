@@ -63,6 +63,7 @@ def stream_minhash_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     timeout_sec: int = 240,
+    resume: bool = False,
 ) -> DataFrame:
     """Run a streaming (id, text) DataFrame to exhaustion (AvailableNow)
     through the incremental near-dup filter and return the RETAINED set
@@ -74,12 +75,36 @@ def stream_minhash_dedup(
     EMPTY signature — same as the batch pipeline, where they simply form
     no candidate pairs.
 
-    DESTRUCTIVE: ``state_dir`` is wiped at the start of each call (a
-    deterministic result needs an empty initial index).
+    ``resume=False`` (default) is DESTRUCTIVE: ``state_dir`` is wiped at
+    the start (a deterministic from-scratch result needs an empty
+    index). ``resume=True`` keeps the index AND the source checkpoint:
+    only files the checkpoint has not seen are processed, new docs dedup
+    against everything retained by EARLIER CALLS, and the returned set
+    is the cumulative retained corpus — the actual 100 TB ingestion
+    cadence (one call per arriving drop, no corpus rescan). The caller
+    must pass the same LSH parameters across resumed calls; signatures
+    in the index are only comparable under one (ngram, k, bands) scheme.
     """
-    if os.path.isdir(state_dir):
+    import json
+
+    if not resume and os.path.isdir(state_dir):
         shutil.rmtree(state_dir)
     os.makedirs(state_dir, exist_ok=True)
+    # Parameter manifest: a resumed call comparing signatures produced
+    # under a DIFFERENT (ngram, k, bands) scheme would silently compute
+    # garbage Jaccard estimates — fail loudly instead.
+    params = {"ngram": ngram, "k": k, "bands": bands}
+    manifest = os.path.join(state_dir, "params.json")
+    if resume and os.path.exists(manifest):
+        prior = json.loads(open(manifest).read())
+        if prior != params:
+            raise ValueError(
+                f"resume with {params} against an index built with {prior}: "
+                "signatures are only comparable under one LSH scheme"
+            )
+    else:
+        with open(manifest, "w") as f:
+            json.dump(params, f)
     sig_dir = os.path.join(state_dir, "sigs")
     bucket_dir = os.path.join(state_dir, "buckets")
     ckpt_dir = os.path.join(state_dir, "ckpt")

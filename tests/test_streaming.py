@@ -346,6 +346,57 @@ def test_stream_minhash_dedup_retains_short_docs(spark, tmp_path):
     assert len(rows[1]) == 32
 
 
+def test_stream_minhash_dedup_resume_across_calls(spark, tmp_path):
+    """resume=True is the actual 100 TB ingestion cadence: one CALL per
+    arriving drop. The second call must process only files the
+    checkpoint hasn't seen, dedup new docs against everything retained
+    by the first call, and return the CUMULATIVE retained corpus —
+    without rescanning or re-signing drop 1."""
+    import pytest
+
+    from spark_ml_showcase_spark.streaming import corpus as sc_
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the old stone bridge at dawn every single day"
+    novel = "completely different words about spark partitions shuffles and broadcast joins in a distributed analytics engine running at scale"
+    later = "yet another unrelated document mentioning tokenizers embeddings quality filters and corpus assembly for language model training runs"
+    d = os.path.join(str(tmp_path), "docs")
+    state = os.path.join(str(tmp_path), "lsh_state")
+    lsh = dict(ngram=3, k=32, bands=8, threshold=0.5)
+
+    spark.createDataFrame(
+        [(1, base), (2, novel)], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("append").parquet(d)
+    kept1 = sc_.stream_minhash_dedup(
+        se.stream_staged(spark, d, max_files_per_trigger=1), state_dir=state, **lsh
+    )
+    assert {r.doc_id for r in kept1.collect()} == {1, 2}
+
+    # drop 2 arrives: an exact copy of doc 1 (must dedup against the
+    # PERSISTED index, not this drop) plus a novel doc
+    spark.createDataFrame(
+        [(101, base), (102, later)], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("append").parquet(d)
+    kept2 = sc_.stream_minhash_dedup(
+        se.stream_staged(spark, d, max_files_per_trigger=1),
+        state_dir=state,
+        resume=True,
+        **lsh,
+    )
+    assert {r.doc_id for r in kept2.collect()} == {1, 2, 102}
+
+    # mismatched LSH params on resume must fail loudly, not corrupt
+    with pytest.raises(ValueError, match="one LSH scheme"):
+        sc_.stream_minhash_dedup(
+            se.stream_staged(spark, d, max_files_per_trigger=1),
+            state_dir=state,
+            resume=True,
+            ngram=3,
+            k=16,
+            bands=8,
+            threshold=0.5,
+        )
+
+
 def test_stream_decontaminate_matches_batch(spark, tmp_path):
     """Streaming decontamination (literal-set filter + stream-static
     semi join) classifies docs exactly like the batch operator."""
