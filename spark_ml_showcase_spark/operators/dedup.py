@@ -725,3 +725,48 @@ def skew_stress_planted_pairs(
             "left_semi",
         )
     )
+
+
+def select_representatives(
+    components: DataFrame,
+    scored: DataFrame,
+    *,
+    comp_col: str = "comp",
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Keep-BEST-per-cluster representative selection: given the
+    transitive near-dup components (``connected_components[_star]``
+    output: one (id, comp) row per clustered doc) and a per-doc score,
+    return one winner per cluster — highest score, ties to the smallest
+    id. Production dedup keeps the best-quality member (longest, highest
+    quality_score, freshest), not the arbitrary min-id the pure
+    dedup operators default to; this is the policy seam between them.
+
+    Output: (comp_col, rep_id, rep_score, n_members), one row per
+    cluster.
+
+    Scale posture: one equi-join on the doc id (components are a tiny
+    fraction of the corpus — only docs that had a near-dup edge) and one
+    window partitioned BY CLUSTER — cluster sizes are bounded by the
+    upstream hot-bucket guards, so no partition skew; nothing global.
+    """
+    joined = components.select(
+        F.col(id_col).alias("_rid"), F.col(comp_col).alias("_comp")
+    ).join(
+        scored.select(F.col(id_col).alias("_rid"), F.col(score_col).alias("_sc")),
+        "_rid",
+    )
+    w = Window.partitionBy("_comp").orderBy(F.desc("_sc"), F.asc("_rid"))
+    counts = Window.partitionBy("_comp")
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(counts))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_comp").alias(comp_col),
+            F.col("_rid").alias("rep_id"),
+            F.col("_sc").alias("rep_score"),
+            "n_members",
+        )
+    )

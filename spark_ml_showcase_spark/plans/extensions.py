@@ -1122,3 +1122,65 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "n_blocked_terms", F.col("n_blocked_terms").cast("bigint")
     ).orderBy("doc_id")
+
+
+# X1/X2 policy seam: keep-BEST-per-cluster representative selection —
+# production dedup keeps the best-quality member of each near-dup
+# cluster (here: longest, n_chars), not the min-id. The oracle replays
+# the full chain (exact-Jaccard edges → recursive-CTE components →
+# windowed argmax), so the composed Spark pipeline (pairs → components →
+# select_representatives) is value-checked end-to-end.
+@query(
+    "near_dup_keep_best",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, len(toks) - 2)]) AS s
+        FROM (SELECT doc_id,
+                     list_filter(
+                         string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 200)
+        WHERE len(toks) >= 3
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)) >= 0.3
+    ), sym AS (
+        SELECT id_a AS v, id_b AS u FROM pairs
+        UNION ALL
+        SELECT id_b AS v, id_a AS u FROM pairs
+    ), reach(v, l) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+        UNION
+        SELECT s.v, r.l FROM sym s JOIN reach r ON s.u = r.v
+    ), comp AS (
+        SELECT v AS doc_id, MIN(l) AS component FROM reach GROUP BY v
+    ), ranked AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY c.component) AS n_members
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component, doc_id AS rep_id, n_chars AS rep_score, n_members
+    FROM ranked WHERE rk = 1 ORDER BY component
+    """,
+)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.3)
+    comps = dedup.connected_components(pairs, "id_a", "id_b")
+    reps = dedup.select_representatives(
+        comps,
+        docs.select(F.col("doc_id").alias("id"), F.col("n_chars").alias("score")),
+        comp_col="comp",
+        id_col="id",
+        score_col="score",
+    )
+    return reps.select(
+        F.col("comp").alias("component"), "rep_id",
+        F.col("rep_score").cast("bigint").alias("rep_score"), "n_members",
+    ).orderBy("component")

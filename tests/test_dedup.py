@@ -356,3 +356,25 @@ def test_winnow_udf_powers_warning_free(spark):
         warnings.simplefilter("error", RuntimeWarning)
         T.winnow_fingerprint_udf(k=25, window=8)
         T.winnow_fingerprint_udf(k=7, window=4)
+
+
+def test_select_representatives_best_score_wins(spark):
+    """Keep-best policy: highest score per cluster wins, ties go to the
+    smallest id, singleton clusters pass through, and n_members counts
+    the whole cluster."""
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "id bigint, comp bigint",
+    )
+    scored = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 4.0), (20, 7.0)],
+        "id bigint, score double",
+    )
+    reps = {
+        r.comp: r
+        for r in dedup.select_representatives(comps, scored).collect()
+    }
+    assert reps[1].rep_id == 2 and reps[1].rep_score == 9.0  # tie → min id
+    assert reps[1].n_members == 3
+    assert reps[10].rep_id == 11 and reps[10].n_members == 2
+    assert reps[20].rep_id == 20 and reps[20].n_members == 1

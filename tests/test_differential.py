@@ -357,3 +357,41 @@ def test_rollup_cube_parity(spark, ddb, shape, status):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.sampled_from(_PRIORITIES), min_size=1, max_size=3, unique=True),
+    st.floats(min_value=0, max_value=300_000, allow_nan=False),
+)
+def test_profile_table_parity(spark, ddb, prios, price_lo):
+    """Differential family 9: the table PROFILER over randomly filtered
+    orders slices agrees with DuckDB per column — n_rows, nulls, exact
+    distinct, min/max, decimal-exact mean — bit-for-bit."""
+    from spark_ml_showcase_spark.operators.profile import profile_table
+
+    cond = (
+        "o_orderpriority IN ("
+        + ",".join(f"'{p}'" for p in prios)
+        + f") AND o_totalprice >= {price_lo!r}"
+    )
+    df = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority").isin(prios) & (F.col("o_totalprice") >= price_lo)
+    )
+    got = {
+        (r.col_name, r.n_rows, r.n_nulls, r.n_distinct, r.min_num, r.max_num, r.mean)
+        for r in profile_table(df, ["o_orderkey", "o_custkey", "o_totalprice"]).collect()
+    }
+    want = set()
+    for c in ("o_orderkey", "o_custkey", "o_totalprice"):
+        row = ddb.execute(
+            f"SELECT COUNT(*), "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT), "
+            f"ROUND(CAST(MIN({c}) AS DOUBLE), 6), "
+            f"ROUND(CAST(MAX({c}) AS DOUBLE), 6), "
+            f"ROUND(CAST(SUM(CAST({c} AS DECIMAL(28,6))) / COUNT({c}) AS DOUBLE), 6) "
+            f"FROM orders WHERE {cond}"
+        ).fetchone()
+        want.add((c, *row))
+    assert got == want
