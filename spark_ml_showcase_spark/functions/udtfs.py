@@ -36,7 +36,7 @@ def make_chunk_udtf():
     ``SELECT d.doc_id, c.* FROM docs d, LATERAL chunk_text(d.text, 64, 8) c``.
 
     Contract (identical to ``chunking.chunk_documents``, pinned by
-    ``tests/test_udtf.py``): whitespace-token windows of ``max_tokens``
+    ``tests/test_profile_blocklist_udtf.py``): whitespace-token windows of ``max_tokens``
     advancing by ``max_tokens - overlap``; final chunk short, not
     padded; zero-token docs emit no rows.
     """

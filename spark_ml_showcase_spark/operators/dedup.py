@@ -746,6 +746,12 @@ def select_representatives(
     Output: (comp_col, rep_id, rep_score, n_members), one row per
     cluster.
 
+    Cluster members MISSING from ``scored`` (scores computed on a
+    filtered subset) still count toward ``n_members`` and rank LAST
+    (NULL score) — they win only when the whole cluster is unscored
+    (``rep_score`` NULL then, loud rather than a silently vanished
+    cluster). An inner join here would have silently dropped them.
+
     Scale posture: one equi-join on the doc id (components are a tiny
     fraction of the corpus — only docs that had a near-dup edge) and one
     window partitioned BY CLUSTER — cluster sizes are bounded by the
@@ -756,8 +762,9 @@ def select_representatives(
     ).join(
         scored.select(F.col(id_col).alias("_rid"), F.col(score_col).alias("_sc")),
         "_rid",
+        "left",
     )
-    w = Window.partitionBy("_comp").orderBy(F.desc("_sc"), F.asc("_rid"))
+    w = Window.partitionBy("_comp").orderBy(F.desc_nulls_last("_sc"), F.asc("_rid"))
     counts = Window.partitionBy("_comp")
     return (
         joined.withColumn("_rk", F.row_number().over(w))

@@ -81,7 +81,13 @@ def profile_table(
     dist_aggs = []
     for c in columns:
         col = F.col(c)
-        fixed_aggs.append(F.sum(col.isNull().cast("bigint")).alias(f"_nn_{c}"))
+        # coalesce: SUM over zero rows is NULL — an empty table should
+        # profile as 0 nulls, not NULL nulls
+        fixed_aggs.append(
+            F.coalesce(
+                F.sum(col.isNull().cast("bigint")), F.lit(0).cast("bigint")
+            ).alias(f"_nn_{c}")
+        )
         if exact_distinct:
             dist_aggs.append(F.count_distinct(col).alias(f"_nd_{c}"))
         else:
@@ -92,13 +98,17 @@ def profile_table(
             fixed_aggs.append(F.round(F.max(d), round_to).alias(f"_mx_{c}"))
             # decimal-exact mean: a float SUM is partition-order
             # dependent in its last ulps, which can flip the rounded
-            # digit between engines — same rule as plans.dec_sum
+            # digit between engines — same rule as plans.dec_sum. The
+            # divisor counts the DECIMAL cast, not the raw column:
+            # |v| ≥ 1e22 overflows decimal(28,6) to NULL under non-ANSI
+            # mode and is excluded from the sum, so counting the raw
+            # column would silently skew the mean — this way the mean is
+            # consistently "mean of decimal-representable values"
+            # (min/max remain exact doubles and expose any outlier).
+            dec = col.cast("decimal(28,6)")
             fixed_aggs.append(
                 F.round(
-                    (F.sum(col.cast("decimal(28,6)")) / F.count(col)).cast(
-                        "double"
-                    ),
-                    round_to,
+                    (F.sum(dec) / F.count(dec)).cast("double"), round_to
                 ).alias(f"_av_{c}")
             )
         else:

@@ -230,11 +230,14 @@ def temporal_split(
     never accidentally funnel a 100 TB table through one task (the count
     is reused by the exact path, so auto costs nothing extra there).
     """
+    n = None
     if exact is None:
-        exact = df.count() <= EXACT_MAX_ROWS
+        n = df.count()
+        exact = n <= EXACT_MAX_ROWS
     if exact:
         w = Window.orderBy(F.col(time_col).asc(), F.col(tie_break).asc())
-        n = df.count()
+        if n is None:  # routed explicitly — the count wasn't paid yet
+            n = df.count()
         k = int(n * train_frac)
         ranked = df.withColumn("_rn", F.row_number().over(w))
         train = ranked.filter(F.col("_rn") <= k).drop("_rn")

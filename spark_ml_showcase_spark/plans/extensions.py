@@ -1103,9 +1103,11 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
+               -- coalesce mirrors the Spark side's NULL-text handling:
+               -- without it a NULL doc yields blocked = NULL, not false
                list_intersect(
                    list_transform(
-                       list_filter(string_split_regex(text, '\s+'),
+                       list_filter(string_split_regex(coalesce(text, ''), '\s+'),
                                    x -> x <> ''),
                        x -> lower(x)),
                    ['data', 'stream', 'vector']) AS hits

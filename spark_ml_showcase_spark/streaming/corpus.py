@@ -90,9 +90,14 @@ def stream_minhash_dedup(
     if not resume and os.path.isdir(state_dir):
         shutil.rmtree(state_dir)
     os.makedirs(state_dir, exist_ok=True)
+    sig_dir = os.path.join(state_dir, "sigs")
+    bucket_dir = os.path.join(state_dir, "buckets")
+    ckpt_dir = os.path.join(state_dir, "ckpt")
     # Parameter manifest: a resumed call comparing signatures produced
     # under a DIFFERENT (ngram, k, bands) scheme would silently compute
-    # garbage Jaccard estimates — fail loudly instead.
+    # garbage Jaccard estimates — fail loudly instead. A state dir that
+    # HAS signatures but NO manifest (built by something else) is
+    # unverifiable — refuse rather than stamp the new params over it.
     params = {"ngram": ngram, "k": k, "bands": bands}
     manifest = os.path.join(state_dir, "params.json")
     if resume and os.path.exists(manifest):
@@ -102,13 +107,32 @@ def stream_minhash_dedup(
                 f"resume with {params} against an index built with {prior}: "
                 "signatures are only comparable under one LSH scheme"
             )
+    elif resume and os.path.isdir(sig_dir):
+        raise ValueError(
+            f"resume against {state_dir!r} which has signature state but no "
+            "params.json manifest: the index's LSH scheme is unverifiable"
+        )
     else:
         with open(manifest, "w") as f:
             json.dump(params, f)
-    sig_dir = os.path.join(state_dir, "sigs")
-    bucket_dir = os.path.join(state_dir, "buckets")
-    ckpt_dir = os.path.join(state_dir, "ckpt")
     rows_per_band = k // bands
+
+    def state_parts(d: str, exclude_batch: int | None = None) -> list[str]:
+        """Committed per-batch state subdirs (``b<id>`` with _SUCCESS),
+        optionally excluding one batch — a REPLAYED batch (foreachBatch
+        is at-least-once: crash between the state writes and the
+        checkpoint commit) must not see its own prior attempt as state,
+        or its docs would self-match at Jaccard 1.0 and the recomputed
+        batch would retain nothing."""
+        if not os.path.isdir(d):
+            return []
+        return [
+            os.path.join(d, name)
+            for name in sorted(os.listdir(d))
+            if name.startswith("b")
+            and (exclude_batch is None or name != f"b{exclude_batch}")
+            and os.path.exists(os.path.join(d, name, "_SUCCESS"))
+        ]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -125,10 +149,12 @@ def stream_minhash_dedup(
         refs = bks.select("band", "bh", F.col("_id").alias("_rid")).withColumn(
             "_state", F.lit(False)
         )
-        have_state = os.path.exists(os.path.join(bucket_dir, "_SUCCESS"))
+        bucket_parts = state_parts(bucket_dir, exclude_batch=batch_id)
+        sig_parts = state_parts(sig_dir, exclude_batch=batch_id)
+        have_state = bool(bucket_parts)
         if have_state:
             refs = (
-                s.read.parquet(bucket_dir)
+                s.read.parquet(*bucket_parts)
                 .select("band", "bh", F.col("_id").alias("_rid"))
                 .withColumn("_state", F.lit(True))
                 .unionByName(refs)
@@ -140,8 +166,8 @@ def stream_minhash_dedup(
             .distinct()
         )
         all_sigs = sigs
-        if have_state:
-            all_sigs = s.read.parquet(sig_dir).unionByName(sigs)
+        if sig_parts:
+            all_sigs = s.read.parquet(*sig_parts).unionByName(sigs)
         est = (
             cand.join(
                 sigs.select(F.col("_id").alias("_nid"), F.col("_sig").alias("_ns")),
@@ -181,10 +207,15 @@ def stream_minhash_dedup(
             .unionByName(zero_shingle)
             .localCheckpoint()  # materialize BEFORE the state appends read/extend it
         )
-        survivors.write.mode("append").parquet(sig_dir)
+        # batch-scoped OVERWRITE, not a flat append: replaying this batch
+        # rewrites exactly its own subdirs, so the at-least-once
+        # foreachBatch contract can never duplicate state rows
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"b{batch_id}")
+        )
         bks.join(survivors.select("_id"), "_id", "left_semi").write.mode(
-            "append"
-        ).parquet(bucket_dir)
+            "overwrite"
+        ).parquet(os.path.join(bucket_dir, f"b{batch_id}"))
 
     q = (
         doc_stream.writeStream.foreachBatch(process)
@@ -202,12 +233,13 @@ def stream_minhash_dedup(
         if q.isActive:
             q.stop()
     s = doc_stream.sparkSession
-    if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
+    final_parts = state_parts(sig_dir)
+    if not final_parts:
         # zero input rows/files → no batch ever ran → empty retained set
         return s.createDataFrame(
             [], f"{id_col} bigint, signature array<bigint>"
         )
-    return s.read.parquet(sig_dir).select(
+    return s.read.parquet(*final_parts).select(
         F.col("_id").alias(id_col), F.col("_sig").alias("signature")
     )
 

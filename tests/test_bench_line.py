@@ -62,3 +62,17 @@ def test_overflow_falls_back_to_plain_slowest():
     assert len(line) <= PRINTED_LINE_BUDGET
     obj = json.loads(line)
     assert obj["queries"]  # slowest-first plain entries survive
+
+
+def test_decode_bench_tolerates_null_parsed():
+    """BENCH_r01/r02 carry `parsed: null` (their lines overflowed the
+    tail) — the decoder must print its no-qz message, not AttributeError."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "decode_bench.py"),
+         os.path.join(REPO, "BENCH_r01.json")],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 1
+    assert "no qz field" in r.stderr

@@ -378,3 +378,17 @@ def test_select_representatives_best_score_wins(spark):
     assert reps[1].n_members == 3
     assert reps[10].rep_id == 11 and reps[10].n_members == 2
     assert reps[20].rep_id == 20 and reps[20].n_members == 1
+
+
+def test_select_representatives_unscored_members_counted_not_dropped(spark):
+    """Members missing from `scored` still count toward n_members and
+    rank last; an entirely unscored cluster yields a NULL-score rep
+    (min id) instead of silently vanishing."""
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id bigint, comp bigint"
+    )
+    scored = spark.createDataFrame([(1, 2.0), (2, 5.0)], "id bigint, score double")
+    reps = {r.comp: r for r in dedup.select_representatives(comps, scored).collect()}
+    assert reps[1].rep_id == 2 and reps[1].n_members == 3  # 3 counted, not 2
+    assert reps[7].rep_id == 7 and reps[7].rep_score is None  # loud, not lost
+    assert reps[7].n_members == 2

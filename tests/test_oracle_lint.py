@@ -106,3 +106,12 @@ def test_norm_cell_raises_on_decimal():
     # sane types still normalize
     assert norm_cell(None) == "NULL"
     assert norm_cell(800) == "800"
+
+
+def test_lint_raises_on_broken_sql_instead_of_deferring(con):
+    """A typo'd oracle must FAIL the fast gate, not slide through as a
+    'sink artifact missing' deferral; only IOException defers."""
+    with pytest.raises(Exception, match="(?i)referenced|not found|error"):
+        lint_sql(con, "SELECT no_such_column FROM documents")
+    # missing file → genuine deferral
+    assert lint_sql(con, "SELECT * FROM read_parquet('/tmp/definitely_missing_xyz.parquet')") is None

@@ -54,6 +54,20 @@ def test_profile_table_approx_and_column_errors(spark):
     }
 
 
+def test_profile_empty_table_and_blocklist_empty_terms(spark):
+    """An empty table profiles as zeros/NULLs (never crashes); an empty
+    blocklist blocks nothing."""
+    empty = spark.createDataFrame([], "id bigint, name string")
+    rows = {r.col_name: r for r in profile_table(empty).collect()}
+    assert set(rows) == {"id", "name"}
+    assert all(
+        (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0) for r in rows.values()
+    )
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    (row,) = quality.blocklist_filter(docs, []).collect()
+    assert not row.blocked and row.n_blocked_terms == 0
+
+
 def test_blocklist_filter_token_level(spark):
     docs = spark.createDataFrame(
         [

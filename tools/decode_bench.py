@@ -32,7 +32,9 @@ def main() -> int:
             return 1
         path = arts[-1]
     art = json.loads(open(path).read())
-    parsed = art.get("parsed", art)  # accept the raw line too
+    # `parsed` can EXIST with value null (pre-qz artifacts whose line
+    # overflowed the tail) — .get's default only covers a missing key
+    parsed = art.get("parsed") or art
     qz = parsed.get("qz")
     if not qz:
         print(f"{path}: no qz field (pre-r6 artifact?)", file=sys.stderr)

@@ -31,11 +31,15 @@ from tools.check_oracle import TABLES, bad_type_cols  # noqa: E402
 
 
 def lint_sql(con: "duckdb.DuckDBPyConnection", sql: str) -> list[str] | None:
-    """Flagged ``col:type`` strings, or None if the SQL can't run standalone."""
+    """Flagged ``col:type`` strings; None ONLY when the oracle reads a
+    runtime artifact that doesn't exist standalone (sink round-trips →
+    IOException). Genuinely broken SQL — parse errors, bad column
+    references — RAISES so the fast gate can never green-light it as a
+    deferral."""
     try:
         rel = con.sql(sql)
         return bad_type_cols(rel.columns, list(rel.types))
-    except Exception:  # noqa: BLE001 — missing sink artifact etc.
+    except duckdb.IOException:  # missing sink artifact — check_oracle covers it
         return None
 
 
@@ -49,7 +53,12 @@ def main() -> int:
 
     n_bad, n_deferred = 0, 0
     for name, sql in entrymod.oracle_sql().items():
-        flagged = lint_sql(con, sql)
+        try:
+            flagged = lint_sql(con, sql)
+        except Exception as e:  # noqa: BLE001 — broken oracle SQL
+            n_bad += 1
+            print(f"FAIL  {name}: oracle does not run: {e}")
+            continue
         if flagged is None:
             n_deferred += 1
             print(f"DEFER {name}: standalone exec failed (check_oracle covers it)")
