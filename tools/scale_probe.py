@@ -206,9 +206,13 @@ PROBES = {
     "skew_join_20m": probe_skew_join_20m,
     "agg_100m": probe_agg_100m,
     "topk_50m": probe_topk_50m,
+    # minhash BEFORE the temporal probes: the 20M-row single-partition
+    # sort in temporal_exact_20m leaves the JVM heap fragmented/GC-hot,
+    # which measurably drags the Python-UDF-heavy minhash probe (observed
+    # 40 s vs 14-22 s when run before it)
+    "minhash_200k_docs": probe_minhash_200k_docs,
     "temporal_exact_20m": probe_temporal_exact_20m,
     "temporal_cutoff_20m": probe_temporal_cutoff_20m,
-    "minhash_200k_docs": probe_minhash_200k_docs,
     "stream_agg_1m": probe_stream_agg_1m,
 }
 
