@@ -298,3 +298,42 @@ def test_resize_bmp_matches_numpy_reference(w, h, nw, nh, seed):
     xs = (np.arange(nw) * w) // nw
     want = img[np.ix_(ys, xs)]
     assert np.array_equal(got, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # id
+            st.integers(min_value=0, max_value=5),    # cluster
+            st.integers(min_value=-3, max_value=3),   # score
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_select_representatives_properties(spark, rows):
+    """Invariants for keep-best selection on random clusterings: one rep
+    per cluster, the rep is a member, its score is the cluster max, ties
+    break to the smallest id, n_members is exact."""
+    comps = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "id bigint, comp bigint"
+    )
+    scored = spark.createDataFrame(
+        [(i, float(s)) for i, _, s in rows], "id bigint, score double"
+    )
+    reps = dedup.select_representatives(comps, scored).collect()
+    by_cluster: dict[int, list[tuple[int, int]]] = {}
+    for i, c, s in rows:
+        by_cluster.setdefault(c, []).append((i, s))
+    assert len(reps) == len(by_cluster)
+    for r in reps:
+        members = by_cluster[r.comp]
+        best = max(s for _, s in members)
+        want_id = min(i for i, s in members if s == best)
+        assert (r.rep_id, r.rep_score, r.n_members) == (
+            want_id,
+            float(best),
+            len(members),
+        )
