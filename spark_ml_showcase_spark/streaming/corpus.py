@@ -112,6 +112,16 @@ def stream_minhash_dedup(
             f"resume against {state_dir!r} which has signature state but no "
             "params.json manifest: the index's LSH scheme is unverifiable"
         )
+    if resume and os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
+        # a _SUCCESS at the sigs ROOT is the pre-round-6 flat-append
+        # layout; state_parts() would silently see no b*/ subdirs and
+        # resume against an EMPTY index (old survivors vanish, their
+        # duplicates get re-admitted) — refuse loudly instead
+        raise ValueError(
+            f"resume against {state_dir!r} which holds flat-layout state "
+            "(pre-batch-subdir format): rebuild the index with "
+            "resume=False, or migrate sigs/buckets into b<N>/ subdirs"
+        )
     else:
         with open(manifest, "w") as f:
             json.dump(params, f)

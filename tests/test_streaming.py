@@ -397,6 +397,43 @@ def test_stream_minhash_dedup_resume_across_calls(spark, tmp_path):
         )
 
 
+def test_stream_minhash_dedup_resume_refuses_legacy_layouts(spark, tmp_path):
+    """resume=True against unverifiable state fails loudly: a state dir
+    with signatures but no params manifest, and one in the pre-batch-
+    subdir flat layout (a _SUCCESS at the sigs root) — silently resuming
+    either would dedup against an effectively empty index."""
+    import json
+
+    import pytest
+
+    from spark_ml_showcase_spark.streaming import corpus as sc_
+
+    d = os.path.join(str(tmp_path), "docs")
+    spark.createDataFrame(
+        [(1, "some words here for the stream to chew on today")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(d)
+
+    # (a) signatures, no manifest
+    no_manifest = os.path.join(str(tmp_path), "state_a")
+    os.makedirs(os.path.join(no_manifest, "sigs"))
+    with pytest.raises(ValueError, match="unverifiable"):
+        sc_.stream_minhash_dedup(
+            se.stream_staged(spark, d), state_dir=no_manifest, resume=True
+        )
+
+    # (b) matching manifest but FLAT pre-round-6 layout
+    legacy = os.path.join(str(tmp_path), "state_b")
+    os.makedirs(os.path.join(legacy, "sigs"))
+    with open(os.path.join(legacy, "params.json"), "w") as f:
+        json.dump({"ngram": 3, "k": 32, "bands": 8}, f)
+    open(os.path.join(legacy, "sigs", "_SUCCESS"), "w").close()
+    with pytest.raises(ValueError, match="flat-layout"):
+        sc_.stream_minhash_dedup(
+            se.stream_staged(spark, d), state_dir=legacy, resume=True
+        )
+
+
 def test_stream_decontaminate_matches_batch(spark, tmp_path):
     """Streaming decontamination (literal-set filter + stream-static
     semi join) classifies docs exactly like the batch operator."""

@@ -209,7 +209,7 @@ PROBES = {
     # minhash BEFORE the temporal probes: the 20M-row single-partition
     # sort in temporal_exact_20m leaves the JVM heap fragmented/GC-hot,
     # which measurably drags the Python-UDF-heavy minhash probe (observed
-    # 40 s vs 14-22 s when run before it)
+    # 40 s after the sort probe vs 9-22 s before it, across runs)
     "minhash_200k_docs": probe_minhash_200k_docs,
     "temporal_exact_20m": probe_temporal_exact_20m,
     "temporal_cutoff_20m": probe_temporal_cutoff_20m,
