@@ -337,3 +337,41 @@ def test_select_representatives_properties(spark, rows):
             float(best),
             len(members),
         )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(_texts, min_size=1, max_size=10),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=0, max_value=9),
+)
+def test_chunking_matches_python_reference_any_params(spark, strings, max_tokens, overlap):
+    """The column-expression chunker equals a straightforward Python
+    reference for ANY (max_tokens, overlap) — pins the boundary math
+    (ceil window count, short final chunk, zero-token docs) beyond the
+    fixed-parameter reconstruction test."""
+    import math
+
+    from spark_ml_showcase_spark.operators import chunking
+
+    overlap = min(overlap, max_tokens - 1)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in chunking.chunk_documents(
+            df, max_tokens=max_tokens, overlap=overlap
+        ).collect()
+    }
+    want = set()
+    stride = max_tokens - overlap
+    for i, s in enumerate(strings):
+        toks = s.split()
+        if not toks:
+            continue
+        n_chunks = max(math.ceil((len(toks) - overlap) / stride), 1)
+        for j in range(n_chunks):
+            window = toks[j * stride : j * stride + max_tokens]
+            want.add((i, j, " ".join(window), len(window)))
+    assert got == want
