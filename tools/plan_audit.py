@@ -36,6 +36,12 @@ SKIP_PREFIXES = ("stream_", "ml_")
 
 # query -> {flag: justification}; a flag on a query absent here FAILS.
 ALLOWLIST = {
+    "profile_orders_table": {
+        "bnlj": "two broadcast SINGLE-ROW aggregate frames cross-joined "
+        "(1×1 and 1×1): the three-way agg split that keeps string "
+        "min/max off the count-distinct Expand (5× faster, see "
+        "operators/profile.py) — no data-sized side exists"
+    },
     "cosine_topk_bruteforce": {
         "bnlj": "by design: broadcast(queries) × candidates — the exact "
         "brute-force baseline; candidates stream once past the tiny "
