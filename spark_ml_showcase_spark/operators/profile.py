@@ -146,3 +146,69 @@ def profile_table(
         .select("_p.*")
         .orderBy("col_name")
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    rel_tol: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Drift report between two :func:`profile_table` outputs (e.g. the
+    previous corpus drop vs today's): per column —
+
+    - ``null_rate_delta``: new null fraction minus old,
+    - ``mean_rel_delta``: |mean_new − mean_old| / max(|mean_old|, 1e-12)
+      (NULL for non-numeric columns),
+    - ``distinct_ratio``: n_distinct_new / n_distinct_old (NULL when the
+      old side had 0),
+    - ``drift``: true iff any of the above exceeds ``rel_tol`` (for
+      distinct_ratio: deviates from 1 by more than ``rel_tol``).
+
+    The TFDV "validate today's stats against yesterday's" step. Columns
+    present on only one side drift by definition (schema change).
+
+    Scale posture: profiles are O(columns) rows — this is a full outer
+    join of two tiny frames; the heavy lifting already happened inside
+    profile_table's single pass over each corpus.
+    """
+    o = old.select(
+        "col_name",
+        (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1))).alias("_nr_o"),
+        F.col("mean").alias("_mean_o"),
+        F.col("n_distinct").alias("_nd_o"),
+    )
+    n = new.select(
+        "col_name",
+        (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1))).alias("_nr_n"),
+        F.col("mean").alias("_mean_n"),
+        F.col("n_distinct").alias("_nd_n"),
+    )
+    j = o.join(n, "col_name", "full_outer")
+    null_rate_delta = F.round(F.col("_nr_n") - F.col("_nr_o"), round_to)
+    mean_rel = F.when(
+        F.col("_mean_o").isNotNull() & F.col("_mean_n").isNotNull(),
+        F.round(
+            F.abs(F.col("_mean_n") - F.col("_mean_o"))
+            / F.greatest(F.abs(F.col("_mean_o")), F.lit(1e-12)),
+            round_to,
+        ),
+    )
+    distinct_ratio = F.when(
+        F.col("_nd_o") > 0,
+        F.round(F.col("_nd_n") / F.col("_nd_o"), round_to),
+    )
+    one_sided = F.col("_nr_o").isNull() | F.col("_nr_n").isNull()
+    drift = one_sided | (
+        (F.abs(F.coalesce(null_rate_delta, F.lit(0.0))) > rel_tol)
+        | (F.coalesce(mean_rel, F.lit(0.0)) > rel_tol)
+        | (F.abs(F.coalesce(distinct_ratio, F.lit(1.0)) - 1.0) > rel_tol)
+    )
+    return j.select(
+        "col_name",
+        null_rate_delta.alias("null_rate_delta"),
+        mean_rel.alias("mean_rel_delta"),
+        distinct_ratio.alias("distinct_ratio"),
+        drift.alias("drift"),
+    ).orderBy("col_name")

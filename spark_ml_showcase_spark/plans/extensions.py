@@ -1044,7 +1044,7 @@ def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-6 engine-surface additions (X22/X23).
 # ---------------------------------------------------------------------------
 
-def _profile_block_num(c: str) -> str:
+def _profile_block_num(c: str, src: str = "orders") -> str:
     return f"""
     SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
@@ -1054,10 +1054,10 @@ def _profile_block_num(c: str) -> str:
            ROUND(CAST(SUM(CAST({c} AS DECIMAL(28,6))) / COUNT({c}) AS DOUBLE),
                  6) AS mean,
            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-    FROM orders"""
+    FROM {src}"""
 
 
-def _profile_block_str(c: str) -> str:
+def _profile_block_str(c: str, src: str = "orders") -> str:
     return f"""
     SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
@@ -1066,7 +1066,7 @@ def _profile_block_str(c: str) -> str:
            CAST(NULL AS DOUBLE) AS mean,
            MIN(CAST({c} AS VARCHAR)) AS min_str,
            MAX(CAST({c} AS VARCHAR)) AS max_str
-    FROM orders"""
+    FROM {src}"""
 
 
 _PROFILE_ORDERS_ORACLE = (
@@ -1186,3 +1186,61 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component"), "rep_id",
         F.col("rep_score").cast("bigint").alias("rep_score"), "n_members",
     ).orderBy("component")
+
+
+_DRIFT_NEW_SRC = "(SELECT * FROM orders WHERE o_totalprice < 150000)"
+_DRIFT_COLS_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_DRIFT_COLS_STR = ("o_orderstatus", "o_orderdate", "o_orderpriority")
+
+
+def _profile_union(src: str) -> str:
+    return " UNION ALL ".join(
+        [_profile_block_num(c, src) for c in _DRIFT_COLS_NUM]
+        + [_profile_block_str(c, src) for c in _DRIFT_COLS_STR]
+    )
+
+
+_PROFILE_DRIFT_ORACLE = f"""
+    WITH po AS ({_profile_union("orders")}),
+         pn AS ({_profile_union(_DRIFT_NEW_SRC)}),
+         d AS (
+        SELECT COALESCE(po.col_name, pn.col_name) AS col_name,
+               ROUND(pn.n_nulls::DOUBLE / greatest(pn.n_rows, 1)
+                     - po.n_nulls::DOUBLE / greatest(po.n_rows, 1),
+                     6) AS null_rate_delta,
+               CASE WHEN po.mean IS NOT NULL AND pn.mean IS NOT NULL
+                    THEN ROUND(abs(pn.mean - po.mean)
+                               / greatest(abs(po.mean), 1e-12), 6)
+               END AS mean_rel_delta,
+               CASE WHEN po.n_distinct > 0
+                    THEN ROUND(pn.n_distinct::DOUBLE / po.n_distinct, 6)
+               END AS distinct_ratio,
+               (po.col_name IS NULL OR pn.col_name IS NULL) AS one_sided
+        FROM po FULL OUTER JOIN pn ON po.col_name = pn.col_name
+    )
+    SELECT col_name, null_rate_delta, mean_rel_delta, distinct_ratio,
+           one_sided
+            OR abs(COALESCE(null_rate_delta, 0.0)) > 0.1
+            OR COALESCE(mean_rel_delta, 0.0) > 0.1
+            OR abs(COALESCE(distinct_ratio, 1.0) - 1.0) > 0.1 AS drift
+    FROM d ORDER BY col_name
+"""
+
+
+# X22+: profile DRIFT between two corpus drops (TFDV "validate today's
+# stats against yesterday's") — the old profile is the full orders
+# table, the "new drop" a deterministic truncated slice (totalprice <
+# 150k: mean shifts, rows/distincts shrink). The oracle recomputes BOTH
+# profiles and the delta algebra, so the full observability chain is
+# value-checked.
+@query("profile_drift_orders", oracle=_PROFILE_DRIFT_ORACLE)
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators.profile import (
+        profile_drift,
+        profile_table,
+    )
+
+    orders = Catalog(spark, sf_dir).orders
+    old = profile_table(orders)
+    new = profile_table(orders.filter(F.col("o_totalprice") < 150000))
+    return profile_drift(old, new, rel_tol=0.1)

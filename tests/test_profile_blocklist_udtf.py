@@ -131,3 +131,28 @@ def test_udtf_chunker_matches_native_chunker(spark):
         spark.sql(
             "SELECT * FROM udtf_docs d, LATERAL chunk_text_fn(d.text, 3, 3) c"
         ).collect()
+
+
+def test_profile_drift_detects_shifts_and_schema_changes(spark):
+    from spark_ml_showcase_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [(i, float(i % 10), "s%d" % (i % 5)) for i in range(100)],
+        "id bigint, v double, tag string",
+    )
+    # new drop: mean of v shifted 10x, tag cardinality collapsed, and a
+    # new column appeared while `tag`'s nulls exploded
+    new = spark.createDataFrame(
+        [(i, float((i % 10) * 10), None if i % 2 else "s0", 1.0)
+         for i in range(100)],
+        "id bigint, v double, tag string, extra double",
+    )
+    drift = {
+        r.col_name: r
+        for r in profile_drift(profile_table(old), profile_table(new)).collect()
+    }
+    assert not drift["id"].drift  # identical distribution
+    assert drift["v"].drift and drift["v"].mean_rel_delta > 5
+    assert drift["tag"].drift and drift["tag"].null_rate_delta == 0.5
+    assert drift["tag"].distinct_ratio == 0.2
+    assert drift["extra"].drift  # schema change: one-sided column
