@@ -132,6 +132,7 @@ def blocklist_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     case_insensitive: bool = True,
+    literal_max: int = 1000,
 ) -> DataFrame:
     """C4-style term-blocklist gate (Raffel et al. 2020 drop any page
     containing a "List of Dirty, Naughty ... Words" term): classify every
@@ -142,11 +143,19 @@ def blocklist_filter(
     rather than a filter so callers can audit what a threshold would drop
     before dropping it; ``df.filter(~F.col("blocked"))`` is the gate.
 
-    Scale posture: the blocklist rides the plan as an ARRAY LITERAL
-    (broadcast with the task binary, no join, no shuffle) and the check
-    is one narrow projection — `array_intersect` on the tokenized text.
-    Real blocklists are a few thousand terms: still literal-sized. NULL
-    text → zero tokens → not blocked.
+    Scale posture, two regimes on ``len(terms)`` (same results, tested
+    for parity):
+
+    - ≤ ``literal_max``: the list rides the plan as an ARRAY LITERAL
+      (shipped with the task binary — no join, no shuffle, one narrow
+      `array_intersect` projection).
+    - above it (real badwords lists run to tens of thousands; a
+      10k-element literal bloats the plan tree and codegen): tokens
+      explode into rows and BROADCAST-join the term table, then a
+      count-distinct-per-doc regroups — one shuffle of (id, matched
+      term) pairs only, the corpus text never leaves its scan.
+
+    NULL text → zero tokens → not blocked, in both regimes.
     """
     from spark_ml_showcase_spark.functions.text import _tokens
 
@@ -160,9 +169,35 @@ def blocklist_filter(
     else:
         terms = sorted(set(terms))
     toks = _tokens(text)
-    hits = F.array_intersect(toks, F.array(*[F.lit(t) for t in terms]))
-    return df.select(
-        F.col(id_col),
-        (F.size(hits) > 0).alias("blocked"),
-        F.size(hits).alias("n_blocked_terms"),
+    if len(terms) <= literal_max:
+        hits = F.array_intersect(toks, F.array(*[F.lit(t) for t in terms]))
+        return df.select(
+            F.col(id_col),
+            (F.size(hits) > 0).alias("blocked"),
+            F.size(hits).alias("n_blocked_terms"),
+        )
+    spark = df.sparkSession
+    term_df = F.broadcast(
+        spark.createDataFrame([(t,) for t in terms], "_term string")
+    )
+    # distinct (id, token) before the join: duplicate tokens in one doc
+    # must count once (array_intersect semantics), and deduping early
+    # shrinks the join input
+    tok_rows = (
+        df.select(F.col(id_col).alias("_bid"), F.explode(toks).alias("_tok"))
+        .distinct()
+    )
+    counts = (
+        tok_rows.join(term_df, tok_rows["_tok"] == term_df["_term"], "inner")
+        .groupBy("_bid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(counts, F.col(id_col) == F.col("_bid"), "left")
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("_n"), F.lit(0)) > 0).alias("blocked"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("int").alias("n_blocked_terms"),
+        )
     )

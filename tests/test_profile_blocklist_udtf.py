@@ -156,3 +156,29 @@ def test_profile_drift_detects_shifts_and_schema_changes(spark):
     assert drift["tag"].drift and drift["tag"].null_rate_delta == 0.5
     assert drift["tag"].distinct_ratio == 0.2
     assert drift["extra"].drift  # schema change: one-sided column
+
+
+def test_blocklist_join_path_parity_with_literal_path(spark):
+    """Above `literal_max` the gate switches from an array literal to a
+    broadcast token join — the two regimes must classify identically
+    (incl. NULL text, repeated terms, zero-token docs)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only here"),
+            (2, "contains a BadWord among others"),
+            (3, None),
+            (4, ""),
+            (5, "badword badword ass extra words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    terms = ["badword", "ass"] + [f"filler_term_{i}" for i in range(50)]
+    lit = {
+        (r.doc_id, r.blocked, r.n_blocked_terms)
+        for r in quality.blocklist_filter(docs, terms, literal_max=1000).collect()
+    }
+    joined = {
+        (r.doc_id, r.blocked, r.n_blocked_terms)
+        for r in quality.blocklist_filter(docs, terms, literal_max=10).collect()
+    }
+    assert joined == lit and len(lit) == 5
