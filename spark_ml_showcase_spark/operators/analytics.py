@@ -1,0 +1,150 @@
+"""Event-sequence analytics: funnel conversion and cohort retention.
+
+Not in the reference (its event handling stops at per-type aggregation,
+``Log Analysis/log_mining_analysis.py``); these are the two standard
+product-analytics observables any events table at scale gets asked for,
+and both compose from the engine's existing primitives (per-user
+windows, conditional aggregation).
+
+Scale posture (100 TB events):
+
+- :func:`funnel` costs ONE shuffle, keyed by the user column. Step-reach
+  times are chained ``min(CASE ...) OVER (PARTITION BY user)`` window
+  expressions: after the first Window node hash-partitions by user,
+  every later step's Window and the final per-user collapse reuse that
+  partitioning (Catalyst sees the child distribution satisfied — no
+  further Exchange; frames are unbounded, so no sort either). The final
+  per-step rollup reduces to ``n_steps`` rows via partial aggregation.
+- :func:`cohort_retention` is two shuffles: user→first-day (window over
+  the same user partitioning), then the (cohort, offset) distinct-user
+  count. Both keys are high-cardinality and skew-free (user ids,
+  day pairs); the output is |days|² rows at most — driver-safe.
+- No UDFs anywhere — both operators are pure built-in-function plans
+  inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Strict-order funnel: a user reaches step ``k`` iff events of types
+    ``steps[0] .. steps[k]`` occur at strictly increasing timestamps.
+
+    Uses the classic greedy chaining (take the EARLIEST time each step
+    can complete given the previous step's earliest completion) — greedy
+    is exact for an unwindowed ordered funnel: an earlier step-k time
+    can only widen the set of valid step-k+1 events.
+
+    Returns one row per step: ``(step_idx, step, users, conversion)``
+    where ``conversion = users / users(step 1)`` rounded to
+    ``round_decimals`` (deterministic across engines).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    prev: Column | None = None
+    reach_cols: list[str] = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == F.lit(step)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        col_name = f"_s{i}"
+        # Each select adds ONE window expression referencing the previous
+        # step's (already materialized) column — same partitioning, so
+        # only the first Window exchanges.
+        df = df.withColumn(
+            col_name, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = F.col(col_name)
+        reach_cols.append(col_name)
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in reach_cols]
+    )
+    counts = per_user.agg(
+        *[F.count(c).cast("bigint").alias(c) for c in reach_cols]
+    )
+    # n_steps rows out of a 1-row frame: a tiny explode, not a shuffle.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(reach_cols[i]).alias("users"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return (
+        counts.select(F.explode(pairs).alias("r"), F.col(reach_cols[0]).alias("_first"))
+        .select(
+            F.col("r.step_idx").alias("step_idx"),
+            F.col("r.step").alias("step"),
+            F.col("r.users").alias("users"),
+            F.round(
+                F.col("r.users")
+                / F.when(F.col("_first") > 0, F.col("_first")),
+                round_decimals,
+            ).alias("conversion"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Day-granularity cohort retention: users are cohorted by their
+    first active day; each later active day counts toward
+    ``(cohort_day, day_offset)``.
+
+    Returns ``(cohort_day, day_offset, users, retention)`` where
+    ``cohort_day`` is an ISO ``yyyy-MM-dd`` string (engine-portable),
+    ``users`` counts DISTINCT users active ``day_offset`` days after
+    their cohort day, and ``retention = users / cohort size`` (the
+    offset-0 count — every member is active on their first day by
+    construction).
+    """
+    active = events.select(
+        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_day")
+    ).withColumn("_cohort", F.min("_day").over(Window.partitionBy("_u")))
+    shaped = active.select(
+        F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("_day", "_cohort").cast("bigint").alias("day_offset"),
+        "_u",
+    )
+    if max_offset is not None:
+        shaped = shaped.filter(F.col("day_offset") <= max_offset)
+    counts = shaped.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("_u").cast("bigint").alias("users")
+    )
+    wc = Window.partitionBy("cohort_day")
+    return (
+        counts.withColumn(
+            "retention",
+            F.round(
+                F.col("users")
+                / F.max(
+                    F.when(F.col("day_offset") == 0, F.col("users"))
+                ).over(wc),
+                round_decimals,
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

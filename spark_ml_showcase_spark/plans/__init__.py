@@ -135,6 +135,7 @@ def _load_all() -> None:
     # cheap. Registration order no longer matters — `_ordered` sorts the
     # registry by evidence freshness (see front_order above).
     from spark_ml_showcase_spark.plans import (  # noqa: F401
+        analytics_queries,
         splits_queries,
         streaming_queries,
         relational,

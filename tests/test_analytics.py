@@ -1,0 +1,124 @@
+"""Funnel + cohort retention (operators/analytics.py): semantics pinned
+on hand-built event logs where the expected output is checkable by eye,
+plus plan-shape guards (single user-shuffle funnel, no UDFs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from spark_ml_showcase_spark.operators import analytics
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (uid, dt.datetime(2024, 1, d, h, m), et)
+            for (uid, d, h, m, et) in rows
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_strict_order(spark):
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, 1, 0, 0, "view"),
+        (1, 1, 1, 0, "click"),
+        (1, 1, 2, 0, "purchase"),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, 1, 1, 0, "click"),
+        (2, 1, 2, 0, "view"),
+        # u3 views only
+        (3, 1, 0, 0, "view"),
+        # u4 never views: nothing counts, not even the purchase
+        (4, 1, 0, 0, "purchase"),
+    ]
+    out = analytics.funnel(_ev(spark, rows), ["view", "click", "purchase"])
+    got = {r["step"]: (r["users"], r["conversion"]) for r in out.collect()}
+    assert got == {
+        "view": (3, 1.0),
+        "click": (1, pytest.approx(1 / 3, abs=1e-6)),
+        "purchase": (1, pytest.approx(1 / 3, abs=1e-6)),
+    }
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # strict > : a click at the exact view instant does not advance
+    rows = [(1, 1, 0, 0, "view"), (1, 1, 0, 0, "click")]
+    out = analytics.funnel(_ev(spark, rows), ["view", "click"])
+    got = {r["step"]: r["users"] for r in out.collect()}
+    assert got == {"view": 1, "click": 0}
+
+
+def test_funnel_greedy_is_exact_on_retry_path(spark):
+    # u1: view@0, click@1, view@2, purchase@3 — greedy chains
+    # view@0 → click@1 → purchase@3 and must count the purchase.
+    rows = [
+        (1, 1, 0, 0, "view"),
+        (1, 1, 1, 0, "click"),
+        (1, 2, 0, 0, "view"),
+        (1, 3, 0, 0, "purchase"),
+    ]
+    out = analytics.funnel(_ev(spark, rows), ["view", "click", "purchase"])
+    assert all(r["users"] == 1 for r in out.collect())
+
+
+def test_funnel_empty_and_no_steps(spark):
+    df = _ev(spark, [])
+    out = analytics.funnel(df, ["view"])
+    row = out.collect()[0]
+    assert (row["users"], row["conversion"]) == (0, None)
+    with pytest.raises(ValueError):
+        analytics.funnel(df, [])
+
+
+def test_funnel_single_exchange(spark):
+    """The chained step windows all reuse the first user-hash exchange:
+    exactly ONE Exchange before the per-user collapse (the 1-row global
+    agg after it is free)."""
+    rows = [(1, 1, 0, 0, "view"), (2, 1, 1, 0, "click")]
+    plan = analytics.funnel(
+        _ev(spark, rows), ["view", "click", "purchase"]
+    )._jdf.queryExecution().executedPlan().toString()
+    # hashpartitioning exchanges only; ignore the SinglePartition one
+    # feeding the global count row.
+    n_hash_exchanges = plan.count("hashpartitioning")
+    assert n_hash_exchanges <= 1, plan
+
+
+def test_cohort_retention_shape(spark):
+    rows = [
+        # cohort 2024-01-01: u1 (active d1, d2), u2 (active d1, d3)
+        (1, 1, 0, 0, "view"),
+        (1, 2, 0, 0, "view"),
+        (2, 1, 5, 0, "click"),
+        (2, 3, 0, 0, "view"),
+        # cohort 2024-01-02: u3 active once
+        (3, 2, 0, 0, "view"),
+    ]
+    out = analytics.cohort_retention(_ev(spark, rows))
+    got = {
+        (r["cohort_day"], r["day_offset"]): (r["users"], r["retention"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-01-01", 2): (1, 0.5),
+        ("2024-01-02", 0): (1, 1.0),
+    }
+
+
+def test_cohort_max_offset(spark):
+    rows = [(1, 1, 0, 0, "view"), (1, 20, 0, 0, "view")]
+    out = analytics.cohort_retention(_ev(spark, rows), max_offset=7)
+    assert [r["day_offset"] for r in out.collect()] == [0]
+
+
+def test_cohort_multiple_events_same_day_count_once(spark):
+    rows = [(1, 1, 0, 0, "view"), (1, 1, 5, 0, "click")]
+    out = analytics.cohort_retention(_ev(spark, rows))
+    rowz = out.collect()
+    assert len(rowz) == 1 and rowz[0]["users"] == 1
