@@ -199,6 +199,50 @@ def token_budget_sample(
     )
 
 
+def class_balance_cap(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    cap: int,
+    caps: dict[object, int] | None = None,
+) -> DataFrame:
+    """Per-class ROW cap — the majority-class downsampling step of
+    training-set balancing ("at most N examples per label/language/
+    domain"). Every class keeps its ``cap`` (or ``caps[class]``
+    override) rows with the smallest ``md5(key)`` — an engine-portable
+    uniform draw with the same determinism contract as
+    ``portable_sample_by``: identical on any partitioning, cluster
+    size, or SQL engine with md5, so the DuckDB oracle replays it
+    bit-for-bit (``QUALIFY row_number() OVER (PARTITION BY class
+    ORDER BY md5, key) <= cap``). Classes at-or-under their cap pass
+    through whole.
+
+    Plan: one shuffle on ``strata_col`` for the per-class rank window.
+    At 100 TB the same pre-filter posture as ``token_budget_sample``
+    applies: a class orders of magnitude above its cap should be cut
+    down first with ``portable_sample_by`` (fraction ≈ cap / est. class
+    rows, with slack) so the per-class sort ranks ~cap rows, not the
+    raw class.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be ≥ 0, got {cap}")
+    for v, c in (caps or {}).items():
+        if c < 0:
+            raise ValueError(f"cap for {v!r} must be ≥ 0, got {c}")
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 16)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    limit = F.lit(int(cap))
+    for value, c in sorted((caps or {}).items(), key=lambda kv: str(kv[0])):
+        limit = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(c))
+        ).otherwise(limit)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .drop("_rn")
+    )
+
+
 # Routing ceiling for temporal_split's exact path: above this row count
 # the global single-partition row_number window is the wrong plan (one
 # task sorts everything), so exact=None auto-routes to the cutoff path.

@@ -959,6 +959,46 @@ def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# X8+: per-class row cap — majority-class downsampling for training-set
+# balancing. English dominates the corpus ~3:1, so cap it at 60 rows and
+# every other language at 50; md5-ordered draw makes the kept set
+# engine-portable and the oracle a QUALIFY replay. The summary output
+# (per-lang kept counts) proves both the cap bite and the pass-through.
+@query(
+    "class_balance_cap_docs",
+    oracle="""
+    WITH kept AS (
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16),
+                                doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= CASE lang WHEN 'en' THEN 60 ELSE 50 END
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS kept,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def class_balance_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    kept = splits.class_balance_cap(
+        docs, "lang", "doc_id", 50, caps={"en": 60}
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 # X12+: tokenizer-training statistics — global adjacent character-pair
 # counts over whitespace tokens, the distributed inner loop of BPE/
 # WordPiece vocabulary induction (each merge round re-ranks pair

@@ -135,3 +135,48 @@ def test_token_budget_sample_invariants(spark):
         ).collect()
     }
     assert {(r.id, r.cum_tokens) for r in got} == got2
+
+
+def test_class_balance_cap_bites_and_passes_through(spark):
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    kept = splits.class_balance_cap(df, "cls", "id", 10)
+    by_cls = {
+        r["cls"]: r["n"]
+        for r in kept.groupBy("cls").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_cls == {"big": 10, "small": 10}
+
+    # per-class override
+    kept2 = splits.class_balance_cap(df, "cls", "id", 10, caps={"big": 25})
+    by_cls2 = {
+        r["cls"]: r["n"]
+        for r in kept2.groupBy("cls").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_cls2 == {"big": 25, "small": 10}
+
+
+def test_class_balance_cap_partitioning_invariant(spark):
+    rows = [(i, f"c{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    a = sorted(
+        r["id"] for r in splits.class_balance_cap(df, "cls", "id", 7).collect()
+    )
+    b = sorted(
+        r["id"]
+        for r in splits.class_balance_cap(
+            df.repartition(13), "cls", "id", 7
+        ).collect()
+    )
+    assert a == b and len(a) == 21
+
+
+def test_class_balance_cap_zero_and_negative(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "id long, cls string")
+    assert splits.class_balance_cap(df, "cls", "id", 0).count() == 0
+    with pytest.raises(ValueError):
+        splits.class_balance_cap(df, "cls", "id", -1)
+    with pytest.raises(ValueError):
+        splits.class_balance_cap(df, "cls", "id", 1, caps={"a": -2})
