@@ -104,3 +104,41 @@ def bucketed_join_priority_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("priority")
     )
+
+
+# Third layout family (after hive-partitioning → DPP and bucketing →
+# exchange-free joins): RANGE CLUSTERING → row-group skipping. The
+# query itself is an ordinary band-filter aggregate over the clustered
+# copy of events — correct iff the ingest-time rewrite is lossless (the
+# oracle reads the ORIGINAL table) — while tests/test_clustering.py
+# proves from the written footers that the band only touches ~band/domain
+# of the files. value ∈ [200, 300) over a [0, ~490] domain → ~2-3 of 8.
+@query(
+    "clustered_scan_value_band",
+    oracle="""
+    SELECT event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE value >= 200 AND value < 300
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def clustered_scan_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators import clustering
+
+    path = clustering.materialize_events_clustered(
+        spark, sf_dir, mode="value_range"
+    )
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter((F.col("value") >= 200) & (F.col("value") < 300))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
