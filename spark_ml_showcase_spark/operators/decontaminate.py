@@ -72,3 +72,71 @@ def ngram_decontaminate(
     )
     clean = docs.join(hits, id_col, "left_anti")
     return clean, hits
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    score_decimals: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic (embedding-space) decontamination: drop corpus items
+    whose max cosine similarity against ANY benchmark embedding reaches
+    ``threshold`` — the paraphrase-robust companion to
+    :func:`ngram_decontaminate` (n-gram overlap misses reworded eval
+    items; embedding cosine does not).
+
+    Returns ``(clean, hits)``: ``hits`` is one row per contaminated
+    corpus item — ``(id_col, max_cosine, nearest_bench_id)``, max
+    cosine ROUNDED to ``score_decimals`` with a bench-id tie-break so
+    the nearest attribution is deterministic under float ulp drift.
+
+    Scale posture: same asymmetry as the n-gram variant — the benchmark
+    side (thousands of eval vectors) is **broadcast**; the 100-TB corpus
+    side streams once through a broadcast nested-loop scoring pass and
+    reduces per corpus id with map-side partial max (the shuffle carries
+    (id, best-score, best-bench-id) triples, never vectors). For
+    benchmark sets too big to score densely, pre-bucket both sides with
+    ``similarity.lsh_bucket`` and score per bucket.
+    """
+    from spark_ml_showcase_spark.functions import similarity as S
+    from spark_ml_showcase_spark.functions import vectors as V
+
+    b_id = bench_id_col or id_col
+    b_vec = bench_vec_col or vec_col
+    c = corpus.select(
+        F.col(id_col), S.as_double(vec_col).alias("_cv")
+    )
+    b = benchmark.select(
+        F.col(b_id).alias("_bench_id"), S.as_double(b_vec).alias("_bv")
+    )
+    scored = c.crossJoin(F.broadcast(b)).select(
+        id_col,
+        "_bench_id",
+        F.round(V.cosine("_cv", "_bv"), score_decimals).alias("_cos"),
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_cos").alias("c"),
+                    # negate so ties prefer the SMALLEST bench id under max
+                    (-F.col("_bench_id")).alias("neg_id"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            id_col,
+            F.col("_best.c").alias("max_cosine"),
+            (-F.col("_best.neg_id")).cast("bigint").alias("nearest_bench_id"),
+        )
+    )
+    hits = best.filter(F.col("max_cosine") >= threshold)
+    clean = corpus.join(hits.select(id_col), id_col, "left_anti")
+    return clean, hits

@@ -690,6 +690,46 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.orderBy("doc_id")
 
 
+# X6+: EMBEDDING-space decontamination — the paraphrase-robust
+# companion to the n-gram gate (reworded eval items share no 5-grams
+# but stay cosine-close). Benchmark slice = vec_id ≥ 480 (broadcast);
+# both sides rank by the ROUNDED cosine with a min-bench-id tie-break,
+# so attribution is deterministic under float ulp drift.
+@query(
+    "decontaminate_embedding",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 480),
+         b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+               FROM embeddings WHERE vec_id >= 480),
+         s AS (SELECT c.vec_id, b.bench_id,
+                      ROUND(list_dot_product(v, bv)
+                            / (sqrt(list_dot_product(v, v))
+                               * sqrt(list_dot_product(bv, bv))), 6) AS cos
+               FROM c, b),
+         best AS (SELECT vec_id, cos AS max_cosine,
+                         CAST(bench_id AS BIGINT) AS nearest_bench_id
+                  FROM (SELECT *, row_number() OVER (
+                            PARTITION BY vec_id
+                            ORDER BY cos DESC, bench_id ASC) AS rn
+                        FROM s) WHERE rn = 1)
+    SELECT vec_id, max_cosine, nearest_bench_id
+    FROM best WHERE max_cosine >= 0.35 ORDER BY vec_id
+    """,
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    corpus = emb.filter(F.col("vec_id") < 480)
+    bench = emb.filter(F.col("vec_id") >= 480)
+    # the synthetic embeddings plant no true near-dups, so the gate is
+    # exercised in the upper tail of the similarity distribution
+    # (p99 ≈ 0.38 at sf0.01) rather than at a production 0.9.
+    _, hits = decontaminate.embedding_decontaminate(
+        corpus, bench, threshold=0.35
+    )
+    return hits.orderBy("vec_id")
+
+
 # X7: Gopher-style repetition/quality flags (Rae et al. 2021 §A.1.1) —
 # top-unigram/top-bigram mass fractions + mean word length, thresholded
 # into a keep flag. Ratios of small ints rounded to 6dp on both engines.

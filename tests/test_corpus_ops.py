@@ -152,3 +152,50 @@ def test_pack_sequences_greedy_boundaries(spark):
     assert got[(1, 4, 0)] == (0, 0)
     assert got[(1, 4, 1)] == (0, 128)
     assert got[(1, 5, 0)] == (1, 0)    # 256+1 overflows → new sequence
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_decontaminate_flags_cosine_matches(spark):
+    # corpus 1 is an exact copy of bench 100; corpus 2 is a scaled copy
+    # of bench 101 (cosine 1.0); corpus 3 is orthogonal to everything.
+    corpus = _emb_df(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 2.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+    )
+    bench = _emb_df(spark, [(100, [1.0, 0.0, 0.0]), (101, [0.0, 5.0, 0.0])])
+    clean, hits = decontaminate.embedding_decontaminate(
+        corpus, bench, threshold=0.9
+    )
+    got = {
+        r["vec_id"]: (r["max_cosine"], r["nearest_bench_id"])
+        for r in hits.collect()
+    }
+    assert got == {1: (1.0, 100), 2: (1.0, 101)}
+    assert [r["vec_id"] for r in clean.collect()] == [3]
+
+
+def test_embedding_decontaminate_tie_prefers_smallest_bench_id(spark):
+    corpus = _emb_df(spark, [(1, [1.0, 0.0])])
+    bench = _emb_df(
+        spark, [(200, [2.0, 0.0]), (100, [3.0, 0.0]), (300, [1.0, 0.0])]
+    )
+    _, hits = decontaminate.embedding_decontaminate(
+        corpus, bench, threshold=0.5
+    )
+    assert hits.first()["nearest_bench_id"] == 100
+
+
+def test_embedding_decontaminate_below_threshold_all_clean(spark):
+    corpus = _emb_df(spark, [(1, [1.0, 0.0])])
+    bench = _emb_df(spark, [(100, [0.0, 1.0])])
+    clean, hits = decontaminate.embedding_decontaminate(
+        corpus, bench, threshold=0.5
+    )
+    assert hits.count() == 0 and clean.count() == 1
