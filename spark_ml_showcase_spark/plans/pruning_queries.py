@@ -142,3 +142,58 @@ def clustered_scan_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Lakehouse layer: manifest-versioned snapshot store (sources/
+# versioned.py). The query builds two committed corpus snapshots —
+# v0 = an earlier drop (doc_id % 5 != 0), v1 = the next drop
+# (doc_id % 7 != 0, with a text revision on doc_id % 11 == 0) — then
+# TIME-TRAVELS to both and diffs them by key + xxhash64 row
+# fingerprint. The oracle derives the same added/removed/changed
+# classes straight from the arithmetic, so the whole
+# write → manifest-commit → time-travel-read → diff path is
+# value-checked end-to-end (identical unless xxhash64 collides).
+@query(
+    "snapshot_diff_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'added'
+                WHEN doc_id % 7 = 0 THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM documents
+    WHERE (doc_id % 5 = 0 AND doc_id % 7 <> 0)
+       OR (doc_id % 5 <> 0 AND doc_id % 7 = 0)
+       OR (doc_id % 5 <> 0 AND doc_id % 7 <> 0 AND doc_id % 11 = 0)
+    ORDER BY doc_id
+    """,
+)
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.sources import versioned
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+    import os
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = os.path.join("/tmp/smss_versioned", key, "documents")
+    fp_path = os.path.join("/tmp/smss_versioned", key, "_SOURCE_FP")
+    fp = io._source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    if not (
+        len(versioned.snapshot_versions(table_dir)) >= 2
+        and io.fp_cache_ok(fp_path, fp)
+    ):
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        docs = Catalog(spark, sf_dir).documents
+        v0 = docs.filter(F.col("doc_id") % 5 != 0)
+        v1 = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" (rev2)"))
+            ).otherwise(F.col("text")),
+        )
+        versioned.write_snapshot(v0, table_dir)
+        versioned.write_snapshot(v1, table_dir, expected_parent=0)
+        io.fp_record(fp_path, fp)
+    return versioned.snapshot_diff(
+        spark, table_dir, 0, 1, "doc_id", ["text"]
+    ).orderBy("doc_id")

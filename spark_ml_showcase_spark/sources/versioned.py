@@ -1,0 +1,210 @@
+"""Versioned snapshot store: manifest-listed parquet snapshots with
+time travel and snapshot diff — the corpus-reproducibility layer of a
+training-data pipeline ("training run R read corpus snapshot v3"),
+re-expressed with plain Spark + parquet + JSON manifests (the
+Iceberg/Delta mechanism at its core, no table-format dependency).
+
+Layout under a table directory::
+
+    table/
+      data/v0003-<token>/part-*.parquet   -- immutable data files
+      _manifest/v0003.json                -- commit record for v3
+
+A version IS its manifest: a JSON file naming the snapshot's data files
+(relative paths), schema, row count, and parent version. Commits are
+atomic via write-temp + ``os.rename`` onto the final manifest name —
+readers either see a complete manifest or none (rename won't replace an
+existing file cross-platform here: the writer checks-then-renames, and
+a lost race surfaces as a :class:`SnapshotConflict`, the optimistic-
+concurrency contract).
+
+Why this scales to 100 TB:
+
+- **Readers never list data directories.** A read plans from ONE small
+  JSON file straight to an explicit parquet file list — O(manifest)
+  metadata, not O(files-in-table) object-store listing. Column pruning
+  and predicate pushdown apply unchanged (it is a plain parquet scan).
+- **Snapshots share files.** ``parent_files`` carry forward unchanged;
+  an append-only commit writes only the new partition of data. Nothing
+  is ever mutated or deleted by a commit, so time travel is free and
+  old training runs stay reproducible until an explicit GC.
+- **Diff is a join, not a listing.** :func:`snapshot_diff` compares two
+  versions by key + row fingerprint (xxhash64 over the compared
+  columns): one shuffle on the key, fixed-width comparison, never a
+  row-value shuffle of the wide columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency): re-read latest and retry the commit."""
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifest")
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """Committed versions, ascending. Only complete manifests count."""
+    mdir = _manifest_dir(table_dir)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    path = os.path.join(_manifest_dir(table_dir), f"v{version:04d}.json")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    append: bool = False,
+    expected_parent: int | None = None,
+) -> int:
+    """Commit ``df`` as the next snapshot of ``table_dir``; returns the
+    new version number.
+
+    ``append=False`` (default) commits ``df`` as the FULL new contents
+    (the snapshot lists only the new files). ``append=True`` lists the
+    parent's files plus the new ones — an incremental corpus drop that
+    rewrites nothing.
+
+    ``expected_parent`` opts into optimistic concurrency: if another
+    writer committed since the caller read that version, the commit
+    raises :class:`SnapshotConflict` instead of silently branching
+    history.
+    """
+    versions = snapshot_versions(table_dir)
+    parent = versions[-1] if versions else None
+    if expected_parent is not None and parent != expected_parent:
+        raise SnapshotConflict(
+            f"expected parent {expected_parent}, found {parent}"
+        )
+    version = (parent + 1) if parent is not None else 0
+
+    token = uuid.uuid4().hex[:12]
+    rel_dir = os.path.join("data", f"v{version:04d}-{token}")
+    out_dir = os.path.join(table_dir, rel_dir)
+    df.write.mode("errorifexists").parquet(out_dir)
+    files = sorted(
+        os.path.join(rel_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    n_rows = sum(
+        _parquet_rows(os.path.join(table_dir, f)) for f in files
+    )
+    parent_files: list[str] = []
+    parent_rows = 0
+    if append and parent is not None:
+        pm = _read_manifest(table_dir, parent)
+        parent_files = pm["files"]
+        parent_rows = pm["n_rows"]
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "files": parent_files + files,
+        "n_rows": parent_rows + n_rows if append else n_rows,
+        "schema": df.schema.jsonValue(),
+    }
+
+    mdir = _manifest_dir(table_dir)
+    os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"v{version:04d}.json")
+    tmp = os.path.join(mdir, f".tmp-{token}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    if os.path.exists(final):  # lost the race after our version pick
+        os.unlink(tmp)
+        raise SnapshotConflict(f"version {version} already committed")
+    os.rename(tmp, final)
+    return version
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot — latest by default, or time-travel to
+    ``version``. Plans directly from the manifest's file list."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not in {versions} at {table_dir}"
+        )
+    m = _read_manifest(table_dir, version)
+    if not m["files"]:
+        return spark.createDataFrame(
+            [], schema=_schema_from_json(m["schema"])
+        )
+    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    return spark.read.parquet(*paths)
+
+
+def _schema_from_json(schema_json: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(schema_json)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_old: int,
+    v_new: int,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two committed versions:
+    ``(key_col, change)`` with ``change`` ∈ {'added', 'removed',
+    'changed'} (unchanged rows are omitted). 'changed' compares an
+    xxhash64 fingerprint over ``compare_cols`` — fixed-width, so the
+    join shuffles (key, hash) pairs, never the compared values."""
+    old = read_snapshot(spark, table_dir, v_old).select(
+        F.col(key_col).alias("_k"),
+        F.xxhash64(*compare_cols).alias("_h_old"),
+    )
+    new = read_snapshot(spark, table_dir, v_new).select(
+        F.col(key_col).alias("_k"),
+        F.xxhash64(*compare_cols).alias("_h_new"),
+    )
+    joined = old.join(new, "_k", "full_outer")
+    return (
+        joined.select(
+            F.col("_k").alias(key_col),
+            F.when(F.col("_h_old").isNull(), F.lit("added"))
+            .when(F.col("_h_new").isNull(), F.lit("removed"))
+            .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

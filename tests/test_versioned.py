@@ -1,0 +1,100 @@
+"""Versioned snapshot store (sources/versioned.py): commit atomicity,
+time travel, append sharing parent files, optimistic concurrency, and
+the diff classification."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.sources import versioned
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_commit_read_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = versioned.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+    v1 = versioned.write_snapshot(_df(spark, [(1, "a"), (3, "c")]), t)
+    assert (v0, v1) == (0, 1)
+    assert versioned.snapshot_versions(t) == [0, 1]
+    latest = {r["id"] for r in versioned.read_snapshot(spark, t).collect()}
+    old = {r["id"] for r in versioned.read_snapshot(spark, t, 0).collect()}
+    assert latest == {1, 3} and old == {1, 2}
+
+
+def test_append_shares_parent_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)
+    versioned.write_snapshot(_df(spark, [(2, "b")]), t, append=True)
+    m0 = versioned._read_manifest(t, 0)
+    m1 = versioned._read_manifest(t, 1)
+    assert set(m0["files"]) < set(m1["files"])  # strict superset
+    assert m1["n_rows"] == 2
+    got = {r["id"] for r in versioned.read_snapshot(spark, t).collect()}
+    assert got == {1, 2}
+    # the append rewrote nothing: parent files untouched on disk
+    for f in m0["files"]:
+        assert os.path.exists(os.path.join(t, f))
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)
+    versioned.write_snapshot(_df(spark, [(2, "b")]), t)  # sneaky writer
+    with pytest.raises(versioned.SnapshotConflict):
+        versioned.write_snapshot(
+            _df(spark, [(3, "c")]), t, expected_parent=0
+        )
+    # and the failed commit left no manifest debris
+    assert versioned.snapshot_versions(t) == [0, 1]
+    mdir = versioned._manifest_dir(t)
+    assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
+
+
+def test_incomplete_manifest_is_invisible(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)
+    # a crashed writer's temp file must not surface as a version
+    with open(os.path.join(versioned._manifest_dir(t), ".tmp-zz.json"), "w") as fh:
+        fh.write("{")
+    assert versioned.snapshot_versions(t) == [0]
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        versioned.read_snapshot(spark, t)
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)
+    with pytest.raises(FileNotFoundError):
+        versioned.read_snapshot(spark, t, 7)
+
+
+def test_snapshot_diff_classes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]), t
+    )
+    versioned.write_snapshot(
+        _df(spark, [(2, "B"), (3, "c"), (4, "d")]), t
+    )
+    diff = {
+        r["id"]: r["change"]
+        for r in versioned.snapshot_diff(spark, t, 0, 1, "id", ["text"]).collect()
+    }
+    assert diff == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged
+
+
+def test_manifest_records_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)
+    m = versioned._read_manifest(t, 0)
+    names = [f["name"] for f in m["schema"]["fields"]]
+    assert names == ["id", "text"]
+    assert m["n_rows"] == 1

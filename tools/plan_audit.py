@@ -83,6 +83,16 @@ ALLOWLIST = {
         "bnlj": "query-side probe: crossJoin(broadcast(centroids)) with "
         "n_lists rows; functions/similarity.py:274"
     },
+    "profile_drift_orders": {
+        "bnlj": "runs the profiler TWICE (yesterday/today) — inherits "
+        "profile_orders_table's broadcast SINGLE-ROW aggregate-frame "
+        "crosses; no data-sized side exists"
+    },
+    "decontaminate_embedding": {
+        "bnlj": "by design: corpus streams once past "
+        "crossJoin(broadcast(benchmark vectors)) — the benchmark side "
+        "is eval-set-sized; operators/decontaminate.py"
+    },
 }
 
 
