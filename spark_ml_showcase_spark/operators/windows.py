@@ -93,3 +93,47 @@ def session(df: DataFrame, ts_col: str, gap: str, keys: list[str],
         *keys,
         *aggs.keys(),
     )
+
+
+def time_range_rolling(
+    df: DataFrame,
+    ts_col: str,
+    value_col: Column,
+    partition_by: list[str],
+    lookback_seconds: int,
+    out_col: str,
+) -> DataFrame:
+    """TIME-RANGE rolling aggregate: for each row, the sum of
+    ``value_col`` over the partition's rows whose ``ts_col`` lies in
+    ``[ts - lookback_seconds, ts]`` — the "spend in the trailing hour"
+    feature shape. A RANGE frame over epoch seconds (not a ROWS frame):
+    membership depends on the ORDER VALUE, so timestamp ties are all-in
+    and the result is deterministic regardless of tie order or
+    partitioning. One shuffle on ``partition_by``.
+    """
+    epoch = F.col(ts_col).cast("long")
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(epoch)
+        .rangeBetween(-int(lookback_seconds), 0)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def quantile_bins(
+    df: DataFrame,
+    n_bins: int,
+    order_by: list[tuple[str, str]],
+    partition_by: list[str],
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency binning via ``ntile(n)`` per partition — the
+    exact QuantileDiscretizer. ``order_by`` must end in a unique
+    tie-break column for a cross-engine-deterministic assignment.
+    One shuffle + in-partition sort; for a GLOBAL binning at 100 TB use
+    approxQuantile cut points + a narrow filter instead (a global ntile
+    would single-partition the sort)."""
+    from spark_ml_showcase_spark.operators.windows import ordered_window
+
+    w = ordered_window(partition_by, order_by)
+    return df.withColumn(out_col, F.ntile(n_bins).over(w).cast("bigint"))

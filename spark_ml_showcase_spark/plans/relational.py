@@ -659,3 +659,73 @@ def last_token(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return docs.select("doc_id", token_at("text", -1, " ").alias("last_tok"))
+
+
+# TIME-RANGE rolling window (RANGE frame over epoch seconds, not ROWS):
+# trailing-hour spend per user at every event. Frame membership depends
+# on the ORDER VALUE, so timestamp ties are all-in on both engines —
+# deterministic without a tie-break. Decimal accumulation as everywhere.
+@query(
+    "rolling_hour_user_spend",
+    oracle="""
+    SELECT event_id AS event_id, user_id AS user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_value
+    FROM events
+    """,
+)
+def rolling_hour_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    out = windows.time_range_rolling(
+        ev,
+        "ts",
+        F.col("value").cast("decimal(18,2)"),
+        ["user_id"],
+        3600,
+        "rolling_value",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        F.col("rolling_value").cast("double"),
+    )
+
+
+# Equal-frequency quartiles (exact QuantileDiscretizer shape): ntile(4)
+# per event_type over (value, event_id) — the unique tie-break makes the
+# assignment engine-deterministic — then per-bin count/min/max.
+@query(
+    "value_quartiles_by_type",
+    oracle="""
+    SELECT event_type AS event_type, bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM (
+        SELECT event_type, value,
+               CAST(ntile(4) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS BIGINT) AS bin
+        FROM events
+    )
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    binned = windows.quantile_bins(
+        ev, 4, [("value", "asc"), ("event_id", "asc")], ["event_type"]
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "bin")
+    )

@@ -59,3 +59,43 @@ def test_registry_integrity():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in orc.values())
     # entry() contract: returns a DataFrame plan without executing
     assert len(qs) >= 70
+
+
+def test_time_range_rolling_includes_lookback_and_ties(spark):
+    import datetime as dt
+
+    from spark_ml_showcase_spark.operators import windows as W
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, base - dt.timedelta(seconds=4000), 10.0),  # outside lookback
+        (2, 1, base - dt.timedelta(seconds=3600), 20.0),  # boundary: IN
+        (3, 1, base, 30.0),
+        (4, 1, base, 40.0),  # tie with row 3: RANGE frame takes both
+        (5, 2, base, 99.0),  # other partition
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = W.time_range_rolling(
+        df, "ts", F.col("value"), ["user_id"], 3600, "roll"
+    )
+    got = {r["event_id"]: r["roll"] for r in out.collect()}
+    # rows 3 AND 4 share a ts: both frames include both tied rows
+    assert got[3] == got[4] == 20.0 + 30.0 + 40.0
+    assert got[2] == 10.0 + 20.0  # 4000s-old row within ITS OWN window
+    assert got[5] == 99.0
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from spark_ml_showcase_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(8)], "id long, g string, v double"
+    )
+    out = W.quantile_bins(df, 4, [("v", "asc"), ("id", "asc")], ["g"])
+    by_bin = {}
+    for r in out.collect():
+        by_bin.setdefault(r["bin"], []).append(r["v"])
+    assert {b: len(v) for b, v in by_bin.items()} == {1: 2, 2: 2, 3: 2, 4: 2}
+    assert sorted(by_bin[1]) == [0.0, 1.0] and sorted(by_bin[4]) == [6.0, 7.0]
