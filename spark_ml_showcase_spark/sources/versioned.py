@@ -208,3 +208,73 @@ def snapshot_diff(
         )
         .filter(F.col("change").isNotNull())
     )
+
+
+def compact_snapshot(
+    spark: SparkSession, table_dir: str, target_files: int = 1
+) -> int:
+    """Commit a new version with the SAME rows as the latest, rewritten
+    into ``target_files`` parquet files — the small-files fix for tables
+    grown by many incremental appends (at 100 TB, thousands of tiny
+    files per partition turn scan planning and open() overhead into the
+    bottleneck). Readers of older versions are untouched: the parent's
+    files stay on disk until :func:`vacuum` after version expiry.
+    ``snapshot_diff(parent, compacted)`` is empty by construction —
+    pinned in tests."""
+    latest = read_snapshot(spark, table_dir)
+    return write_snapshot(latest.coalesce(target_files), table_dir)
+
+
+def expire_versions(table_dir: str, keep_last: int) -> list[int]:
+    """Drop the manifests of all but the newest ``keep_last`` versions
+    (their data files remain until :func:`vacuum`). Returns the expired
+    version numbers. Expiring only removes TIME-TRAVEL reachability —
+    this is the retention step that bounds storage growth."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be ≥ 1")
+    versions = snapshot_versions(table_dir)
+    expired = versions[:-keep_last]
+    for v in expired:
+        os.unlink(os.path.join(_manifest_dir(table_dir), f"v{v:04d}.json"))
+    return expired
+
+
+def vacuum(table_dir: str) -> list[str]:
+    """Delete data files referenced by NO remaining manifest — orphans
+    from crashed writers and files exclusive to expired versions.
+    Append commits share files across versions, so a file survives as
+    long as ANY live manifest lists it. Returns the deleted relative
+    paths. Safe to run any time: commits never mutate files, and a
+    concurrent writer's in-flight directory is only deleted if its
+    commit never landed (the crash-cleanup contract)."""
+    live: set[str] = set()
+    for v in snapshot_versions(table_dir):
+        live.update(_read_manifest(table_dir, v)["files"])
+    data_root = os.path.join(table_dir, "data")
+    deleted: list[str] = []
+    if not os.path.isdir(data_root):
+        return deleted
+    for d in sorted(os.listdir(data_root)):
+        vdir = os.path.join(data_root, d)
+        if not os.path.isdir(vdir):
+            continue
+        for f in sorted(os.listdir(vdir)):
+            rel = os.path.join("data", d, f)
+            if f.endswith(".parquet") and rel not in live:
+                os.unlink(os.path.join(vdir, f))
+                deleted.append(rel)
+            elif not f.endswith(".parquet") and f.startswith(("_", ".")):
+                # spark write markers (_SUCCESS, .crc) ride along with
+                # their directory: drop them only when no parquet file
+                # of the directory is live
+                continue
+        if not any(
+            os.path.join("data", d, f) in live
+            for f in os.listdir(vdir)
+            if f.endswith(".parquet")
+        ):
+            import shutil
+
+            shutil.rmtree(vdir, ignore_errors=True)
+            deleted = [p for p in deleted]  # dir removal covers markers
+    return deleted

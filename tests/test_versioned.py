@@ -98,3 +98,59 @@ def test_manifest_records_schema(spark, tmp_path):
     names = [f["name"] for f in m["schema"]["fields"]]
     assert names == ["id", "text"]
     assert m["n_rows"] == 1
+
+
+def test_compact_preserves_content_and_shrinks_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(3):  # three appends → ≥3 files
+        versioned.write_snapshot(
+            _df(spark, [(i, f"t{i}")]).repartition(2), t, append=(i > 0)
+        )
+    before = versioned._read_manifest(t, 2)
+    v = versioned.compact_snapshot(spark, t, target_files=1)
+    after = versioned._read_manifest(t, v)
+    assert len(after["files"]) < len(before["files"])
+    assert after["n_rows"] == before["n_rows"] == 3
+    # content-identical: diff vs parent is empty
+    assert (
+        versioned.snapshot_diff(spark, t, 2, v, "id", ["text"]).count() == 0
+    )
+
+
+def test_expire_and_vacuum_keep_live_shared_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)          # v0
+    versioned.write_snapshot(_df(spark, [(2, "b")]), t, append=True)  # v1 shares v0 files
+    versioned.write_snapshot(_df(spark, [(9, "z")]), t)          # v2 full rewrite
+    expired = versioned.expire_versions(t, keep_last=2)
+    assert expired == [0]
+    deleted = versioned.vacuum(t)
+    # v0's files are STILL referenced by v1 (append) → nothing deleted
+    assert deleted == []
+    assert {r["id"] for r in versioned.read_snapshot(spark, t, 1).collect()} == {1, 2}
+
+    # expire down to just v2: v0/v1-exclusive files become orphans
+    versioned.expire_versions(t, keep_last=1)
+    deleted = versioned.vacuum(t)
+    assert deleted, "v0/v1 data files should be vacuumed"
+    assert {r["id"] for r in versioned.read_snapshot(spark, t).collect()} == {9}
+
+
+def test_vacuum_removes_crashed_writer_debris(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)
+    # simulate a writer that wrote data but never committed a manifest
+    orphan_dir = os.path.join(t, "data", "v0099-deadbeef0000")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000.parquet")
+    import shutil as _sh
+
+    live_dir = os.path.join(
+        t, versioned._read_manifest(t, 0)["files"][0]
+    )
+    _sh.copyfile(live_dir, orphan)
+    deleted = versioned.vacuum(t)
+    assert deleted == [os.path.join("data", "v0099-deadbeef0000", "part-00000.parquet")]
+    assert not os.path.exists(orphan_dir)
+    # the live snapshot still reads
+    assert versioned.read_snapshot(spark, t).count() == 1
