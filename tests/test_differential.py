@@ -395,3 +395,78 @@ def test_profile_table_parity(spark, ddb, prios, price_lo):
         ).fetchone()
         want.add((c, *row))
     assert got == want
+
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _funnel_oracle_sql(steps: list[str]) -> str:
+    """Chained conditional-min CTEs for an arbitrary step list — the
+    generative twin of the frozen funnel_view_click_purchase oracle."""
+    ctes = [
+        "u0 AS (SELECT user_id, "
+        f"min(CASE WHEN event_type = '{steps[0]}' THEN ts END) AS s0 "
+        "FROM events GROUP BY user_id)"
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        prev_cols = ", ".join(f"u{i-1}.s{j}" for j in range(i))
+        ctes.append(
+            f"u{i} AS (SELECT e.user_id, {prev_cols}, "
+            f"min(CASE WHEN e.event_type = '{step}' AND e.ts > u{i-1}.s{i-1} "
+            f"THEN e.ts END) AS s{i} "
+            f"FROM events e JOIN u{i-1} ON e.user_id = u{i-1}.user_id "
+            f"GROUP BY e.user_id, {prev_cols})"
+        )
+    last = len(steps) - 1
+    counts = ", ".join(f"count(s{i}) AS c{i}" for i in range(len(steps)))
+    return f"WITH {', '.join(ctes)} SELECT {counts} FROM u{last}"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from(_EVENT_TYPES), min_size=2, max_size=4, unique=True
+    )
+)
+def test_funnel_parity(spark, ddb_events, steps):
+    """Family 10: strict-order funnels over RANDOM step sequences must
+    agree with the chained-CTE replay — counts are exact ints."""
+    from spark_ml_showcase_spark.operators import analytics
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, SF).events.select("user_id", "event_type", "ts")
+    out = analytics.funnel(ev, steps)
+    got = [r["users"] for r in out.orderBy("step_idx").collect()]
+    want = list(ddb_events.execute(_funnel_oracle_sql(steps)).fetchone())
+    assert got == want, (steps, got, want)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=40))
+def test_cohort_retention_parity(spark, ddb_events, max_off):
+    """Family 10b: cohort retention under a random offset ceiling."""
+    from spark_ml_showcase_spark.operators import analytics
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, SF).events.select("user_id", "ts")
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["users"]
+        for r in analytics.cohort_retention(ev, max_offset=max_off).collect()
+    }
+    want = {
+        (d, o): u
+        for d, o, u in ddb_events.execute(
+            f"""
+            WITH a AS (
+                SELECT user_id AS u, CAST(ts AS DATE) AS day,
+                       min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort
+                FROM events
+            )
+            SELECT strftime(cohort, '%Y-%m-%d'),
+                   CAST(day - cohort AS BIGINT),
+                   CAST(count(DISTINCT u) AS BIGINT)
+            FROM a WHERE day - cohort <= {max_off} GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == want
