@@ -83,3 +83,44 @@ def rollup_agg(df: DataFrame, keys: list[str], **aggs: Column) -> DataFrame:
 def cube_agg(df: DataFrame, keys: list[str], **aggs: Column) -> DataFrame:
     """Engine surface beyond the reference: CUBE (all grouping combinations)."""
     return df.cube(*keys).agg(*(e.alias(n) for n, e in aggs.items()))
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, support: float, *, alias: str = "cnt"
+) -> DataFrame:
+    """EXACT heavy hitters at scale via sketch-then-verify: items whose
+    frequency is ≥ ``support`` of the rows.
+
+    Pass 1 is ``df.stat.freqItems`` (Karp/Papadimitriou/Shenker lossy
+    counting — single pass, per-partition summaries merged on the
+    driver, NO shuffle of the column) which guarantees NO FALSE
+    NEGATIVES above the support; pass 2 re-counts only the ≤ 1/support
+    candidate items exactly (an `isin` narrow filter + tiny agg) and
+    drops the sketch's false positives. Output is exact — the sketch
+    only bounds the verify pass — so a DuckDB HAVING replays it.
+
+    The two-pass shape is the 100 TB point: a full exact groupBy on a
+    high-cardinality column shuffles every distinct value; this
+    shuffles only rows matching the candidate set (≤ 1/support values).
+    """
+    import math
+
+    if not 0.0 < support <= 1.0:
+        raise ValueError(f"support must be in (0, 1], got {support}")
+    # sketch at support/2: the no-false-negative guarantee is for items
+    # STRICTLY above the sketch support, so halving it puts every
+    # boundary item (cnt == ceil(support·total)) safely inside while the
+    # candidate set stays ≤ 2/support values
+    cands = df.stat.freqItems([col], max(support / 2, 1e-4)).first()[0]
+    if not cands:
+        empty = df.select(
+            F.col(col), F.lit(0).cast("bigint").alias(alias)
+        )
+        return empty.filter(F.lit(False))
+    threshold = math.ceil(support * df.count())
+    return (
+        df.filter(F.col(col).isin(list(cands)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        .filter(F.col(alias) >= F.lit(threshold))
+    )

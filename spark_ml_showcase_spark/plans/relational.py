@@ -729,3 +729,29 @@ def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+# EXACT heavy hitters via sketch-then-verify (freqItems candidates →
+# exact recount of ≤ 2/support values): tokens covering ≥ 3% of the
+# corpus. The sketch pass never shuffles the column; only candidate
+# rows reach the verify agg — the high-cardinality-safe shape. The
+# oracle replays the exact definition (the sketch only bounds the
+# verify pass, so the output is sketch-free).
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents),
+         n AS (SELECT count(*) AS total FROM t)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM t GROUP BY token
+    HAVING count(*) >= (SELECT CAST(ceil(0.03 * total) AS BIGINT) FROM n)
+    ORDER BY token
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    return aggregates.heavy_hitters(tokens, "token", 0.03, alias="cnt").orderBy(
+        "token"
+    )

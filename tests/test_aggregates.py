@@ -71,3 +71,30 @@ def test_rollup_and_cube_row_counts(sales):
     # rollup(k): groups per k + grand total; cube(k) same for 1 key.
     assert A.rollup_agg(sales, ["k"], n=F.count(F.lit(1))).count() == 3
     assert A.cube_agg(sales, ["k"], n=F.count(F.lit(1))).count() == 3
+
+
+def test_heavy_hitters_exact_sketch_verified(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ml_showcase_spark.operators import aggregates
+
+    # 100 rows: 'a' ×50, 'b' ×30, 'c' ×19, 'd' ×1
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 19 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r["k"]: r["cnt"]
+        for r in aggregates.heavy_hitters(df, "k", 0.2).collect()
+    }
+    assert got == {"a": 50, "b": 30}  # threshold = ceil(0.2*100) = 20
+
+    # boundary: support exactly at an item's frequency keeps it
+    got2 = {
+        r["k"]: r["cnt"]
+        for r in aggregates.heavy_hitters(df, "k", 0.19).collect()
+    }
+    assert got2 == {"a": 50, "b": 30, "c": 19}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        aggregates.heavy_hitters(df, "k", 0.0)

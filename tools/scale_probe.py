@@ -200,6 +200,46 @@ def probe_stream_agg_1m(spark):
     return n
 
 
+def probe_funnel_20m(spark):
+    """Funnel over 20M synthetic events / 2M users: the chained
+    conditional-min window family on one user-hash exchange."""
+    from spark_ml_showcase_spark.operators import analytics
+
+    n = 20_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 2_000_000).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("view"), F.lit("click"),
+                    F.lit("purchase"), F.lit("other")),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    out = analytics.funnel(df, ["view", "click", "purchase"]).collect()
+    assert len(out) == 3 and out[0]["users"] == 2_000_000, out
+    return n
+
+
+def probe_zorder_20m(spark):
+    """Z-order key + range cluster over 20M rows x 2 dims: the
+    ingest-time layout shuffle (key is codegen bit math; the cost is
+    the range exchange + in-partition sort)."""
+    from spark_ml_showcase_spark.operators import clustering
+
+    n = 20_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 997).cast("double").alias("x"),
+        ((F.col("id") * 7919) % 1009).cast("double").alias("y"),
+    )
+    out = clustering.zorder_cluster(
+        df, ["x", "y"], 32,
+        stats={"x": (0.0, 997.0), "y": (0.0, 1009.0)},
+    )
+    cnt = out.count()
+    assert cnt == n, cnt
+    return n
+
+
 PROBES = {
     "exact_dedup_50m": probe_exact_dedup_50m,
     "window_budget_20m": probe_window_budget_20m,
@@ -214,6 +254,8 @@ PROBES = {
     "temporal_exact_20m": probe_temporal_exact_20m,
     "temporal_cutoff_20m": probe_temporal_cutoff_20m,
     "stream_agg_1m": probe_stream_agg_1m,
+    "funnel_20m": probe_funnel_20m,
+    "zorder_20m": probe_zorder_20m,
 }
 
 
