@@ -206,17 +206,21 @@ def probe_funnel_20m(spark):
     from spark_ml_showcase_spark.operators import analytics
 
     n = 20_000_000
+    # user = id % 2M, seq = id // 2M (10 events per user at increasing
+    # ts); the type cycles along the SEQ so every user sees the ordered
+    # view→click→purchase chain (typing by id % 5 would alias with the
+    # user modulus — 2M % 5 == 0 gives each user a single type)
     df = spark.range(n).select(
         (F.col("id") % 2_000_000).alias("user_id"),
         F.element_at(
-            F.array(F.lit("view"), F.lit("view"), F.lit("click"),
-                    F.lit("purchase"), F.lit("other")),
-            (F.col("id") % 5 + 1).cast("int"),
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("other"), F.lit("view")),
+            ((F.col("id") / 2_000_000).cast("long") % 5 + 1).cast("int"),
         ).alias("event_type"),
         F.timestamp_seconds(F.col("id")).alias("ts"),
     )
     out = analytics.funnel(df, ["view", "click", "purchase"]).collect()
-    assert len(out) == 3 and out[0]["users"] == 2_000_000, out
+    assert len(out) == 3 and all(r["users"] == 2_000_000 for r in out), out
     return n
 
 
