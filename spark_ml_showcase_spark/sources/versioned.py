@@ -80,6 +80,7 @@ def write_snapshot(
     *,
     append: bool = False,
     expected_parent: int | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``; returns the
     new version number.
@@ -127,6 +128,11 @@ def write_snapshot(
         "n_rows": parent_rows + n_rows if append else n_rows,
         "schema": df.schema.jsonValue(),
     }
+    if batch_id is not None:
+        # streaming ingestion stamps the micro-batch id so a replayed
+        # batch (at-least-once foreachBatch) can be recognized and
+        # skipped — see stream_append_snapshots
+        manifest["batch_id"] = batch_id
 
     mdir = _manifest_dir(table_dir)
     os.makedirs(mdir, exist_ok=True)
@@ -278,3 +284,50 @@ def vacuum(table_dir: str) -> list[str]:
             shutil.rmtree(vdir, ignore_errors=True)
             deleted = [p for p in deleted]  # dir removal covers markers
     return deleted
+
+
+def stream_append_snapshots(
+    stream_df: DataFrame,
+    table_dir: str,
+    *,
+    checkpoint_dir: str,
+    timeout_sec: float = 120.0,
+):
+    """Structured-Streaming ingestion into the versioned store: every
+    non-empty micro-batch commits one APPEND snapshot, so arriving
+    corpus drops become time-travelable versions the moment they land.
+
+    Exactly-once across restarts: the source offsets live in the stream
+    checkpoint (at-least-once replay), and the commit is IDEMPOTENT —
+    each manifest records its ``batch_id``, and a replayed micro-batch
+    whose id is already committed is skipped, the standard foreachBatch
+    dedup contract. Runs with ``availableNow`` (drain what exists, then
+    stop) — call again when more data arrives; the checkpoint carries
+    progress forward.
+    """
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        committed = {
+            _read_manifest(table_dir, v).get("batch_id")
+            for v in snapshot_versions(table_dir)
+        }
+        if batch_id in committed:
+            return  # replay after a crash between commit and checkpoint
+        write_snapshot(
+            batch_df, table_dir, append=True, batch_id=batch_id
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream ingestion did not drain within {timeout_sec}s"
+        )
+    return q

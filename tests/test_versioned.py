@@ -154,3 +154,59 @@ def test_vacuum_removes_crashed_writer_debris(spark, tmp_path):
     assert not os.path.exists(orphan_dir)
     # the live snapshot still reads
     assert versioned.read_snapshot(spark, t).count() == 1
+
+
+def test_stream_append_snapshots_exactly_once(spark, tmp_path):
+    """File-source stream drained with availableNow: each micro-batch
+    commits ONE append version; a replayed batch id is skipped; a
+    second idle drain adds nothing; time travel shows the prefix
+    growth."""
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    # three source files → three micro-batches at maxFilesPerTrigger=1
+    for i in range(3):
+        _df(spark, [(i * 10 + j, f"d{i}") for j in range(4)]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    versioned.stream_append_snapshots(stream, t, checkpoint_dir=ckpt)
+
+    versions = versioned.snapshot_versions(t)
+    assert len(versions) == 3
+    assert versioned.read_snapshot(spark, t).count() == 12
+    # prefix growth under time travel
+    counts = [
+        versioned.read_snapshot(spark, t, v).count() for v in versions
+    ]
+    assert counts == [4, 8, 12]
+
+    # idle re-drain: checkpoint says everything is consumed → no commit
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    versioned.stream_append_snapshots(stream2, t, checkpoint_dir=ckpt)
+    assert versioned.snapshot_versions(t) == versions
+
+    # crash-replay: a FRESH checkpoint re-delivers every batch with the
+    # same ids (0..2) — the manifest batch_id guard must skip them all
+    before = versioned.snapshot_versions(t)
+    stream3 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    versioned.stream_append_snapshots(
+        stream3, t, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    assert versioned.snapshot_versions(t) == before
+    assert versioned.read_snapshot(spark, t).count() == 12
