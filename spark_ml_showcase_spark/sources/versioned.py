@@ -331,3 +331,22 @@ def stream_append_snapshots(
             f"stream ingestion did not drain within {timeout_sec}s"
         )
     return q
+
+
+def delete_keys(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys: list,
+) -> int:
+    """Targeted delete (the right-to-be-forgotten / takedown shape):
+    commit a new version WITHOUT the given keys. History is immutable —
+    older versions still contain the rows until :func:`expire_versions`
+    + :func:`vacuum` age them out, which is the compliance sequence
+    (delete → expire → vacuum). The key set rides the plan as an
+    ``isin`` literal for the usual takedown-list sizes; for huge lists,
+    anti-join a keys DataFrame instead."""
+    latest = read_snapshot(spark, table_dir)
+    return write_snapshot(
+        latest.filter(~F.col(key_col).isin(list(keys))), table_dir
+    )

@@ -210,3 +210,19 @@ def test_stream_append_snapshots_exactly_once(spark, tmp_path):
     )
     assert versioned.snapshot_versions(t) == before
     assert versioned.read_snapshot(spark, t).count() == 12
+
+
+def test_delete_keys_then_expire_vacuum_forgets(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(
+        _df(spark, [(1, "keep"), (2, "forget"), (3, "keep")]), t
+    )
+    v = versioned.delete_keys(spark, t, "id", [2])
+    assert {r["id"] for r in versioned.read_snapshot(spark, t, v).collect()} == {1, 3}
+    # history still has it (immutable) ...
+    assert versioned.read_snapshot(spark, t, 0).count() == 3
+    # ... until the compliance sequence ages it out
+    versioned.expire_versions(t, keep_last=1)
+    versioned.vacuum(t)
+    assert versioned.snapshot_versions(t) == [v]
+    assert versioned.read_snapshot(spark, t).count() == 2
