@@ -173,7 +173,21 @@ def read_snapshot(
             [], schema=_schema_from_json(m["schema"])
         )
     paths = [os.path.join(table_dir, f) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    # Schema evolution: an append commit may add columns, so a
+    # snapshot's file set can span schema generations. mergeSchema
+    # unions them; projecting onto the MANIFEST schema (the commit's
+    # declared contract) fills pre-evolution rows with NULL and keeps
+    # the column order/naming the committer saw. Time travel to an
+    # older version naturally reads the older, narrower schema.
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    declared = _schema_from_json(m["schema"])
+    return df.select(
+        *[
+            F.col(f.name) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in declared.fields
+        ]
+    )
 
 
 def _schema_from_json(schema_json: dict):

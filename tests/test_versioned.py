@@ -226,3 +226,20 @@ def test_delete_keys_then_expire_vacuum_forgets(spark, tmp_path):
     versioned.vacuum(t)
     assert versioned.snapshot_versions(t) == [v]
     assert versioned.read_snapshot(spark, t).count() == 2
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """An append commit may widen the schema: the snapshot's declared
+    (manifest) schema governs the read, pre-evolution rows fill NULL,
+    and time travel still sees the older narrow schema."""
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)
+    wide = spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    )
+    versioned.write_snapshot(wide, t, append=True)
+    latest = versioned.read_snapshot(spark, t)
+    assert latest.columns == ["id", "text", "lang"]
+    got = {r["id"]: r["lang"] for r in latest.collect()}
+    assert got == {1: None, 2: "en"}
+    assert versioned.read_snapshot(spark, t, 0).columns == ["id", "text"]
