@@ -109,16 +109,22 @@ def embedding_decontaminate(
 
     b_id = bench_id_col or id_col
     b_vec = bench_vec_col or vec_col
+    # norms are per-ROW, so compute them once on each side BEFORE the
+    # pairwise pass — the per-pair work is then a single dot product
+    # (one array scan) instead of the fused 3-component cosine (~3×)
     c = corpus.select(
         F.col(id_col), S.as_double(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", V.norm("_cv"))
     b = benchmark.select(
         F.col(b_id).alias("_bench_id"), S.as_double(b_vec).alias("_bv")
-    )
+    ).withColumn("_bn", V.norm("_bv"))
     scored = c.crossJoin(F.broadcast(b)).select(
         id_col,
         "_bench_id",
-        F.round(V.cosine("_cv", "_bv"), score_decimals).alias("_cos"),
+        F.round(
+            V.dot("_cv", "_bv") / (F.col("_cn") * F.col("_bn")),
+            score_decimals,
+        ).alias("_cos"),
     )
     best = (
         scored.groupBy(id_col)
