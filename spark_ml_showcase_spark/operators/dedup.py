@@ -777,3 +777,74 @@ def select_representatives(
             "n_members",
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_len: int = 64,
+) -> DataFrame:
+    """Typo-level fuzzy matching: all pairs within Levenshtein distance
+    1 — the FastSS deletion-neighborhood scheme (Bocek et al. 2007).
+    The near-dup tool for SHORT strings (titles, names, hosts, URLs),
+    where whole-document shingling is meaningless.
+
+    Two strings within edit distance 1 (one substitution, insertion, or
+    deletion) always share a member of each other's 1-deletion
+    neighborhood, so candidates come from an EQUI-JOIN on the xxhash64
+    of the ≤ len+1 neighborhood variants — never a cross product — and
+    each candidate is then verified with the built-in ``levenshtein``
+    (JVM codegen). Output: ``(id_a, id_b, dist)`` with ``id_a < id_b``,
+    distinct.
+
+    Scale posture: the fan-out is O(len) rows per string (``max_len``
+    caps it — longer strings are truncated-ignored and raise instead),
+    the join keys are 8-byte longs, and the verify runs only on bucket
+    collisions. The classic skew caveat applies: a variant shared by
+    k strings yields k² candidates — real name/url corpora keep k tiny;
+    compose with a hot-bucket guard (as in MinHash) if yours doesn't.
+    """
+    over = df.filter(F.length(text_col) > max_len).limit(1).count()
+    if over:
+        raise ValueError(
+            f"edit_distance_pairs is for short strings; found length > "
+            f"{max_len} in {text_col!r} (raise max_len if intended)"
+        )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    # neighborhood = the string itself + every 1-deletion variant, built
+    # JVM-side: transform over positions 1..len, each concatenating the
+    # prefix before i with the suffix after i (Column-typed substr)
+    neigh = F.array_union(
+        F.array(F.col("_s")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("_s")),
+            lambda i: F.concat(
+                F.col("_s").substr(F.lit(1), i - 1),
+                F.col("_s").substr(i + 1, F.length("_s")),
+            ),
+        ),
+    )
+    variants = base.select(
+        "_id", "_s", F.explode(neigh).alias("_v")
+    ).select("_id", "_s", F.xxhash64("_v").alias("_h")).distinct()
+    a = variants.select(
+        F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_h"
+    )
+    b = variants.select(
+        F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_h"
+    )
+    cands = (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("_sa", "_sb").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

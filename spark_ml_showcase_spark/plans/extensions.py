@@ -1327,3 +1327,28 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = profile_table(orders)
     new = profile_table(orders.filter(F.col("o_totalprice") < 150000))
     return profile_drift(old, new, rel_tol=0.1)
+
+
+# X30: typo-level fuzzy matching (FastSS, Bocek et al. 2007) — all
+# Levenshtein-distance-≤1 pairs via an equi-join on 1-deletion
+# neighborhood hashes, verified with the built-in levenshtein. The
+# short-string near-dup tool (names/hosts/titles) the shingling family
+# can't serve. Bounded slice (custkey ≤ 200) because the ORACLE is the
+# O(n²) cross join; the operator itself is the banded scale path.
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+               WHERE c_custkey <= 200)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).customer.filter(F.col("c_custkey") <= 200)
+    return dedup.edit_distance_pairs(cust, "c_custkey", "c_name").orderBy(
+        "id_a", "id_b"
+    )

@@ -392,3 +392,48 @@ def test_select_representatives_unscored_members_counted_not_dropped(spark):
     assert reps[1].rep_id == 2 and reps[1].n_members == 3  # 3 counted, not 2
     assert reps[7].rep_id == 7 and reps[7].rep_score is None  # loud, not lost
     assert reps[7].n_members == 2
+
+
+def test_edit_distance_pairs_catches_all_edit_kinds(spark):
+    from spark_ml_showcase_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "sitten"),   # substitution
+            (3, "kittn"),    # deletion
+            (4, "kittens"),  # insertion
+            (5, "dog"),      # unrelated
+            (6, "kitten"),   # exact dup → dist 0
+        ],
+        "id long, s string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in DD.edit_distance_pairs(df, "id", "s").collect()
+    }
+    assert got == {
+        (1, 2): 1, (1, 3): 1, (1, 4): 1, (1, 6): 0,
+        (2, 6): 1, (3, 6): 1, (4, 6): 1,
+    }
+
+
+def test_edit_distance_pairs_rejects_long_strings(spark):
+    import pytest
+
+    from spark_ml_showcase_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([(1, "x" * 100)], "id long, s string")
+    with pytest.raises(ValueError):
+        DD.edit_distance_pairs(df, "id", "s").collect()
+    # and the cap is tunable
+    assert DD.edit_distance_pairs(df, "id", "s", max_len=128).count() == 0
+
+
+def test_edit_distance_pairs_no_candidates_beyond_distance_one(spark):
+    from spark_ml_showcase_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "cdab"), (3, "wxyz")], "id long, s string"
+    )
+    assert DD.edit_distance_pairs(df, "id", "s").count() == 0
