@@ -137,3 +137,53 @@ def quantile_bins(
 
     w = ordered_window(partition_by, order_by)
     return df.withColumn(out_col, F.ntile(n_bins).over(w).cast("bigint"))
+
+
+def dense_time_buckets(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    bucket_seconds: int,
+    *,
+    value_col: Column | None = None,
+    count_name: str = "cnt",
+    sum_name: str = "total",
+) -> DataFrame:
+    """GAP-FILLED bucketed time series: per key, one row for EVERY
+    ``bucket_seconds`` bucket between the table's min and max event —
+    empty buckets included at zero — so downstream rolling/plotting/
+    anomaly logic never has to special-case missing periods.
+
+    The spine is ``sequence(min_bucket, max_bucket, step)`` exploded
+    from a single aggregated row and cross-joined with the distinct key
+    set — both sides are tiny (buckets × keys), and the observed
+    aggregate joins onto the spine broadcast-left, so the big table is
+    touched exactly once by the bucket aggregation. Output:
+    ``(*keys, bucket_epoch, cnt[, total])``.
+    """
+    epoch = F.col(ts_col).cast("long")
+    bucket = (epoch - (epoch % bucket_seconds)).alias("_b")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias(count_name)]
+    pre = [F.col(k) for k in keys] + [bucket]
+    if value_col is not None:
+        pre.append(value_col.alias("_v"))
+        aggs.append(F.sum("_v").alias(sum_name))
+    observed = df.select(*pre).groupBy(*keys, "_b").agg(*aggs)
+
+    span = df.select(bucket).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.lit(int(bucket_seconds)))
+        ).alias("_b")
+    )
+    key_set = df.select(*keys).distinct()
+    grid = key_set.crossJoin(F.broadcast(spine))
+    out = grid.join(observed, [*keys, "_b"], "left")
+    fills = [F.coalesce(F.col(count_name), F.lit(0)).cast("bigint").alias(count_name)]
+    if value_col is not None:
+        fills.append(F.coalesce(F.col(sum_name), F.lit(0)).alias(sum_name))
+    return out.select(
+        *keys, F.col("_b").alias("bucket_epoch"), *fills
+    )

@@ -755,3 +755,51 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.heavy_hitters(tokens, "token", 0.03, alias="cnt").orderBy(
         "token"
     )
+
+
+# Gap-FILLED hourly series per event type: every hour in the table's
+# span appears for every type, empty hours at zero — the calendar-spine
+# shape rolling/anomaly logic needs. Spine = sequence() off one
+# aggregated row × the distinct key set (both tiny, spine broadcast);
+# the events table is touched once. Oracle rebuilds the spine with
+# generate_series.
+@query(
+    "dense_hourly_event_counts",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT min(bucket) AS lo, max(bucket) AS hi FROM b
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, 3600)) AS bucket FROM span
+    ), grid AS (
+        SELECT t.event_type, s.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t, spine s
+    )
+    SELECT g.event_type AS event_type, g.bucket AS bucket_epoch,
+           COALESCE(b.cnt, 0) AS cnt,
+           COALESCE(b.total, 0.0) AS total
+    FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+                           AND g.bucket = b.bucket
+    ORDER BY 1, 2
+    """,
+)
+def dense_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    out = windows.dense_time_buckets(
+        ev,
+        "ts",
+        ["event_type"],
+        3600,
+        value_col=F.col("value").cast("decimal(18,2)"),
+    )
+    return out.select(
+        "event_type",
+        "bucket_epoch",
+        "cnt",
+        F.col("total").cast("double").alias("total"),
+    ).orderBy("event_type", "bucket_epoch")

@@ -99,3 +99,28 @@ def test_quantile_bins_equal_frequency(spark):
         by_bin.setdefault(r["bin"], []).append(r["v"])
     assert {b: len(v) for b, v in by_bin.items()} == {1: 2, 2: 2, 3: 2, 4: 2}
     assert sorted(by_bin[1]) == [0.0, 1.0] and sorted(by_bin[4]) == [6.0, 7.0]
+
+
+def test_dense_time_buckets_zero_fills_gaps(spark):
+    import datetime as dt
+
+    from spark_ml_showcase_spark.operators import windows as W
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", base, 1.0),
+        ("a", base + dt.timedelta(hours=3), 2.0),  # hours 1-2 empty for a
+        ("b", base + dt.timedelta(hours=1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = W.dense_time_buckets(df, "ts", ["k"], 3600, value_col=F.col("v"))
+    got = {(r["k"], r["bucket_epoch"]): (r["cnt"], r["total"]) for r in out.collect()}
+    lo = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # 4 hourly buckets (span hours 0..3) × 2 keys = 8 rows, gaps at zero
+    assert len(got) == 8
+    assert got[("a", lo)] == (1, 1.0)
+    assert got[("a", lo + 3600)] == (0, 0)
+    assert got[("a", lo + 2 * 3600)] == (0, 0)
+    assert got[("a", lo + 3 * 3600)] == (1, 2.0)
+    assert got[("b", lo + 3600)] == (1, 5.0)
+    assert got[("b", lo + 3 * 3600)] == (0, 0)
