@@ -88,6 +88,11 @@ ALLOWLIST = {
         "profile_orders_table's broadcast SINGLE-ROW aggregate-frame "
         "crosses; no data-sized side exists"
     },
+    "dense_hourly_event_counts": {
+        "bnlj": "calendar-spine grid: distinct keys × broadcast "
+        "sequence() buckets — both sides tiny by construction; the "
+        "events table itself joins the grid hash-keyed"
+    },
     "decontaminate_embedding": {
         "bnlj": "by design: corpus streams once past "
         "crossJoin(broadcast(benchmark vectors)) — the benchmark side "
