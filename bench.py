@@ -65,15 +65,40 @@ def encode_qz(times: dict[str, float]) -> str:
     payload = ",".join(k for k, _ in items) + "|" + ",".join(
         str(int(round(v * 100))) for _, v in items
     )
-    return base64.b64encode(zlib.compress(payload.encode(), 9)).decode()
+    co = zlib.compressobj(9, zlib.DEFLATED, 15, 9,
+                          zlib.Z_DEFAULT_STRATEGY, zdict=QZ_DICT)
+    comp = co.compress(payload.encode()) + co.flush()
+    # base85 (JSON-safe alphabet: no quote/backslash) + a preset
+    # dictionary of registry-name fragments buys ~8% over the round-6
+    # base64+plain-zlib form — the registry outgrew the 2000-char
+    # driver tail at 125 queries without it
+    return base64.b85encode(comp).decode()
+
+
+# Frequent query-name fragments, shared by encoder and decoder. Order
+# and content are part of the wire format: APPEND-ONLY (a change breaks
+# decoding of older committed artifacts' qz — decode_qz falls back to
+# the round-6 base64 form for pre-dictionary artifacts).
+QZ_DICT = (
+    b"stream_|_dedup|ml_|clf_|near_dup_|_join_|_sample|_split_|_counts"
+    b"|_per_|temporal_|minhash_|_docs|_events_|_orders|_top|_scan_"
+    b"|multimodal_|decontaminate_|_pairs|_report|_user|window|_hourly"
+)
 
 
 def decode_qz(qz: str) -> dict[str, float]:
-    """Inverse of :func:`encode_qz` — seconds keyed by query name."""
+    """Inverse of :func:`encode_qz` — seconds keyed by query name.
+    Transparently decodes the round-6 format (base64 + dict-less zlib)
+    for older committed BENCH_r*.json artifacts."""
     import base64
     import zlib
 
-    names, vals = zlib.decompress(base64.b64decode(qz)).decode().split("|")
+    try:
+        dec = zlib.decompressobj(zdict=QZ_DICT)
+        raw = dec.decompress(base64.b85decode(qz)) + dec.flush()
+    except Exception:
+        raw = zlib.decompress(base64.b64decode(qz))
+    names, vals = raw.decode().split("|")
     return {
         n: int(v) / 100.0
         for n, v in zip(names.split(","), vals.split(","))
