@@ -36,7 +36,20 @@ def _release(spark, docs, table_dir):
     return v, report
 
 
-def test_release_cycle_produces_all_provenance(spark, tmp_path):
+import pytest
+
+
+@pytest.fixture()
+def _clear_cache_after(spark):
+    # the cleaning pipeline caches its dedup stages; drop them on exit
+    # (even on failure) so later tests' plan assertions don't hit
+    # InMemoryTableScan rewrites of the same source subtrees — the
+    # session fixture is shared suite-wide
+    yield
+    spark.catalog.clearCache()
+
+
+def test_release_cycle_produces_all_provenance(spark, tmp_path, _clear_cache_after):
     t = str(tmp_path / "corpus")
     docs = Catalog(spark, SF).documents
 
