@@ -298,3 +298,115 @@ def local_supplier_volume_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("nation"))
     )
+
+
+# TPC-H Q1 shape (pricing summary): the canonical wide-aggregate scan —
+# one pass over lineitem, filter pushed to the scan, eight aggregates
+# per (returnflag, linestatus) group with map-side partial agg. Money
+# math decimal-exact; averages = decimal sum / count, rounded at 6dp on
+# both engines.
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_base_price,
+           -- narrow input scales so decimal products stay EXACT on both
+           -- engines: (12,2)x(9,6)x(9,6) -> width ≤32, scale 14 — wide
+           -- (28,6) products overflow 38 digits and each engine
+           -- truncates row-products differently, and width ≤18 inputs
+           -- hit DuckDB's int64 multiply overflow
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(8,6))
+                         AS DECIMAL(20,8))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(8,6))
+                         AS DECIMAL(20,8))
+                    * CAST(1 + l_tax AS DECIMAL(8,6))) AS DOUBLE)
+               AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-12-01'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.to_date("l_shipdate") <= F.lit("1998-12-01")
+    )
+    dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            # see oracle note: narrow scales keep the products exact
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+                ).cast("decimal(20,8)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+                ).cast("decimal(20,8)")
+                * (F.lit(1) + F.col("l_tax")).cast("decimal(8,6)")
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# TPC-H Q6 shape (forecast revenue change): the pure filter-and-sum —
+# every predicate reaches the parquet scan (PushedFilters), zero joins,
+# one partial+final agg. The narrowest possible plan for a 100 TB scan.
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                    * CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    return li.filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
