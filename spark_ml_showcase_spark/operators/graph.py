@@ -1,0 +1,99 @@
+"""Graph algorithms over edge DataFrames: PageRank (power iteration).
+
+Companion to the connected-components pair in ``operators/dedup.py``
+(min-label propagation + large/small-star): where components answer
+"which docs are the same", PageRank answers "which nodes matter" — the
+host/URL authority signal web-corpus pipelines fold into quality
+scoring (the original use of the algorithm).
+
+Scale posture: each iteration is ONE shuffle — contributions
+``rank/deg`` flow along edges via an equi-join on the source id and
+re-aggregate on the destination. Degrees are computed once. The edge
+table is the big operand and is re-read per iteration from an
+explicitly cached/checkpointed frame; ranks (one row per node) ride a
+``localCheckpoint`` every few rounds so the lineage (and therefore the
+task graph) stays flat instead of growing by two joins per iteration.
+Iterations are a FIXED count — deterministic, resumable, and exactly
+replayable by the DuckDB recursive-CTE oracle (a convergence test
+would couple the result to float noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 10,
+    damping: float = 0.85,
+    directed: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Power-iteration PageRank over the nodes incident to ``edges``.
+
+    ``directed=False`` (default) symmetrizes the edge list first — the
+    natural reading for similarity/co-occurrence graphs. Every node
+    starts at ``1/N``; each round moves ``damping`` of each node's rank
+    uniformly along its out-edges plus the ``(1-damping)/N``
+    teleport. Nodes in the edge list always have degree ≥ 1 after
+    symmetrization, so there is no dangling-mass term in the undirected
+    form; in the directed form, dangling nodes (no out-edges) simply
+    leak their damped mass — the classic simplified variant, stated
+    here so the oracle can replay it exactly.
+
+    Returns ``(id, rank)`` — rank as an unrounded double; round at the
+    comparison boundary.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be ≥ 0, got {iterations}")
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+    e = e.distinct().localCheckpoint()
+
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    teleport = (1.0 - damping) / n_nodes
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("id", "_s"), "_s")
+            .join(deg, "_s")
+            .select(
+                F.col("_d").alias("id"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -1352,3 +1352,75 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(cust, "c_custkey", "c_name").orderBy(
         "id_a", "id_b"
     )
+
+
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank replay: standard SQL forbids
+    aggregates in a recursive CTE term, so the power iteration unrolls
+    into ``iterations`` chained CTEs — exactly the operator's loop."""
+    base = r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, len(toks) - 2)]) AS s
+        FROM (SELECT doc_id,
+                     list_filter(
+                         string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 200)
+        WHERE len(toks) >= 3
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)) >= 0.3
+    ), e AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ), nodes AS (SELECT DISTINCT s AS id FROM e),
+    deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+    pr{k} AS (
+        SELECT nodes.id,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.s_in, 0) AS rank
+        FROM nodes LEFT JOIN (
+            SELECT e.d AS id, SUM(pr{k-1}.rank / deg.deg) AS s_in
+            FROM e JOIN pr{k-1} ON e.s = pr{k-1}.id
+                   JOIN deg ON deg.s = e.s
+            GROUP BY e.d
+        ) c ON nodes.id = c.id
+    )""")
+    return (
+        base + "," + ",".join(steps)
+        + f"""
+    SELECT id AS doc_id, ROUND(rank, 6) AS rank
+    FROM pr{iterations} ORDER BY doc_id
+    """
+    )
+
+
+# Iterative graph algorithm, VALUE-checked end-to-end: 10 power
+# iterations of PageRank over the exact-Jaccard near-dup graph
+# (doc_id < 200, threshold 0.3 — same edges as the connected-components
+# oracles). The oracle unrolls the identical iteration, so the Spark
+# loop (one shuffle join per round, lineage cut every 4) must reproduce
+# the authority scores to 6dp — the strongest oracle class in the repo
+# alongside the recursive-CTE components.
+@query("pagerank_near_dup_graph", oracle=_pagerank_oracle(10))
+def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators import graph
+
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=0.3
+    )
+    ranks = graph.pagerank(pairs, iterations=10)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    ).orderBy("doc_id")
