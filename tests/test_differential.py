@@ -470,3 +470,65 @@ def test_cohort_retention_parity(spark, ddb_events, max_off):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.sampled_from([0.02, 0.03, 0.05, 0.08, 0.12]))
+def test_heavy_hitters_parity(spark, ddb_docs, support):
+    """Family 11: sketch-then-verify heavy hitters equal the exact
+    HAVING replay for random supports — the sketch must never lose a
+    qualifying token."""
+    from spark_ml_showcase_spark.operators import aggregates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    got = {
+        (r["token"], r["cnt"])
+        for r in aggregates.heavy_hitters(tokens, "token", support).collect()
+    }
+    want = {
+        (t, c)
+        for t, c in ddb_docs.execute(
+            f"""
+            WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+                 n AS (SELECT count(*) AS total FROM t)
+            SELECT token, CAST(count(*) AS BIGINT)
+            FROM t GROUP BY token
+            HAVING count(*) >= (SELECT CAST(ceil({support} * total) AS BIGINT)
+                                FROM n)
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=0, max_value=30),
+    st.integers(min_value=1, max_value=80),
+)
+def test_class_balance_cap_parity(spark, ddb_docs, cap, en_cap):
+    """Family 11b: the md5-ordered per-class cap equals the QUALIFY
+    replay for random caps and overrides."""
+    from spark_ml_showcase_spark.operators import splits
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = splits.class_balance_cap(docs, "lang", "doc_id", cap, caps={"en": en_cap})
+    got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    want = sorted(
+        r[0]
+        for r in ddb_docs.execute(
+            f"""
+            SELECT doc_id FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16),
+                                    doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= CASE lang WHEN 'en' THEN {en_cap} ELSE {cap} END
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -244,6 +244,23 @@ def probe_zorder_20m(spark):
     return n
 
 
+def probe_fastss_1m(spark):
+    """FastSS typo pairs over 1M short strings: O(len) deletion
+    fan-out → hash equi-join → levenshtein verify. Names collide only
+    on planted neighbors (ids 0/1 differ in one char per 100k block)."""
+    from spark_ml_showcase_spark.operators import dedup
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.format_string("user-%07d-acct", F.col("id")).alias("s"),
+    )
+    pairs = dedup.edit_distance_pairs(df, "id", "s")
+    cnt = pairs.count()
+    assert cnt > 0, cnt
+    return n
+
+
 PROBES = {
     "exact_dedup_50m": probe_exact_dedup_50m,
     "window_budget_20m": probe_window_budget_20m,
@@ -260,6 +277,7 @@ PROBES = {
     "stream_agg_1m": probe_stream_agg_1m,
     "funnel_20m": probe_funnel_20m,
     "zorder_20m": probe_zorder_20m,
+    "fastss_1m": probe_fastss_1m,
 }
 
 
