@@ -81,8 +81,12 @@ def encode_qz(times: dict[str, float]) -> str:
 # the round-6 base64 form for pre-dictionary artifacts).
 QZ_DICT = (
     b"stream_|_dedup|ml_|clf_|near_dup_|_join_|_sample|_split_|_counts"
-    b"|_per_|temporal_|minhash_|_docs|_events_|_orders|_top|_scan_"
-    b"|multimodal_|decontaminate_|_pairs|_report|_user|window|_hourly"
+    b"|_topk|_report|_user|window|_hourly|_event|revenue|pricing|tpch_q"
+    b"|cohort_|funnel_|fuzzy_|dense_|pagerank_|heavy_hitter|quartiles"
+    b"|rolling_|snapshot_|clustered_|class_balance|embedding|suppliers"
+    b"|customers|boilerplate|components|tumbling|sliding|session"
+    b"|multimodal_|decontaminate_|_pairs|_per_|temporal_|minhash_"
+    b"|_docs|_events_|_orders|_top|_scan_"
 )
 
 

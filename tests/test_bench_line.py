@@ -44,14 +44,17 @@ def test_line_fits_driver_tail_and_holds_all_timings():
     assert obj["n_queries"] == len(times)
     # EVERY timing is recoverable from the line alone — self-contained
     assert set(decode_qz(obj["qz"])) == set(times)
-    # plain-text slice exists and is the slowest-first prefix
-    assert obj["queries"]
-    floor = min(obj["queries"].values())
-    plain = set(obj["queries"])
-    missing_slower = [
-        k for k, v in times.items() if round(v, 2) > floor and k not in plain
-    ]
-    assert not missing_slower
+    # plain-text slice: WHEN present it is the slowest-first prefix;
+    # it may be empty once the registry is big enough that qz alone
+    # consumes the budget — qz already carries every timing, so nothing
+    # is lost, and the assertion above is the real contract
+    if obj["queries"]:
+        floor = min(obj["queries"].values())
+        plain = set(obj["queries"])
+        missing_slower = [
+            k for k, v in times.items() if round(v, 2) > floor and k not in plain
+        ]
+        assert not missing_slower
 
 
 def test_overflow_falls_back_to_plain_slowest():
