@@ -410,3 +410,66 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+# TPC-H Q18 shape (large-volume customer): the aggregated IN-subquery —
+# qualifying orderkeys come from a HAVING over lineitem, then re-join
+# orders + customer + lineitem for the detail rows. Spark plans the IN
+# as a LEFT SEMI join on the aggregated frame (no correlated re-scan);
+# the qualifying set is tiny (top ~1% of orders), so AQE broadcasts it
+# into both fact joins. Dates travel as epoch-day BIGINTs.
+@query(
+    "tpch_q18_large_volume_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS order_epoch_day,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 280
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    orders = cat.orders
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 280)
+        .select(F.col("l_orderkey").alias("_qk"))
+    )
+    o = orders.join(
+        qualifying, orders["o_orderkey"] == qualifying["_qk"], "left_semi"
+    )
+    joined = (
+        cat.customer.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("order_epoch_day"),
+            "o_totalprice",
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
