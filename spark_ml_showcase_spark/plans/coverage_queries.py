@@ -412,3 +412,37 @@ def pyds_gen_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Correlated scalar subquery through the SQL surface: orders priced
+# above their priority's average. Catalyst DECORRELATES the subquery
+# into an aggregate + join (no per-row re-scan — the plan a naive
+# engine would execute N times collapses to one aggregation); the
+# oracle runs the identical text. Averages compared through a rounded
+# threshold predicate, not emitted, so float ulp drift cannot flip
+# membership: both engines round the avg to 2dp before comparing.
+@query(
+    "above_priority_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.1 * (
+        SELECT ROUND(AVG(o2.o_totalprice), 2) FROM orders o2
+        WHERE o2.o_orderpriority = o.o_orderpriority
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def above_priority_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority AS priority, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.1 * (
+            SELECT ROUND(AVG(o2.o_totalprice), 2) FROM orders o2
+            WHERE o2.o_orderpriority = o.o_orderpriority
+        )
+        ORDER BY o_orderkey
+        """
+    )
