@@ -446,3 +446,78 @@ def above_priority_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+# Group-wise z-score feature normalization with EXACT moments: mean and
+# variance derive from decimal-exact SUM and SUM-of-squares (value has
+# 2dp → value² has 4dp, exact in DECIMAL(28,4)), so both engines feed
+# identical doubles into the final arithmetic — no online-vs-two-pass
+# variance drift. One shuffle (the group agg), then a broadcast join
+# back; rounded at 6dp.
+@query(
+    "zscore_value_by_type",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - m.s / m.n)
+                 / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1)), 6) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE m.n > 1
+    ORDER BY e.event_id
+    """,
+)
+def zscore_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    dec = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    joined = ev.join(F.broadcast(m), "event_type").filter(F.col("n") > 1)
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("z"),
+    ).orderBy("event_id")
+
+
+# Sort-free per-group argmax: max_by collapses "latest value per user"
+# into a plain hash aggregate — no per-group window SORT, the shape
+# that wins at 100 TB when only the top-1 is needed. The ordering key
+# packs (epoch_sec, event_id) into one BIGINT (event_id < 10^8 in every
+# fixture generation) so ties are impossible and both engines pick the
+# same row.
+@query(
+    "latest_value_per_user_maxby",
+    oracle="""
+    SELECT user_id,
+           arg_max(value, CAST(floor(epoch(ts)) AS BIGINT) * 100000000
+                          + event_id) AS last_value,
+           CAST(max(CAST(floor(epoch(ts)) AS BIGINT) * 100000000
+                    + event_id) AS BIGINT) AS last_key
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def latest_value_per_user_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    key = F.col("ts").cast("long") * F.lit(100000000) + F.col("event_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("value", key).alias("last_value"),
+            F.max(key).cast("bigint").alias("last_key"),
+        )
+        .orderBy("user_id")
+    )
