@@ -473,3 +473,36 @@ def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# TPC-H Q4 shape (order priority checking): correlated EXISTS through
+# the SQL surface, planned as a LEFT SEMI join (no per-order re-scan of
+# lineitem). Counts orders in a date window having at least one line
+# item, per priority.
+@query(
+    "tpch_q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders o
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > 45)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o
+        WHERE TO_DATE(o_orderdate) >= DATE '1996-01-01'
+          AND TO_DATE(o_orderdate) < DATE '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity > 45)
+        GROUP BY 1 ORDER BY 1
+        """
+    )

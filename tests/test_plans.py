@@ -215,3 +215,22 @@ def test_explicit_broadcast_survives_disabled_auto_threshold(spark):
         assert "BroadcastHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_correlated_scalar_subquery_is_decorrelated(spark):
+    """Catalyst must rewrite the per-row scalar subquery into ONE
+    aggregate + join — no repeated-scan subquery remains in the
+    physical plan."""
+    qs = entry.queries()
+    plan = _plan(qs["above_priority_avg_orders"](spark, SF))
+    assert "Subquery" not in plan or "SubqueryBroadcast" in plan, plan
+    assert plan.count("HashAggregate") >= 2  # partial+final of the avg
+    assert "Join" in plan
+
+
+def test_exists_and_in_subqueries_plan_as_semi_joins(spark):
+    qs = entry.queries()
+    q4 = _plan(qs["tpch_q4_priority_check"](spark, SF))
+    assert "LeftSemi" in q4, q4
+    q18 = _plan(qs["tpch_q18_large_volume_orders"](spark, SF))
+    assert "LeftSemi" in q18, q18
