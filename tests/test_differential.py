@@ -532,3 +532,35 @@ def test_class_balance_cap_parity(spark, ddb_docs, cap, en_cap):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.sampled_from([60, 300, 900, 3600, 7200, 86400]))
+def test_time_range_rolling_parity(spark, ddb_events, lookback):
+    """Family 12: RANGE-frame rolling sums for random lookbacks — the
+    tie-inclusive frame must agree exactly (decimal accumulation)."""
+    from spark_ml_showcase_spark.operators import windows as W
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, SF).events
+    out = W.time_range_rolling(
+        ev, "ts", F.col("value").cast("decimal(18,2)"), ["user_id"],
+        lookback, "roll",
+    ).select(
+        "event_id", F.col("roll").cast("double").alias("roll")
+    )
+    got = {(r["event_id"], r["roll"]) for r in out.collect()}
+    want = set(
+        ddb_events.execute(
+            f"""
+            SELECT event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN {lookback} PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE)
+            FROM events
+            """
+        ).fetchall()
+    )
+    assert got == want
