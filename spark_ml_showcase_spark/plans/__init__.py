@@ -74,28 +74,38 @@ def _record_green(rec) -> bool:
     )
 
 
-def latest_correctness_rounds() -> dict[str, int]:
-    """Latest GREEN CORRECTNESS_r*.json round per query name, read from
-    the repo root. Queries absent from every artifact (registered this
-    round) — or never recorded green — simply don't appear."""
+def latest_correctness_rounds(root=None) -> dict[str, int]:
+    """Latest GREEN driver record per query name, as an ARTIFACT ORDINAL:
+    the 1-based position of the record's round among the committed
+    CORRECTNESS_r*.json files, NOT the raw round number. The driver can
+    skip committing a round (r06 never landed — judge verdict r7 red
+    item): with raw round numbers, queries last verified in the newest
+    *committed* predecessor looked two rounds stale when they were
+    exactly one driver run stale. Ordinals measure driver RUNS, which is
+    the staleness the rotation contract actually means. Queries absent
+    from every artifact (registered this round) — or never recorded
+    green — simply don't appear."""
     import json
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[2]
-    latest: dict[str, int] = {}
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    root = Path(root)
+    by_round: dict[int, dict] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.name)
         if not m:
             continue
-        rnd = int(m.group(1))
         try:
-            records = json.loads(p.read_text())
+            by_round[int(m.group(1))] = json.loads(p.read_text())
         except (OSError, ValueError):
             continue  # a malformed artifact must not break the registry
-        for q, rec in records.items():
+    latest: dict[str, int] = {}
+    for ordinal, rnd in enumerate(sorted(by_round), start=1):
+        for q, rec in by_round[rnd].items():
             if _record_green(rec):
-                latest[q] = max(latest.get(q, 0), rnd)
+                latest[q] = max(latest.get(q, 0), ordinal)
     return latest
 
 

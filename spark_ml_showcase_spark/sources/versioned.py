@@ -12,11 +12,13 @@ Layout under a table directory::
 
 A version IS its manifest: a JSON file naming the snapshot's data files
 (relative paths), schema, row count, and parent version. Commits are
-atomic via write-temp + ``os.rename`` onto the final manifest name —
-readers either see a complete manifest or none (rename won't replace an
-existing file cross-platform here: the writer checks-then-renames, and
-a lost race surfaces as a :class:`SnapshotConflict`, the optimistic-
-concurrency contract).
+atomic via write-temp + ``os.link`` onto the final manifest name —
+readers either see a complete manifest or none, and link(2) FAILS with
+EEXIST if the name is taken, so of two racing writers that picked the
+same version exactly one wins and the loser gets a
+:class:`SnapshotConflict` (the optimistic-concurrency contract; a
+check-then-rename would let the later rename silently replace the
+winner's manifest).
 
 Why this scales to 100 TB:
 
@@ -140,10 +142,19 @@ def write_snapshot(
     tmp = os.path.join(mdir, f".tmp-{token}.json")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    if os.path.exists(final):  # lost the race after our version pick
+    try:
+        # link(2) is atomic create-exclusive: EEXIST means another
+        # writer committed this version between our pick and now, and
+        # their manifest is untouched. A rename here would silently
+        # REPLACE the winner's manifest — a lost commit with orphaned
+        # data files.
+        os.link(tmp, final)
+    except FileExistsError:
         os.unlink(tmp)
-        raise SnapshotConflict(f"version {version} already committed")
-    os.rename(tmp, final)
+        raise SnapshotConflict(
+            f"version {version} already committed"
+        ) from None
+    os.unlink(tmp)
     return version
 
 
@@ -259,14 +270,23 @@ def expire_versions(table_dir: str, keep_last: int) -> list[int]:
     return expired
 
 
-def vacuum(table_dir: str) -> list[str]:
+def vacuum(table_dir: str, *, grace_sec: float = 3600.0) -> list[str]:
     """Delete data files referenced by NO remaining manifest — orphans
     from crashed writers and files exclusive to expired versions.
     Append commits share files across versions, so a file survives as
     long as ANY live manifest lists it. Returns the deleted relative
-    paths. Safe to run any time: commits never mutate files, and a
-    concurrent writer's in-flight directory is only deleted if its
-    commit never landed (the crash-cleanup contract)."""
+    paths.
+
+    Concurrency: a writer mid-commit has written its ``data/vNNNN-*``
+    directory but not yet linked the manifest, so an unconditional
+    vacuum would delete the data out from under it and the manifest
+    would then commit referencing deleted files — a permanently corrupt
+    snapshot. Unreferenced directories younger than ``grace_sec``
+    (directory mtime, the Iceberg orphan-file min-age pattern) are
+    therefore SKIPPED; only set ``grace_sec=0`` when writes are
+    externally quiesced."""
+    import time
+
     live: set[str] = set()
     for v in snapshot_versions(table_dir):
         live.update(_read_manifest(table_dir, v)["files"])
@@ -274,10 +294,18 @@ def vacuum(table_dir: str) -> list[str]:
     deleted: list[str] = []
     if not os.path.isdir(data_root):
         return deleted
+    now = time.time()
     for d in sorted(os.listdir(data_root)):
         vdir = os.path.join(data_root, d)
         if not os.path.isdir(vdir):
             continue
+        has_live = any(
+            os.path.join("data", d, f) in live
+            for f in os.listdir(vdir)
+            if f.endswith(".parquet")
+        )
+        if not has_live and now - os.path.getmtime(vdir) < grace_sec:
+            continue  # possibly an in-flight commit: leave it alone
         for f in sorted(os.listdir(vdir)):
             rel = os.path.join("data", d, f)
             if f.endswith(".parquet") and rel not in live:
@@ -300,6 +328,32 @@ def vacuum(table_dir: str) -> list[str]:
     return deleted
 
 
+def _ledger_path(table_dir: str) -> str:
+    return os.path.join(_manifest_dir(table_dir), "ingested_batches.json")
+
+
+def _ingested_batch_ids(table_dir: str) -> set[int]:
+    try:
+        with open(_ledger_path(table_dir)) as fh:
+            return set(json.load(fh))
+    except (OSError, ValueError):
+        return set()
+
+
+def _ledger_add_batch_id(table_dir: str, batch_id: int) -> None:
+    """Append a batch id to the ingestion ledger (atomic tmp+rename;
+    foreachBatch serializes commits within a query, which is the
+    single-writer contract of the ledger — concurrent ingest queries on
+    one table need an external lock, same as any streaming sink)."""
+    ids = sorted(_ingested_batch_ids(table_dir) | {batch_id})
+    mdir = _manifest_dir(table_dir)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".ledger-{uuid.uuid4().hex[:12]}.json")
+    with open(tmp, "w") as fh:
+        json.dump(ids, fh)
+    os.rename(tmp, _ledger_path(table_dir))
+
+
 def stream_append_snapshots(
     stream_df: DataFrame,
     table_dir: str,
@@ -313,17 +367,21 @@ def stream_append_snapshots(
 
     Exactly-once across restarts: the source offsets live in the stream
     checkpoint (at-least-once replay), and the commit is IDEMPOTENT —
-    each manifest records its ``batch_id``, and a replayed micro-batch
-    whose id is already committed is skipped, the standard foreachBatch
-    dedup contract. Runs with ``availableNow`` (drain what exists, then
-    stop) — call again when more data arrives; the checkpoint carries
-    progress forward.
+    every ingested ``batch_id`` is recorded in a retention-independent
+    ledger (``_manifest/ingested_batches.json``, written after each
+    commit) so a replayed micro-batch is skipped even if
+    :func:`expire_versions` has since aged out the manifest that carried
+    it (manifests still stamp ``batch_id`` too, and the live ones are
+    unioned in as a belt-and-braces for ledgers written by older
+    versions of this module). Runs with ``availableNow`` (drain what
+    exists, then stop) — call again when more data arrives; the
+    checkpoint carries progress forward.
     """
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        committed = {
+        committed = _ingested_batch_ids(table_dir) | {
             _read_manifest(table_dir, v).get("batch_id")
             for v in snapshot_versions(table_dir)
         }
@@ -332,6 +390,7 @@ def stream_append_snapshots(
         write_snapshot(
             batch_df, table_dir, append=True, batch_id=batch_id
         )
+        _ledger_add_batch_id(table_dir, batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(_commit)

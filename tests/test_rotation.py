@@ -130,6 +130,30 @@ def test_failed_latest_record_sorts_into_front_bucket():
                 assert q in window, f"red-latest query {q!r} outside the window"
 
 
+def test_round_gap_does_not_fabricate_staleness(tmp_path):
+    """Regression for the r07 red item: the driver skipped committing
+    round-6 artifacts, so raw-round arithmetic made r5-latest queries
+    look 2 rounds stale when they were 1 driver RUN stale. Staleness is
+    now measured in artifact ordinals — position among the committed
+    CORRECTNESS files — so a skipped round cannot widen any gap."""
+    import json
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "err": None}
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({"a": green}))
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps({"a": green, "b": green})
+    )
+    latest = plans.latest_correctness_rounds(root=tmp_path)
+    # r05 is ordinal 1, r07 ordinal 2: 'a' (last green in both) is at the
+    # max ordinal; a query green only in r05 is exactly ONE run stale.
+    assert latest == {"a": 2, "b": 2}
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps({"b": green}))
+    latest = plans.latest_correctness_rounds(root=tmp_path)
+    assert latest == {"a": 2, "b": 3}
+    assert max(latest.values()) - latest["a"] == 1  # one RUN stale, gap or not
+
+
 def test_artifacts_cover_only_known_or_renamed_queries():
     """Every registered query either has a driver record already or is
     new enough to be in the front window (sanity: artifact names and

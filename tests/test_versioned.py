@@ -124,14 +124,14 @@ def test_expire_and_vacuum_keep_live_shared_files(spark, tmp_path):
     versioned.write_snapshot(_df(spark, [(9, "z")]), t)          # v2 full rewrite
     expired = versioned.expire_versions(t, keep_last=2)
     assert expired == [0]
-    deleted = versioned.vacuum(t)
+    deleted = versioned.vacuum(t, grace_sec=0)
     # v0's files are STILL referenced by v1 (append) → nothing deleted
     assert deleted == []
     assert {r["id"] for r in versioned.read_snapshot(spark, t, 1).collect()} == {1, 2}
 
     # expire down to just v2: v0/v1-exclusive files become orphans
     versioned.expire_versions(t, keep_last=1)
-    deleted = versioned.vacuum(t)
+    deleted = versioned.vacuum(t, grace_sec=0)
     assert deleted, "v0/v1 data files should be vacuumed"
     assert {r["id"] for r in versioned.read_snapshot(spark, t).collect()} == {9}
 
@@ -149,7 +149,7 @@ def test_vacuum_removes_crashed_writer_debris(spark, tmp_path):
         t, versioned._read_manifest(t, 0)["files"][0]
     )
     _sh.copyfile(live_dir, orphan)
-    deleted = versioned.vacuum(t)
+    deleted = versioned.vacuum(t, grace_sec=0)
     assert deleted == [os.path.join("data", "v0099-deadbeef0000", "part-00000.parquet")]
     assert not os.path.exists(orphan_dir)
     # the live snapshot still reads
@@ -223,7 +223,7 @@ def test_delete_keys_then_expire_vacuum_forgets(spark, tmp_path):
     assert versioned.read_snapshot(spark, t, 0).count() == 3
     # ... until the compliance sequence ages it out
     versioned.expire_versions(t, keep_last=1)
-    versioned.vacuum(t)
+    versioned.vacuum(t, grace_sec=0)
     assert versioned.snapshot_versions(t) == [v]
     assert versioned.read_snapshot(spark, t).count() == 2
 
@@ -243,3 +243,86 @@ def test_schema_evolution_on_append(spark, tmp_path):
     got = {r["id"]: r["lang"] for r in latest.collect()}
     assert got == {1: None, 2: "en"}
     assert versioned.read_snapshot(spark, t, 0).columns == ["id", "text"]
+
+
+def test_racing_writers_same_version_exactly_one_wins(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7: the commit must be create-exclusive, not
+    check-then-rename. Both racers read the same table state and pick
+    the same version; exactly one manifest lands, the loser raises
+    SnapshotConflict, and the winner's manifest is untouched."""
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)  # v0
+    frozen = list(versioned.snapshot_versions(t))  # both racers see v0 only
+    monkeypatch.setattr(
+        versioned, "snapshot_versions", lambda _t: list(frozen)
+    )
+    v = versioned.write_snapshot(_df(spark, [(2, "b")]), t)  # racer A
+    assert v == 1
+    with pytest.raises(versioned.SnapshotConflict):
+        versioned.write_snapshot(_df(spark, [(3, "c")]), t)  # racer B
+    monkeypatch.undo()
+    # no corruption: v1 is racer A's commit, no stray manifests
+    assert versioned.snapshot_versions(t) == [0, 1]
+    assert {r["id"] for r in versioned.read_snapshot(spark, t, 1).collect()} == {2}
+    mdir = versioned._manifest_dir(t)
+    assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
+    # the loser's data dir is an orphan: protected by the grace window,
+    # reclaimed by a quiesced vacuum
+    assert versioned.vacuum(t) == []
+    assert versioned.vacuum(t, grace_sec=0) != []
+    assert {r["id"] for r in versioned.read_snapshot(spark, t, 1).collect()} == {2}
+
+
+def test_vacuum_grace_window_protects_inflight_writer(spark, tmp_path):
+    """ADVICE r7: an in-flight writer has data on disk but no manifest
+    yet; vacuum must not delete a young unreferenced directory."""
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)
+    inflight = os.path.join(t, "data", "v0001-aaaaaaaaaaaa")
+    os.makedirs(inflight)
+    live = os.path.join(t, versioned._read_manifest(t, 0)["files"][0])
+    import shutil as _sh
+
+    _sh.copyfile(live, os.path.join(inflight, "part-00000.parquet"))
+    assert versioned.vacuum(t) == []  # fresh dir: inside grace window
+    assert os.path.exists(inflight)
+    # backdate the directory past the window: now it is crash debris
+    old = os.path.getmtime(inflight) - 7200
+    os.utime(inflight, (old, old))
+    assert versioned.vacuum(t) != []
+    assert not os.path.exists(inflight)
+
+
+def test_replay_after_expiry_still_exactly_once(spark, tmp_path):
+    """ADVICE r7: batch-id dedup must survive manifest expiry. After
+    expire_versions ages out the manifests that carried batch ids 0-1,
+    a crash-replay from a FRESH checkpoint re-delivers every batch —
+    the retention-independent ledger must skip them all."""
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        _df(spark, [(i * 10 + j, f"d{i}") for j in range(4)]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    versioned.stream_append_snapshots(
+        _stream(), t, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert len(versioned.snapshot_versions(t)) == 3
+    versioned.expire_versions(t, keep_last=1)  # manifests w/ ids 0,1 gone
+    versioned.stream_append_snapshots(
+        _stream(), t, checkpoint_dir=str(tmp_path / "ckpt-fresh")
+    )
+    assert versioned.snapshot_versions(t) == [2]  # no duplicate appends
+    assert versioned.read_snapshot(spark, t).count() == 12
+    assert versioned._ingested_batch_ids(t) == {0, 1, 2}
