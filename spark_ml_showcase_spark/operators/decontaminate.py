@@ -129,18 +129,20 @@ def embedding_decontaminate(
     best = (
         scored.groupBy(id_col)
         .agg(
-            F.max(
+            F.max("_cos").alias("max_cosine"),
+            # argmin over (-cos, bench_id): largest cosine, then the
+            # SMALLEST bench id on ties. Only the numeric cosine is
+            # negated — the id rides untouched, so string / any
+            # orderable id types work and no truncating cast is needed
+            # (ADVICE r7: the old neg-then-cast-bigint tie-break failed
+            # string ids at analysis time and truncated fractional ones)
+            F.min_by(
+                "_bench_id",
                 F.struct(
-                    F.col("_cos").alias("c"),
-                    # negate so ties prefer the SMALLEST bench id under max
-                    (-F.col("_bench_id")).alias("neg_id"),
-                )
-            ).alias("_best")
-        )
-        .select(
-            id_col,
-            F.col("_best.c").alias("max_cosine"),
-            (-F.col("_best.neg_id")).cast("bigint").alias("nearest_bench_id"),
+                    (-F.col("_cos")).alias("nc"),
+                    F.col("_bench_id").alias("i"),
+                ),
+            ).alias("nearest_bench_id"),
         )
     )
     hits = best.filter(F.col("max_cosine") >= threshold)

@@ -156,10 +156,12 @@ def dense_time_buckets(
 
     The spine is ``sequence(min_bucket, max_bucket, step)`` exploded
     from a single aggregated row and cross-joined with the distinct key
-    set — both sides are tiny (buckets × keys), and the observed
-    aggregate joins onto the spine broadcast-left, so the big table is
-    touched exactly once by the bucket aggregation. Output:
-    ``(*keys, bucket_epoch, cnt[, total])``.
+    set. The big table is touched EXACTLY ONCE — by the bucket
+    aggregation: ``observed`` (buckets × keys, tiny) is materialized
+    with ``localCheckpoint`` and the span and key set are derived from
+    IT, not re-scanned from ``df`` (ADVICE r7: the previous shape
+    re-scanned df for the span min/max and the distinct key set).
+    Output: ``(*keys, bucket_epoch, cnt[, total])``.
     """
     epoch = F.col(ts_col).cast("long")
     bucket = (epoch - (epoch % bucket_seconds)).alias("_b")
@@ -168,9 +170,11 @@ def dense_time_buckets(
     if value_col is not None:
         pre.append(value_col.alias("_v"))
         aggs.append(F.sum("_v").alias(sum_name))
-    observed = df.select(*pre).groupBy(*keys, "_b").agg(*aggs)
+    observed = (
+        df.select(*pre).groupBy(*keys, "_b").agg(*aggs).localCheckpoint()
+    )
 
-    span = df.select(bucket).agg(
+    span = observed.agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
     )
     spine = span.select(
@@ -178,7 +182,7 @@ def dense_time_buckets(
             F.sequence("_lo", "_hi", F.lit(int(bucket_seconds)))
         ).alias("_b")
     )
-    key_set = df.select(*keys).distinct()
+    key_set = observed.select(*keys).distinct()
     grid = key_set.crossJoin(F.broadcast(spine))
     out = grid.join(observed, [*keys, "_b"], "left")
     fills = [F.coalesce(F.col(count_name), F.lit(0)).cast("bigint").alias(count_name)]

@@ -192,6 +192,24 @@ def test_embedding_decontaminate_tie_prefers_smallest_bench_id(spark):
     assert hits.first()["nearest_bench_id"] == 100
 
 
+def test_embedding_decontaminate_string_bench_ids(spark):
+    """ADVICE r7: the tie-break must not assume integer bench ids — a
+    string-keyed benchmark (eval-set names) attributes correctly, with
+    the lexicographically smallest name winning ties."""
+    corpus = _emb_df(spark, [(1, [1.0, 0.0])])
+    bench = spark.createDataFrame(
+        [("mmlu", [2.0, 0.0]), ("gsm8k", [3.0, 0.0]), ("zz", [0.0, 1.0])],
+        "bench_name string, embedding array<double>",
+    )
+    _, hits = decontaminate.embedding_decontaminate(
+        corpus, bench, threshold=0.5,
+        bench_id_col="bench_name",
+    )
+    row = hits.first()
+    assert row["nearest_bench_id"] == "gsm8k"
+    assert row["max_cosine"] == 1.0
+
+
 def test_embedding_decontaminate_below_threshold_all_clean(spark):
     corpus = _emb_df(spark, [(1, [1.0, 0.0])])
     bench = _emb_df(spark, [(100, [0.0, 1.0])])
