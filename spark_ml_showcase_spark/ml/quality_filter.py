@@ -61,6 +61,7 @@ def train_quality_filter(
     text_col: str = "text",
     seed: int = 40,
     train_fraction: float | None = None,
+    max_iter: int = 25,
 ):
     """Fit the weak-supervision quality classifier; returns a
     PipelineModel whose ``transform`` adds ``probability``/``prediction``
@@ -114,7 +115,7 @@ def train_quality_filter(
                     inputCols=[*_NUMERIC_FEATS, "_tfidf"], outputCol="features"
                 ),
                 LogisticRegression(
-                    maxIter=25, regParam=0.01, standardization=True
+                    maxIter=max_iter, regParam=0.01, standardization=True
                 ),
             ]
         )

@@ -1424,3 +1424,45 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
     ).orderBy("doc_id")
+
+
+# X21: the LEARNED quality filter (ml/quality_filter.py — CCNet/LLaMA
+# classifier shape: weak labels from the heuristic terciles, TF-IDF +
+# numeric text stats, LogisticRegression), registered rows-only (seeded
+# iterative L-BFGS fit is not SQL-expressible). SELF-EVIDENCING: the
+# output is the mean learned P(high-quality) per HELD-OUT heuristic
+# tercile — exactly 3 rows, and the means must be strictly monotone
+# low < mid < high for the filter to have learned the signal at all
+# (pinned in tests/test_ml.py). The middle tercile never enters
+# training (weak-supervision hygiene), so its row is honest held-out
+# generalization, not memorized labels.
+@query("learned_quality_terciles")
+def learned_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.ml import quality_filter as QF
+
+    docs = Catalog(spark, sf_dir).documents
+    # 8 L-BFGS iterations: the tercile separation saturates well before
+    # the default 25 (monotone means are the evidence, pinned in tests)
+    # and each iteration is a distributed treeAggregate job — iteration
+    # count IS the query's wall clock at bench scale.
+    model = QF.train_quality_filter(docs, text_col="text", seed=40, max_iter=8)
+    scored = QF.score_quality(model, docs, id_col="doc_id", text_col="text")
+    heur = docs.select(
+        "doc_id", TX.quality_score("text").alias("_q")
+    )
+    lo, hi = heur.approxQuantile("_q", [1 / 3, 2 / 3], 0.001)
+    tercile = (
+        F.when(F.col("_q") <= lo, F.lit("1_low"))
+        .when(F.col("_q") >= hi, F.lit("3_high"))
+        .otherwise(F.lit("2_mid"))
+    )
+    return (
+        heur.withColumn("tercile", tercile)
+        .join(scored, "doc_id")
+        .groupBy("tercile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("quality_prob"), 4).alias("mean_quality_prob"),
+        )
+        .orderBy("tercile")
+    )

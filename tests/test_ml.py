@@ -247,3 +247,19 @@ def test_quality_filter_null_text_and_empty_corpus(spark):
         lang="en", model_quality_min=0.5
     ).run(nonenglish)
     assert out.count() == 0
+
+
+def test_learned_quality_terciles_query_monotone(spark):
+    """The registered rows-only query is self-evidencing: exactly 3
+    tercile rows with the mean learned probability strictly monotone
+    low < mid < high (the mid tercile is held out of training, so the
+    monotone middle is generalization, not label recall)."""
+    from spark_ml_showcase_spark.plans import registry
+
+    rows = registry()["learned_quality_terciles"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["tercile"] for r in rows] == ["1_low", "2_mid", "3_high"]
+    probs = [r["mean_quality_prob"] for r in rows]
+    assert probs[0] < probs[1] < probs[2]
+    assert sum(r["n_docs"] for r in rows) > 0
