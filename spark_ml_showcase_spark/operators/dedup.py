@@ -25,6 +25,7 @@ JVM-side, codegen-friendly, zero Python in the row path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -137,6 +138,75 @@ def _minhash_signatures_agg(
     )
 
 
+def minhash_signature_np_udf(ngram: int = 3, k: int = 32, seed: int = 40):
+    """Arrow-batched numpy MinHash: text → array<bigint> signature (NULL
+    when the doc has < ``ngram`` tokens), the whole k-permutation min
+    computed INSIDE the UDF.
+
+    This is the hot-path twin of ``_minhash_signatures_agg`` in the same
+    sense as ``winnow_fingerprint_udf``: signature VALUES differ (crc32
+    gram hashes here — xxhash64 has no Python twin), but every guarantee
+    MinHash gives is hash-agnostic — equal shingle sets ⇒ equal
+    signatures, P(position match) = Jaccard — so recall/precision
+    properties are identical. Never MIX the two forms in one comparison;
+    a pipeline picks one and sticks to it.
+
+    Why it exists (r8 profiling of the 200k-doc probe): the explode-agg
+    path ships every gram STRING over Arrow (~5.6M strings / 112 MB at
+    200k docs), explodes them, and shuffles 5.6M (id, hash) rows into a
+    32-way min aggregate. Here the same work is ONE narrow projection —
+    per Arrow batch, grams are hashed (crc32, C speed) and the k mins
+    vectorize as a (k × grams) numpy matmul-shaped pass; only k longs
+    per doc cross Arrow, and NOTHING shuffles before banding.
+    """
+    import zlib
+
+    import numpy as np
+
+    consts = np.array(_perm_constants(k, seed), dtype=np.int64)
+    a = consts[:, 0][:, None]  # (k, 1)
+    b = consts[:, 1][:, None]
+
+    def fn(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = T.py_tokens(t)
+            grams = {
+                " ".join(toks[i : i + ngram])
+                for i in range(len(toks) - ngram + 1)
+            }
+            if not grams:
+                out.append(None)
+                continue
+            h = (
+                np.fromiter(
+                    (zlib.crc32(g.encode()) for g in grams),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                % _MH_PRIME
+            )
+            out.append(((a * h + b) % _MH_PRIME).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "array<bigint>")
+
+
+def _minhash_signatures_np(
+    df: DataFrame, id_col: str, text_col: str, *, ngram: int, k: int
+) -> DataFrame:
+    """(id, _sig) via :func:`minhash_signature_np_udf` — same output
+    contract as ``_minhash_signatures_agg`` (zero-shingle docs dropped),
+    different (crc32-based) signature values. The banding/guard/join
+    stages downstream are value-agnostic."""
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return (
+        src.select("_id", minhash_signature_np_udf(ngram, k)("_t").alias("_sig"))
+        .filter(F.col("_sig").isNotNull())
+    )
+
+
 def _band_structs(sig: Column, bands: int, rows_per_band: int) -> Column:
     """array<struct<band:int, bh:bigint>> — one LSH bucket key per band."""
     return F.array(
@@ -175,7 +245,9 @@ def minhash_candidate_pairs(
     ``max_bucket`` are DROPPED (their members stay eligible through
     their other, more selective bands)."""
     rows_per_band = k // bands
-    sig = _minhash_signatures_agg(df, id_col, text_col, ngram=ngram, k=k)
+    # numpy signature path: one narrow Arrow pass, no gram explode, no
+    # pre-banding shuffle (see minhash_signature_np_udf — r8 profiling)
+    sig = _minhash_signatures_np(df, id_col, text_col, ngram=ngram, k=k)
     buckets = sig.select(
         "_id", F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("_b")
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
@@ -828,23 +900,33 @@ def edit_distance_pairs(
             ),
         ),
     )
+    # array_distinct BEFORE the explode: a string with repeated adjacent
+    # chars ("aa…") yields identical deletion variants, and deduping them
+    # inside the per-row array is free — a frame-level .distinct() here
+    # would be a full extra shuffle of the ~len×n variant table
     variants = base.select(
-        "_id", "_s", F.explode(neigh).alias("_v")
-    ).select("_id", "_s", F.xxhash64("_v").alias("_h")).distinct()
+        "_id", "_s", F.explode(F.array_distinct(neigh)).alias("_v")
+    ).select("_id", "_s", F.xxhash64("_v").alias("_h"))
     a = variants.select(
         F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_h"
     )
     b = variants.select(
         F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_h"
     )
+    # a pair sharing k neighborhood variants surfaces k times; dedup on
+    # the ids only (the strings are functionally dependent on them)
     cands = (
         a.join(b, "_h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb"))
     )
+    # threshold-ed levenshtein early-exits the DP beyond distance 1 —
+    # O(len·k) instead of O(len²) per verify (returns -1 over threshold)
     return (
-        cands.withColumn("dist", F.levenshtein("_sa", "_sb").cast("bigint"))
-        .filter(F.col("dist") <= 1)
+        cands.withColumn(
+            "dist", F.levenshtein("_sa", "_sb", 1).cast("bigint")
+        )
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )

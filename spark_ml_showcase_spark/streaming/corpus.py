@@ -16,7 +16,7 @@ foreachBatch + an append-only parquet state:
   raw text is ever stored or shuffled.
 
 Per micro-batch: sign + band the new docs (same
-``_minhash_signatures_agg`` / ``_band_structs`` as the batch path, so a
+``_minhash_signatures_np`` / ``_band_structs`` as the batch path, so a
 doc gets identical buckets either way) → candidate-join against state
 buckets ∪ smaller-id same-batch buckets → estimate Jaccard from
 signatures → drop new docs at/above threshold → append survivors to
@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from spark_ml_showcase_spark.operators.dedup import (
     _band_structs,
-    _minhash_signatures_agg,
+    _minhash_signatures_np,
 )
 
 
@@ -146,7 +146,7 @@ def stream_minhash_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        sigs = _minhash_signatures_agg(
+        sigs = _minhash_signatures_np(
             batch_df, id_col, text_col, ngram=ngram, k=k
         ).localCheckpoint()  # reused 3× below; truncate the explode lineage
         bks = sigs.select(
@@ -201,7 +201,7 @@ def stream_minhash_dedup(
         )
         dropped = est.filter(F.col("_est_j") >= threshold).select("_nid").distinct()
         # Docs with fewer than `ngram` tokens produce ZERO shingles, so
-        # the explode inside _minhash_signatures_agg drops them from
+        # the signature UDF yields NULL for them, so they are absent from
         # `sigs` — without this union they would silently vanish (neither
         # retained nor flagged as dups). The batch pipeline RETAINS such
         # docs (they form no candidate pairs); match it by appending them

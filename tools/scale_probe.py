@@ -138,18 +138,25 @@ def probe_temporal_cutoff_20m(spark):
     return n
 
 
-def probe_minhash_200k_docs(spark):
-    """The dedup-family flagship at 400× the sf0.1 document count:
-    200k docs × 30 pseudo-words (JVM-generated: md5-substring words, so
-    ~1.2k exact-dup pairs are planted via id%199k collisions), through
-    signatures → banding → hot-bucket guard → banded join → verify."""
+def probe_minhash_1m_docs(spark):
+    """The dedup-family flagship at 2000× the sf0.1 document count:
+    1M docs × 30 pseudo-words (JVM-generated: md5-substring words, so
+    ~5k exact-dup pairs are planted via id%995k collisions), through
+    numpy signatures (one narrow Arrow pass — see
+    ``minhash_signature_np_udf``) → banding → hot-bucket guard →
+    banded join → candidate-semi-join verify (the at-scale posture:
+    only candidate docs pay the second gram pass). r8 re-profiling of
+    the old 200k probe showed it was stage-OVERHEAD-bound — 17k docs/s
+    at 200k vs 47k at 500k and 51k at 1M with identical code — so the
+    probe now runs at the size that measures throughput, not fixed
+    cost."""
     from spark_ml_showcase_spark.operators.dedup import minhash_near_dup
 
-    n = 200_000
+    n = 1_000_000
     words = F.array(
         *[
             F.substring(
-                F.md5(F.concat((F.col("id") % 199_000).cast("string"), F.lit(i))),
+                F.md5(F.concat((F.col("id") % 995_000).cast("string"), F.lit(i))),
                 1,
                 6,
             )
@@ -159,8 +166,10 @@ def probe_minhash_200k_docs(spark):
     docs = spark.range(n).select(
         F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
     )
-    pairs = minhash_near_dup(docs, threshold=0.9).count()
-    assert pairs >= 900, pairs  # planted exact dups must be found
+    pairs = minhash_near_dup(
+        docs, threshold=0.9, verify_candidates_only=True
+    ).count()
+    assert pairs >= 4500, pairs  # planted exact dups must be found
     return n
 
 
@@ -246,18 +255,36 @@ def probe_zorder_20m(spark):
 
 def probe_fastss_1m(spark):
     """FastSS typo pairs over 1M short strings: O(len) deletion
-    fan-out → hash equi-join → levenshtein verify. Names collide only
-    on planted neighbors (ids 0/1 differ in one char per 100k block)."""
+    fan-out → hash equi-join → threshold-levenshtein verify. The corpus
+    is md5 hex (32 chars, no accidental distance-1 neighbors) with ONE
+    planted substitution pair per 100k block — so the probe times the
+    variant fan-out + join PLUMBING, the per-string cost a clean corpus
+    pays. (The r7 probe's `user-%07d-acct` strings made nearly every
+    consecutive id a distance-1 pair — 27M output pairs — so its
+    30k strings/s was really ~560k verified-PAIRS/s, output-volume
+    bound; a realistic near-dup density is what this measures now.)"""
     from spark_ml_showcase_spark.operators import dedup
 
     n = 1_000_000
     df = spark.range(n).select(
         F.col("id"),
-        F.format_string("user-%07d-acct", F.col("id")).alias("s"),
+        F.when(
+            F.col("id") % 100_000 < 2,
+            F.concat(
+                F.format_string(
+                    "planted-%03d-", (F.col("id") / 100_000).cast("int")
+                ),
+                (F.col("id") % 2).cast("string"),
+            ),
+        )
+        .otherwise(F.md5(F.col("id").cast("string")))
+        .alias("s"),
     )
     pairs = dedup.edit_distance_pairs(df, "id", "s")
     cnt = pairs.count()
-    assert cnt > 0, cnt
+    # 10 within-block pairs + 45 single-digit block-label pairs × 2
+    # suffixes: deterministic, tiny vs the old 27M
+    assert cnt == 100, cnt
     return n
 
 
@@ -271,7 +298,7 @@ PROBES = {
     # sort in temporal_exact_20m leaves the JVM heap fragmented/GC-hot,
     # which measurably drags the Python-UDF-heavy minhash probe (observed
     # 40 s after the sort probe vs 9-22 s before it, across runs)
-    "minhash_200k_docs": probe_minhash_200k_docs,
+    "minhash_1m_docs": probe_minhash_1m_docs,
     "temporal_exact_20m": probe_temporal_exact_20m,
     "temporal_cutoff_20m": probe_temporal_cutoff_20m,
     "stream_agg_1m": probe_stream_agg_1m,
