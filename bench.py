@@ -75,11 +75,14 @@ def encode_qz(times: dict[str, float]) -> str:
     return base64.b85encode(comp).decode()
 
 
-# Frequent query-name fragments, shared by encoder and decoder. Order
-# and content are part of the wire format: APPEND-ONLY (a change breaks
-# decoding of older committed artifacts' qz — decode_qz falls back to
-# the round-6 base64 form for pre-dictionary artifacts).
-QZ_DICT = (
+# Frequent query-name fragments, shared by encoder and decoder. The
+# dictionary is VERSIONED: zlib back-references are distances from the
+# end of the dict, so ANY edit (even an append) breaks decoding of
+# artifacts encoded under the previous dict — the encoder always uses
+# the newest version and decode_qz tries each version newest-first,
+# then the round-6 dict-less base64 form. Never edit an existing
+# version; add a new one.
+QZ_DICT_V1 = (
     b"stream_|_dedup|ml_|clf_|near_dup_|_join_|_sample|_split_|_counts"
     b"|_topk|_report|_user|window|_hourly|_event|revenue|pricing|tpch_q"
     b"|cohort_|funnel_|fuzzy_|dense_|pagerank_|heavy_hitter|quartiles"
@@ -87,6 +90,30 @@ QZ_DICT = (
     b"|customers|boilerplate|components|tumbling|sliding|session"
     b"|multimodal_|decontaminate_|_pairs|_per_|temporal_|minhash_"
     b"|_docs|_events_|_orders|_top|_scan_"
+)
+
+# v2 (round 8): the registry outgrew v1's compression at 145 names
+# (qz alone blew the 1960-char budget); the added fragments cover the
+# r7/r8 query families and bring the same payload to ~1.55k chars.
+QZ_DICT = QZ_DICT_V1 + (
+    b"|learned_quality_terciles|stream_lsh_dedup_docs|volume_shipping"
+    b"|market_share|returned_items|customer_distribution|promo_effect"
+    b"|top_supplier|small_quantity|global_sales_opportunity"
+    b"|future_query_with_a_long_descriptive_name_"
+    b"|_priority|profile_|_value|_quality|token_budget|text_|_stats"
+    b"|_roundtrip|_band|_sink|_spend|running_|latest_|exact_|grouping"
+    b"|rollup_qty|cube_qty|price|region|nation|ann_|ivf_|cosine"
+    b"|winnow|simhash|ngram|chunk_|pack_sequences|scrub_pii|json_"
+    b"|csv_|orc_|parquet_|bucketed|salted|outer_|semi_|asof_|range_"
+    b"|union_all|except_|intersect_|interval|purchase_click|forecast"
+    b"|large_volume|conditional|derive|regex_extract|word_count"
+    b"|suffix_filter|sorted_prefix|statuses|distinct_flags|avg_"
+    b"|zscore|gopher_repetition_flags|blocklist_filter|domain_mix"
+    b"|stratified|quantile|sketch|recall|bruteforce|survivors"
+    b"|tfidf_top_terms|bigram_lm_scores|bpe_pair|day_hour|top_hosts"
+    b"|country|png_artifacts|txt|element|frame_sample|upsert"
+    b"|cached_two_branch|clean_corpus|skew_stress|keep_best|_star"
+    b"|pyds_gen|dpp_|mondays|above_|spark|drift|diff|lag|hll"
 )
 
 
@@ -97,10 +124,16 @@ def decode_qz(qz: str) -> dict[str, float]:
     import base64
     import zlib
 
-    try:
-        dec = zlib.decompressobj(zdict=QZ_DICT)
-        raw = dec.decompress(base64.b85decode(qz)) + dec.flush()
-    except Exception:
+    raw = None
+    for zd in (QZ_DICT, QZ_DICT_V1):
+        try:
+            dec = zlib.decompressobj(zdict=zd)
+            raw = dec.decompress(base64.b85decode(qz)) + dec.flush()
+            raw.decode()  # wrong-dict decompression can "succeed" as garbage
+            break
+        except Exception:
+            raw = None
+    if raw is None:
         raw = zlib.decompress(base64.b64decode(qz))
     names, vals = raw.decode().split("|")
     return {

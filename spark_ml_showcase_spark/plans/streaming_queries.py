@@ -257,3 +257,66 @@ def stream_upsert_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     ).orderBy("user_id")
+
+
+# The streaming incremental LSH dedup index (X2+, streaming/corpus.py)
+# end-to-end through the driver: the documents table is staged as TWO
+# file drops — the full corpus, then exact copies of every 5th doc
+# under shifted ids — and replayed one file per micro-batch through the
+# index. Rows-only (signature-estimated Jaccard is not SQL-expressible)
+# but SELF-EVIDENCING: an exact copy has an IDENTICAL signature, so it
+# shares every band bucket with its original and estimates Jaccard 1.0
+# ≥ the 0.9 threshold — every planted copy of a shingleable doc MUST
+# drop, originals and short-doc copies (retained unconditionally, like
+# the batch path) MUST survive, so the two summary counts are a pure
+# function of the corpus. Retention is arrival-order independent here:
+# copies carry LARGER ids, and the filter drops a doc against
+# earlier-batch state AND smaller-id same-batch docs alike.
+@query("stream_lsh_dedup_docs")
+def stream_lsh_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+    from spark_ml_showcase_spark.sources.io import (
+        _source_fingerprint,
+        fp_cache_ok,
+        fp_record,
+    )
+    from spark_ml_showcase_spark.streaming import corpus as sc_
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    base = os.path.join(tempfile.gettempdir(), "smss_lsh_stage")
+    key = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(base, key, "docs_2drops")
+    fp_path = os.path.join(base, key, "_SOURCE_FP")
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    if not (
+        os.path.exists(os.path.join(out, "_SUCCESS"))
+        and fp_cache_ok(fp_path, fp)
+    ):
+        docs.coalesce(1).write.mode("overwrite").parquet(out)
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        ).coalesce(1).write.mode("append").parquet(out)
+        fp_record(fp_path, fp)
+    stream = se.stream_staged(spark, out, max_files_per_trigger=1)
+    # pid-scoped state: the non-resume call wipes state at start, so
+    # concurrent processes (driver + bench) must not share one dir
+    state_dir = os.path.join(
+        tempfile.gettempdir(), "smss_lsh_state", f"{key}_{os.getpid()}"
+    )
+    kept = sc_.stream_minhash_dedup(
+        stream, state_dir=state_dir, threshold=0.9
+    )
+    cls = (
+        F.when(F.col("doc_id") >= 1_000_000, F.lit("dup_copy_retained"))
+        .otherwise(F.lit("original_retained"))
+        .alias("cls")
+    )
+    return (
+        kept.select(cls)
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("cls")
+    )

@@ -234,3 +234,27 @@ def test_exists_and_in_subqueries_plan_as_semi_joins(spark):
     assert "LeftSemi" in q4, q4
     q18 = _plan(qs["tpch_q18_large_volume_orders"](spark, SF))
     assert "LeftSemi" in q18, q18
+
+
+def test_tpch_part2_plan_shapes(spark):
+    """Round-8 TPC-H additions: the canonical physical property of each
+    shape — broadcast dims in the role-playing and share joins, an
+    anti-join for Q22's NOT EXISTS, an outer join that SURVIVES into
+    the Q13 physical plan (the ON-clause filter must not degrade it to
+    inner), and no CartesianProduct anywhere."""
+    qs = entry.queries()
+    q7 = _plan(qs["tpch_q7_volume_shipping"](spark, SF))
+    assert q7.count("BroadcastHashJoin") >= 3, q7  # s + two nation roles
+    assert "CartesianProduct" not in q7
+    q8 = _plan(qs["tpch_q8_market_share"](spark, SF))
+    assert q8.count("BroadcastHashJoin") >= 4, q8
+    assert "CartesianProduct" not in q8
+    q13 = _plan(qs["tpch_q13_customer_distribution"](spark, SF))
+    assert "LeftOuter" in q13, q13
+    q22 = _plan(qs["tpch_q22_global_sales_opportunity"](spark, SF))
+    assert "LeftAnti" in q22, q22
+    q15 = _plan(qs["tpch_q15_top_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in q15, q15  # scalar-max frame broadcast
+    q17 = _plan(qs["tpch_q17_small_quantity"](spark, SF))
+    # the correlated AVG is a plain aggregate + join, not a re-scan
+    assert "HashAggregate" in q17 and "Join" in q17

@@ -59,6 +59,11 @@ ALLOWLIST = {
         "bnlj": "share-of-total: single-row global total crossed into "
         "the per-type rows"
     },
+    "tpch_q22_global_sales_opportunity": {
+        "bnlj": "Q22's global threshold: a broadcast SINGLE-ROW "
+        "(n_pos, total_pos) aggregate crossed into customer for the "
+        "exact bal*n > total comparison — no data-sized side exists"
+    },
     "frame_sample_stats": {
         "bnlj": "per-row fan-out against a broadcast frame-index literal"
     },
