@@ -1466,3 +1466,50 @@ def learned_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tercile")
     )
+
+
+# The Python UDTF surface (functions/udtfs.py) through the driver: the
+# LATERAL chunker registered in SQL and exercised end-to-end, oracle =
+# the SAME chunk arithmetic as chunk_documents_64_8 (the UDTF's
+# contract is bit-parity with the column-expression chunker, so the
+# row→many-rows Python table function is FULLY oracle-checked, not
+# just pytest-pinned). Different doc slice from the native-chunker
+# query so the two records are independent evidence.
+@query(
+    "udtf_lateral_chunk_docs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents WHERE doc_id >= 300 AND doc_id < 500
+    ), c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               GREATEST(CAST(ceil((len(toks) - 8) / 56.0) AS INT), 1) AS nc
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS chunk_id,
+           array_to_string(toks[j*56 + 1 : LEAST(j*56 + 64, n)], ' ') AS chunk_text,
+           CAST(LEAST(j*56 + 64, n) - j*56 AS BIGINT) AS n_tokens
+    FROM c JOIN (SELECT unnest(generate_series(
+                     0, (SELECT CAST(MAX(nc) AS BIGINT) - 1 FROM c))) AS j) s
+        ON s.j < c.nc
+    """,
+)
+def udtf_lateral_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.functions.udtfs import make_chunk_udtf
+
+    spark.udtf.register("chunk_text_udtf", make_chunk_udtf())
+    Catalog(spark, sf_dir).documents.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 500)
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(c.chunk_id AS BIGINT) AS chunk_id,
+               c.chunk_text,
+               CAST(c.n_tokens AS BIGINT) AS n_tokens
+        FROM _udtf_docs d, LATERAL chunk_text_udtf(d.text, 64, 8) c
+        ORDER BY d.doc_id, chunk_id
+        """
+    )
