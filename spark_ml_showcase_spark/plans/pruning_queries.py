@@ -197,3 +197,55 @@ def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return versioned.snapshot_diff(
         spark, table_dir, 0, 1, "doc_id", ["text"]
     ).orderBy("doc_id")
+
+
+# X28+ (r8): MERGE INTO on the versioned store — SCD-1 upsert commit
+# (replace matched keys, insert new ones, carry the rest forward) as a
+# driver-checked query. The oracle replays the merge ALGEBRA over the
+# source table: updated keys get the rewritten text, inserted keys
+# appear under shifted ids, everything else is untouched — so the
+# anti-join + unionByName commit path is value-hashed end-to-end,
+# including full text content.
+@query(
+    "snapshot_merge_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN text || ' (merged)'
+                ELSE text END AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text || ' (new)' AS text
+    FROM documents WHERE doc_id % 13 = 0
+    ORDER BY doc_id
+    """,
+)
+def snapshot_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spark_ml_showcase_spark.sources import versioned
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = os.path.join("/tmp/smss_versioned", key, "documents_merge")
+    fp_path = os.path.join("/tmp/smss_versioned", key, "_SOURCE_FP_MERGE")
+    fp = io._source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    if not (
+        len(versioned.snapshot_versions(table_dir)) >= 2
+        and io.fp_cache_ok(fp_path, fp)
+    ):
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+        versioned.write_snapshot(docs, table_dir)
+        updates = docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+            "text", F.concat("text", F.lit(" (merged)"))
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat("text", F.lit(" (new)")).alias("text"),
+            )
+        )
+        versioned.merge_keys(spark, table_dir, updates, "doc_id")
+        io.fp_record(fp_path, fp)
+    return versioned.read_snapshot(spark, table_dir).orderBy("doc_id")

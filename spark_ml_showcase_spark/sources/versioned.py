@@ -423,3 +423,49 @@ def delete_keys(
     return write_snapshot(
         latest.filter(~F.col(key_col).isin(list(keys))), table_dir
     )
+
+
+def merge_keys(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_col: str,
+) -> int:
+    """MERGE (SCD-1 upsert): commit a new version where each key in
+    ``updates`` REPLACES its current row (or is inserted if new) and
+    every other row carries forward — the Delta/Iceberg ``MERGE INTO
+    ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` shape,
+    completing the store's CRUD surface next to :func:`delete_keys`.
+
+    Plan shape: ONE left-anti join of the current snapshot against the
+    update keys (drop the rows being replaced) + a unionByName with the
+    updates — no full-outer row merge, no wide-column shuffle beyond
+    the anti join's key exchange. ``updates`` must contain ``key_col``
+    exactly once per key (enforced — a duplicate-key update batch is a
+    bug worth failing loudly on, not resolving arbitrarily) and may
+    WIDEN the schema (missing columns on either side fill NULL, same
+    contract as append-commit schema evolution).
+
+    History is immutable: the parent version still holds the old rows
+    until expire+vacuum, so a bad merge is one time-travel away from
+    recovery.
+    """
+    dup = (
+        updates.groupBy(key_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates carry duplicate {key_col}={dup[0][0]!r}; "
+            "resolve to one row per key before merging"
+        )
+    latest = read_snapshot(spark, table_dir)
+    keys = updates.select(F.col(key_col).alias("_mk"))
+    kept = latest.join(
+        keys, latest[key_col] == F.col("_mk"), "left_anti"
+    )
+    merged = kept.unionByName(updates, allowMissingColumns=True)
+    return write_snapshot(merged, table_dir)

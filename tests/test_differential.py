@@ -564,3 +564,124 @@ def test_time_range_rolling_parity(spark, ddb_events, lookback):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def ddb_tpch():
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from(["PROMO", "ECONOMY", "STANDARD", "SMALL", "LARGE"]),
+    st.integers(min_value=0, max_value=23),
+)
+def test_conditional_revenue_share_parity(spark, ddb_tpch, ptype, month_off):
+    """Family 13: Q14-shape conditional revenue share for a RANDOM part
+    type and month. Numerator and denominator are exact decimal sums of
+    (12,2)×(8,6) products; the double division rounds to 6dp LAST, so
+    the two engines' ratios are bit-comparable. A month with no matching
+    lineitem yields no row on both sides; a month with volume but none
+    of the chosen type yields NULL share on both."""
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    y, m = 1996 + month_off // 12, 1 + month_off % 12
+    lo = f"{y}-{m:02d}-01"
+    hi = f"{y + (m == 12)}-{(m % 12) + 1:02d}-01"
+    cat = Catalog(spark, SF)
+    li = cat.lineitem.filter(
+        (F.to_date("l_shipdate") >= F.lit(lo))
+        & (F.to_date("l_shipdate") < F.lit(hi))
+    )
+    p = cat.part
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    got = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == ptype, vol)).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("share"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select("share")
+        .collect()
+    )
+    want = ddb_tpch.execute(
+        f"""
+        SELECT ROUND(
+            CAST(SUM(CASE WHEN p.p_type = '{ptype}' THEN
+                CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(8,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(8,6))) AS DOUBLE), 6)
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '{lo}'
+          AND CAST(l_shipdate AS DATE) < DATE '{hi}'
+        HAVING COUNT(*) > 0
+        """
+    ).fetchall()
+    assert [r["share"] for r in got] == [w[0] for w in want]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from(_PRIORITIES),
+    st.floats(min_value=-1000, max_value=5000, allow_nan=False),
+)
+def test_global_threshold_anti_join_parity(spark, ddb_tpch, prio, bal_lo):
+    """Family 14: Q22-shape — customers above the average balance of
+    the bal > bal_lo cohort with NO order of a RANDOM priority, counted
+    per segment. The threshold comparison is division-free
+    (bal·n > total over exact decimals), so the cohort boundary is
+    bit-identical on both engines for ANY random cutoff."""
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    c = Catalog(spark, SF).customer
+    o = Catalog(spark, SF).orders
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    pos = c.filter(F.col("c_acctbal") > bal_lo).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(bal).alias("tot"),
+    )
+    got = {
+        (r["c_mktsegment"], r["cnt"])
+        for r in c.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("n") > F.col("tot"))
+        .join(
+            o.filter(F.col("o_orderpriority") == prio).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    }
+    want = set(
+        ddb_tpch.execute(
+            f"""
+            WITH pos AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS tot
+                FROM customer WHERE c_acctbal > {bal_lo!r}
+            )
+            SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT)
+            FROM customer c, pos
+            WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * pos.n > pos.tot
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '{prio}')
+            GROUP BY c.c_mktsegment
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -326,3 +326,39 @@ def test_replay_after_expiry_still_exactly_once(spark, tmp_path):
     assert versioned.snapshot_versions(t) == [2]  # no duplicate appends
     assert versioned.read_snapshot(spark, t).count() == 12
     assert versioned._ingested_batch_ids(t) == {0, 1, 2}
+
+
+def test_merge_keys_upserts_and_inserts(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]), t
+    )
+    v = versioned.merge_keys(
+        spark, t, _df(spark, [(2, "B2"), (9, "new")]), "id"
+    )
+    got = {r["id"]: r["text"] for r in versioned.read_snapshot(spark, t, v).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    # history immutable: the parent still has the old row
+    assert {r["id"]: r["text"] for r in versioned.read_snapshot(spark, t, 0).collect()}[2] == "b"
+
+
+def test_merge_keys_rejects_duplicate_update_keys(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="duplicate"):
+        versioned.merge_keys(
+            spark, t, _df(spark, [(1, "x"), (1, "y")]), "id"
+        )
+
+
+def test_merge_keys_widening_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+    wide = spark.createDataFrame(
+        [(2, "B2", "en")], "id long, text string, lang string"
+    )
+    v = versioned.merge_keys(spark, t, wide, "id")
+    latest = versioned.read_snapshot(spark, t, v)
+    assert set(latest.columns) == {"id", "text", "lang"}
+    got = {r["id"]: (r["text"], r["lang"]) for r in latest.collect()}
+    assert got == {1: ("a", None), 2: ("B2", "en")}
