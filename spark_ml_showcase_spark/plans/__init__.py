@@ -9,6 +9,15 @@ DuckDB bit-for-bit):
   cast to DECIMAL before SUM (exact, order-independent) and back to double
   after — a float sum's result depends on partition order, a decimal sum's
   doesn't.
+- **ROUND big decimal sums in the DECIMAL domain before the double
+  cast** (r8): DuckDB casts wide decimals to double by
+  ``double(int128) / double(10^scale)`` — two roundings — so once the
+  sum's integer representation (value × 10^scale) exceeds 2^53 the
+  result can sit one ulp off Spark's correctly-rounded BigDecimal
+  cast (found on ``tpch_q1``'s scale-14 charge sum). ``ROUND(sum, 2)``
+  is exact for sums of 2-decimal money, keeps the representation under
+  2^53 at any plausible SF, and the scale-2 cast then agrees
+  bit-for-bit. Pinned in ``tests/test_oracle_lint.py``.
 - **Derived integers are BIGINT on both sides** (DuckDB's count/date_part
   default to int64).
 - **Every ordering has a unique tie-break column** — LIMIT without a total

@@ -117,7 +117,8 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                ('signup', 2.0)
     )
     SELECT e.event_type AS event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(e.value AS DECIMAL(28,6)) * CAST(d.weight AS DECIMAL(28,6)))
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(28,6))
+                          * CAST(d.weight AS DECIMAL(28,6))), 2)
                 AS DOUBLE) AS weighted_value
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY e.event_type ORDER BY event_type
@@ -135,9 +136,15 @@ def salted_join_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.col("value").cast("decimal(28,6)")
-                * F.col("weight").cast("decimal(28,6)")
+            # decimal-domain ROUND before the double cast: the scale-12
+            # product sum's int representation exceeds 2^53 long before
+            # the value is big (r8 tpch_q1 incident)
+            F.round(
+                F.sum(
+                    F.col("value").cast("decimal(28,6)")
+                    * F.col("weight").cast("decimal(28,6)")
+                ),
+                2,
             )
             .cast("double")
             .alias("weighted_value"),
@@ -310,21 +317,29 @@ def local_supplier_volume_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
-               AS sum_base_price,
+           -- ROUND in the DECIMAL domain before every big-money DOUBLE
+           -- cast (r8): DuckDB's decimal->double cast double-rounds
+           -- (double(int128)/double(10^s)), so any sum whose integer
+           -- representation exceeds 2^53 can land one ulp off Spark's
+           -- correctly-rounded BigDecimal cast. Rounding to scale 2
+           -- keeps the int value < 2^53 at any plausible SF (and is
+           -- EXACT for sums of 2-decimal prices); the scale-2 decimal
+           -- then casts to the same double on both engines.
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2)
+                AS DOUBLE) AS sum_base_price,
            -- narrow input scales so decimal products stay EXACT on both
            -- engines: (12,2)x(9,6)x(9,6) -> width ≤32, scale 14 — wide
            -- (28,6) products overflow 38 digits and each engine
            -- truncates row-products differently, and width ≤18 inputs
            -- hit DuckDB's int64 multiply overflow
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                          * CAST(1 - l_discount AS DECIMAL(8,6))
-                         AS DECIMAL(20,8))) AS DOUBLE)
+                         AS DECIMAL(20,8))), 2) AS DOUBLE)
                AS sum_disc_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                          * CAST(1 - l_discount AS DECIMAL(8,6))
                          AS DECIMAL(20,8))
-                    * CAST(1 + l_tax AS DECIMAL(8,6))) AS DOUBLE)
+                    * CAST(1 + l_tax AS DECIMAL(8,6))), 2) AS DOUBLE)
                AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
                  / COUNT(*), 6) AS avg_qty,
@@ -347,22 +362,32 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            # decimal-domain ROUND before the double cast — see the
+            # oracle comment (DuckDB double-rounds wide decimal casts)
+            F.round(F.sum(dec("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
             # see oracle note: narrow scales keep the products exact
-            F.sum(
-                (
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
-                ).cast("decimal(20,8)")
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(12,2)")
+                        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+                    ).cast("decimal(20,8)")
+                ),
+                2,
             )
             .cast("double")
             .alias("sum_disc_price"),
-            F.sum(
-                (
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
-                ).cast("decimal(20,8)")
-                * (F.lit(1) + F.col("l_tax")).cast("decimal(8,6)")
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(12,2)")
+                        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+                    ).cast("decimal(20,8)")
+                    * (F.lit(1) + F.col("l_tax")).cast("decimal(8,6)")
+                ),
+                2,
             )
             .cast("double")
             .alias("sum_charge"),
@@ -387,8 +412,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
-                    * CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(8,6))), 2) AS DOUBLE)
+               AS revenue
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
       AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
@@ -398,7 +424,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
-    dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    # narrow product scales + decimal-domain ROUND before the double
+    # cast — same convention as Q1 (r8: wide products truncate
+    # differently per engine, and DuckDB double-rounds wide casts)
     return li.filter(
         (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
         & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
@@ -406,7 +434,13 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(8,6)")
+            ),
+            2,
+        )
         .cast("double")
         .alias("revenue")
     )

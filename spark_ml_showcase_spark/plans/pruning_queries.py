@@ -82,8 +82,8 @@ def bucketed_sales_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority AS priority,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
-               AS sum_price,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))), 2)
+                AS DOUBLE) AS sum_price,
            COUNT(*) AS n_items
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY 1 ORDER BY 1
@@ -97,7 +97,7 @@ def bucketed_join_priority_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("l_quantity").cast("decimal(28,6)"))
             .cast("double")
             .alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")), 2)
             .cast("double")
             .alias("sum_price"),
             F.count(F.lit(1)).alias("n_items"),

@@ -182,17 +182,23 @@ def avg_price_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "global_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
-                AS DOUBLE) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     """,
 )
 def global_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
+    # ROUND in the decimal domain before the double cast: above ~9e15
+    # in integer representation (value x 10^scale) DuckDB's
+    # decimal->double cast double-rounds and can land one ulp off
+    # Spark's (r8 tpch_q1 incident; scale 2 is exact for money sums)
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
     return aggregates.global_agg(
-        li, revenue=F.sum(rev).cast("double"), n_items=F.count(F.lit(1))
+        li,
+        revenue=F.round(F.sum(rev), 2).cast("double"),
+        n_items=F.count(F.lit(1)),
     )
 
 
@@ -327,8 +333,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_region",
     oracle="""
     SELECT r.r_name AS region,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)))
-                AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -350,7 +356,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
     return joined.groupBy(F.col("r_name").alias("region")).agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

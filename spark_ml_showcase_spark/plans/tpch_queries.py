@@ -63,7 +63,7 @@ _SQL_VOL = (
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(date_part('year', l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(SUM({_SQL_VOL}) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM({_SQL_VOL}), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -111,7 +111,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
         .agg(
-            F.sum(_dec_vol("l_extendedprice", "l_discount"))
+            # decimal-domain ROUND before the double cast (Q1 convention)
+            F.round(F.sum(_dec_vol("l_extendedprice", "l_discount")), 2)
             .cast("double")
             .alias("revenue")
         )
@@ -194,7 +195,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM({_SQL_VOL}) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM({_SQL_VOL}), 2) AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name, c.c_mktsegment
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -226,7 +227,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
         .agg(
-            F.sum(_dec_vol("l_extendedprice", "l_discount"))
+            F.round(F.sum(_dec_vol("l_extendedprice", "l_discount")), 2)
             .cast("double")
             .alias("revenue")
         )
@@ -324,7 +325,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           CAST(r.total_rev AS DOUBLE) AS total_revenue
+           CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_revenue
     FROM supplier s
     JOIN rev r ON s.s_suppkey = r.supplier_no
     WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
@@ -347,7 +348,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.join(F.broadcast(top), s.s_suppkey == top.supplier_no)
         .select(
-            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )

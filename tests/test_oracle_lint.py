@@ -115,3 +115,40 @@ def test_lint_raises_on_broken_sql_instead_of_deferring(con):
         lint_sql(con, "SELECT no_such_column FROM documents")
     # missing file → genuine deferral
     assert lint_sql(con, "SELECT * FROM read_parquet('/tmp/definitely_missing_xyz.parquet')") is None
+
+
+def test_duckdb_wide_decimal_double_cast_hazard_and_remedy():
+    """r8 tpch_q1 incident, pinned: DuckDB's wide-decimal → DOUBLE cast
+    double-rounds (double(int128)/double(10^scale)), so values whose
+    integer representation exceeds 2^53 can land one ulp off the
+    correctly-rounded result Spark's BigDecimal cast produces. The repo
+    convention — ROUND to scale 2 in the DECIMAL domain first — gives
+    the correctly-rounded double. If the hazard assertion ever FAILS,
+    DuckDB fixed its cast and the convention can be retired."""
+    from decimal import Decimal
+
+    import duckdb
+
+    incident = "27793159.73917800000000"  # q1 charge sum at sf0.001
+    correctly_rounded = float(Decimal(incident))
+    raw = duckdb.sql(
+        f"SELECT CAST(CAST('{incident}' AS DECIMAL(38,14)) AS DOUBLE)"
+    ).fetchone()[0]
+    assert raw != correctly_rounded, (
+        "DuckDB now rounds wide decimal->double correctly — the "
+        "ROUND-before-cast convention (plans/__init__.py) can be retired"
+    )
+    remedied = duckdb.sql(
+        f"SELECT CAST(ROUND(CAST('{incident}' AS DECIMAL(38,14)), 2) AS DOUBLE)"
+    ).fetchone()[0]
+    assert remedied == float(Decimal(incident).quantize(Decimal("0.01")))
+    # scale-6 money totals at sf0.1 magnitude sit over 2^53 too
+    big = "37523391258.559740"
+    raw6 = duckdb.sql(
+        f"SELECT CAST(CAST('{big}' AS DECIMAL(38,6)) AS DOUBLE)"
+    ).fetchone()[0]
+    assert raw6 != float(Decimal(big))
+    fixed6 = duckdb.sql(
+        f"SELECT CAST(ROUND(CAST('{big}' AS DECIMAL(38,6)), 2) AS DOUBLE)"
+    ).fetchone()[0]
+    assert fixed6 == float(Decimal(big).quantize(Decimal("0.01")))
