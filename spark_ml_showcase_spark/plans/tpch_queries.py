@@ -1,5 +1,7 @@
-"""TPC-H query-shape coverage, part 2 (round 8): Q7/Q8/Q10/Q13/Q14/
-Q15/Q17/Q22 adapted to the driver's TPC-H-ish testdata schema.
+"""TPC-H query-shape coverage, parts 2+3 (round 8): Q7/Q8/Q10/Q13/
+Q14/Q15/Q17/Q22, then Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 — with these the
+registry covers ALL 22 TPC-H query shapes (Q1/Q3/Q4/Q5/Q6/Q18 live in
+joins_queries.py / relational.py / their original homes).
 
 The testdata lacks ``partsupp``, ``l_shipmode``, ``l_commitdate``,
 ``c_phone``, ``o_comment`` and friends, so each query keeps its
@@ -17,6 +19,26 @@ here and not elsewhere in the registry:
 - Q15: aggregate → scalar-max self-filter (the "view" query);
 - Q17: per-group average threshold (decorrelated correlated subquery);
 - Q22: global exact-arithmetic scalar threshold + anti-join.
+
+Part 3 (the partsupp-dependent stretch; the partsupp role is played by
+the DISTINCT (l_partkey, l_suppkey) projection of lineitem, and
+ps_supplycost by a deterministic function of the part row):
+
+- Q2: correlated per-group MAX subquery over a 4-dim join (min-cost
+  supplier, flipped to max-acctbal since there is no supplycost);
+- Q9: multi-term decimal profit expression over a 5-table join;
+- Q11: global scalar-subquery threshold in HAVING, cleared of its
+  division so the comparison stays in the exact decimal domain;
+- Q12: CASE-bucketed double conditional aggregation (late-shipment
+  buckets stand in for l_shipmode);
+- Q16: NOT-IN subquery (anti-join) + multi-key COUNT DISTINCT;
+- Q19: OR-of-ANDs disjunctive predicate spanning both join sides,
+  with the derivable single-side disjunctions manually replicated
+  onto each scan (see the query comment for why);
+- Q20: nested correlated share threshold (supplier holds >20% of a
+  part's shipped quantity) feeding a semi-join, all-integer exact;
+- Q21: the EXISTS + NOT-EXISTS double self-correlation, decorrelated
+  into one per-order distinct-count aggregation.
 
 Cross-engine determinism follows the repo rules (plans/__init__.py):
 money sums via DECIMAL before SUM (exact, order-independent) and
@@ -452,4 +474,517 @@ def tpch_q22_global_sales_opportunity(
             F.sum(bal).cast("double").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Part 3: the eight shapes that complete the 22-query TPC-H sweep.
+# ---------------------------------------------------------------------------
+
+
+# Q2 minimum-cost supplier. No partsupp/ps_supplycost, so the shape is
+# kept and the objective flipped: among suppliers that actually shipped
+# a given small part (distinct (l_partkey, l_suppkey) plays partsupp)
+# in region EUROPE, keep the ones with the MAXIMUM account balance for
+# that part — the same correlated per-group extremum over a 4-dim join.
+# The correlated MAX decorrelates into a window max over p_partkey on
+# an already part+region-pruned frame (tiny), so the window is cheap;
+# the equality compares a raw stored double to a MAX over raw stored
+# doubles — pure selection, no arithmetic, bit-exact on both engines.
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    j AS (
+        SELECT DISTINCT p.p_partkey, p.p_name,
+                        e.s_suppkey, e.s_name, e.s_acctbal, e.n_name
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN eu e ON l.l_suppkey = e.s_suppkey
+        WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM j
+    WHERE s_acctbal = (SELECT MAX(j2.s_acctbal) FROM j j2
+                       WHERE j2.p_partkey = j.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    eu = (
+        cat.supplier.join(
+            F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = cat.part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_name")
+    # prune with the broadcast part filter BEFORE the distinct — the
+    # shuffle dedups the ~|parts(size,type)| x |suppliers| survivor set,
+    # not the raw fact table
+    j = (
+        cat.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .distinct()
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("_mx", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_mx"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# Q9 product-type profit. ps_supplycost is played by a deterministic
+# function of the part row: cost = 0.6 x p_retailprice. Every term
+# stays decimal until the final round+cast: vol is the house
+# (12,2)x(8,6); cost is (12,2)x(2,1)x(4,0) (quantity is an integral
+# double <= 50, so DECIMAL(4,0) is exact); the difference sums exactly
+# on both engines, so the scale-2 ROUND agrees bit-for-bit. Filter
+# adaptation: p_name LIKE 'red%' stands in for '%green%'.
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(date_part('year', o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(
+               {_SQL_VOL}
+               - CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(0.6 AS DECIMAL(2,1))
+                 * CAST(l.l_quantity AS DECIMAL(4,0))
+           ), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    p = cat.part.filter(F.col("p_name").like("red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.6).cast("decimal(2,1)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+    )
+    profit = _dec_vol("l_extendedprice", "l_discount") - cost
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(cat.supplier), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cat.orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# Q11 important stock. The value of a part held by NATION_3 suppliers
+# is its shipped decimal volume; a part is "important" when its value
+# exceeds 2x the mean part value — the canonical global-scalar-subquery
+# HAVING, made scale-stable (the original FRACTION is SF-dependent by
+# construction) and kept EXACT by clearing the division:
+# value * n_parts > total * 2 over explicit narrow decimals, so the
+# comparison never touches a float. Only the displayed value is rounded
+# and cast.
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l.l_partkey,
+               CAST(SUM({_SQL_VOL}) AS DECIMAL(24,8)) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(value) AS DECIMAL(26,8)) AS total,
+               CAST(COUNT(*) AS DECIMAL(10,0)) AS n_parts
+        FROM pv
+    )
+    SELECT pv.l_partkey,
+           CAST(ROUND(pv.value, 2) AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE pv.value * tot.n_parts > tot.total * CAST(2 AS DECIMAL(1,0))
+    ORDER BY part_value DESC, pv.l_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    n3 = (
+        cat.supplier.join(
+            F.broadcast(cat.nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        cat.lineitem.join(F.broadcast(n3), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec_vol("l_extendedprice", "l_discount"))
+            .cast("decimal(24,8)")
+            .alias("value")
+        )
+    )
+    tot = pv.agg(
+        F.sum("value").cast("decimal(26,8)").alias("total"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value") * F.col("n_parts")
+            > F.col("total") * F.lit(2).cast("decimal(1,0)")
+        )
+        .select(
+            "l_partkey", F.round("value", 2).cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# Q12 shipping modes / late lines. No l_shipmode or l_receiptdate: the
+# mode is a CASE bucket of the order->ship delay (FAST <=30d < MEDIUM
+# <= 90d < SLOW), and the priority split is the canonical CASE-sum
+# pair. All-integer date math; counts are BIGINT on both sides.
+@query(
+    "tpch_q12_late_priority",
+    oracle="""
+    SELECT CASE
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) > 90 THEN 'SLOW'
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) > 30 THEN 'MEDIUM'
+             ELSE 'FAST'
+           END AS ship_speed,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = cat.orders
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    speed = (
+        F.when(delay > 90, "SLOW").when(delay > 30, "MEDIUM").otherwise("FAST")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(speed.alias("ship_speed"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+# Q16 parts/supplier relationship. partsupp is the distinct
+# (l_partkey, l_suppkey) projection; "customer complaints" become
+# suppliers with a negative balance, excluded via the canonical NOT IN
+# -> left-anti join. The distinct runs AFTER the broadcast part prune,
+# so the dedup shuffle carries only surviving pairs.
+@query(
+    "tpch_q16_part_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT c.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) c
+    JOIN part p ON c.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_type NOT LIKE 'ECO%'
+      AND p.p_size IN (1, 5, 11, 17, 23, 29, 36, 44)
+      AND c.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    p = cat.part.filter(
+        (F.col("p_brand") != "Brand#2")
+        & (~F.col("p_type").like("ECO%"))
+        & (F.col("p_size").isin(1, 5, 11, 17, 23, 29, 36, 44))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = cat.supplier.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    pairs = (
+        cat.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# Q19 disjunctive discounted revenue. The canonical OR-of-ANDs spans
+# both join sides, which defeats simple predicate pushdown: neither
+# scan can apply the mixed conjuncts. The Spark side therefore
+# replicates the DERIVABLE single-side disjunctions onto each scan
+# (brand/size onto part, quantity onto lineitem) — the CNF residues a
+# cost-based engine extracts automatically — and keeps the exact mixed
+# predicate on the joined frame. Semantics are unchanged; the scans
+# shrink. (Brand/size/quantity stand in for the missing
+# p_container / l_shipmode / l_shipinstruct conjuncts.)
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({_SQL_VOL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    part_side = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+    )
+    li_side = (
+        F.col("l_quantity").between(1, 11)
+        | F.col("l_quantity").between(10, 20)
+        | F.col("l_quantity").between(20, 30)
+    )
+    mixed = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    p = cat.part.filter(part_side).select("p_partkey", "p_brand", "p_size")
+    li = cat.lineitem.filter(li_side)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(mixed)
+        .agg(
+            F.round(F.sum(_dec_vol("l_extendedprice", "l_discount")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# Q20 potential part promotion. "Has excess stock" becomes "shipped
+# more than 20% of the part's 1997 volume": per-(part, supplier)
+# quantity sums against per-part totals, compared exactly in BIGINT
+# with the division cleared (sq * 5 > total), feeding a semi-join on
+# the NATION_5 supplier list. Quantities are integral doubles, so the
+# BIGINT cast is exact.
+@query(
+    "tpch_q20_excess_share_suppliers",
+    oracle="""
+    WITH bluep AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+    ),
+    agg AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS sq
+        FROM lineitem
+        JOIN bluep ON l_partkey = p_partkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT l_partkey, SUM(sq) AS tq FROM agg GROUP BY 1
+    ),
+    excess AS (
+        SELECT DISTINCT a.l_suppkey
+        FROM agg a JOIN tot t ON a.l_partkey = t.l_partkey
+        WHERE a.sq * 5 > t.tq
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM excess)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_excess_share_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    bluep = cat.part.filter(F.col("p_name").like("blue%")).select("p_partkey")
+    agg = (
+        cat.lineitem.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(bluep), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+    )
+    # per-part totals derive from the pair aggregate (no second fact
+    # scan), and the pair->total join reuses the l_partkey partitioning
+    tot = agg.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("sq").alias("tq")
+    )
+    excess = (
+        agg.join(tot, agg.l_partkey == tot._pk)
+        .filter(F.col("sq") * 5 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = cat.supplier.join(
+        F.broadcast(cat.nation.filter(F.col("n_name") == "NATION_5")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# Q21 suppliers who kept orders waiting. The canonical EXISTS (another
+# supplier in the order) + NOT EXISTS (another LATE supplier in the
+# order) double self-correlation decorrelates into ONE per-order
+# aggregation: an order counts against its supplier iff it has >= 2
+# distinct suppliers, exactly 1 distinct late supplier, and that late
+# one is ours. "Late" is ship > 80 days after order (no
+# l_commitdate / l_receiptdate). One orderkey shuffle; the supplier
+# and nation dims broadcast.
+@query(
+    "tpch_q21_waiting_orders",
+    oracle="""
+    WITH l AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE)) > 80
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    per_ord AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+        FROM l GROUP BY 1
+    ),
+    waits AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM l
+        JOIN per_ord p ON l.l_orderkey = p.l_orderkey
+        WHERE l.late = 1 AND p.n_supp >= 2 AND p.n_late = 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waits w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_1'
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 80
+    ).cast("int")
+    l = (
+        cat.lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+    )
+    per_ord = l.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    waits = (
+        l.filter(F.col("late") == 1)
+        .join(per_ord, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s1 = cat.supplier.join(
+        F.broadcast(cat.nation.filter(F.col("n_name") == "NATION_1")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        waits.join(F.broadcast(s1), waits.l_suppkey == s1.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )

@@ -258,3 +258,34 @@ def test_tpch_part2_plan_shapes(spark):
     q17 = _plan(qs["tpch_q17_small_quantity"](spark, SF))
     # the correlated AVG is a plain aggregate + join, not a re-scan
     assert "HashAggregate" in q17 and "Join" in q17
+
+
+def test_tpch_part3_plan_shapes(spark):
+    """The last eight TPC-H shapes (round 8). Pins: Q19's derivable
+    single-side disjunctions reach the part scan as a PushedFilters Or
+    (the mixed OR-of-ANDs cannot push on its own); Q16's NOT IN plans
+    as a LeftAnti; Q2's correlated MAX decorrelates into a window (no
+    re-scan, no cartesian); Q21's double self-correlation costs exactly
+    ONE distinct-count aggregation over the order key, not three fact
+    scans; Q11's global threshold is a broadcast single-row nested
+    loop (the allowlisted Q22 shape)."""
+    qs = entry.queries()
+    q19 = _plan(qs["tpch_q19_disjunctive_revenue"](spark, SF))
+    assert "PushedFilters: [Or(" in q19, q19  # brand/size residue on part scan
+    assert "CartesianProduct" not in q19
+    q16 = _plan(qs["tpch_q16_part_supplier_cnt"](spark, SF))
+    assert "LeftAnti" in q16, q16
+    q2 = _plan(qs["tpch_q2_min_cost_supplier"](spark, SF))
+    assert "Window" in q2 and "CartesianProduct" not in q2, q2
+    q21 = _plan(qs["tpch_q21_waiting_orders"](spark, SF))
+    # lineitem is scanned for the base late rows and once more for the
+    # per-order distinct counts — a THIRD fact scan means the
+    # decorrelation regressed to the naive EXISTS/NOT-EXISTS form
+    fact_scans = sum(
+        1 for ln in q21.splitlines() if "FileScan" in ln and "lineitem" in ln
+    )
+    assert fact_scans <= 2, q21
+    q11 = _plan(qs["tpch_q11_important_stock"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in q11, q11
+    q9 = _plan(qs["tpch_q9_product_profit"](spark, SF))
+    assert q9.count("BroadcastHashJoin") >= 3, q9  # p, s, n all broadcast

@@ -31,10 +31,12 @@ def test_every_stale_query_fits_in_window_or_defers_loudly():
 
     - bounded: at most N − 2×window + a small slack of stale queries
       defer (i.e. exactly the amount the capacity shortfall forces);
-    - fresh enough: every deferred query already has a clean record at
-      most one round older than the newest (it was verified two rounds
-      ago and will lead the NEXT round's window — nothing silently ages
-      past the ceil(N/window) cadence);
+    - fresh enough: no deferred query has aged past the steady-state
+      cadence — its latest clean record is at most ceil(N/window) − 1
+      driver runs old (for N ≤ 2×window this is the strict "at most one
+      run older than the newest" bound; each window past 2× buys the
+      tail one more run, exactly what round-robin over N queries with a
+      fixed window mathematically forces);
     - rows-only pay first: within the age group the window boundary
       cuts, every rows-only query defers before any oracle-checked one
       does (the oracle-first subsort in ``plans.front_order``) — an
@@ -59,11 +61,14 @@ def test_every_stale_query_fits_in_window_or_defers_loudly():
         f"overflow {missed} larger than the registry growth explains"
     )
     missed_set = set(missed)
+    import math
+
+    cadence = math.ceil(len(names) / plans._WINDOW)
     for q in missed:
-        assert latest.get(q, 0) >= max_round - 1, (
+        assert latest.get(q, 0) >= max_round - (cadence - 1), (
             f"deferred query {q!r} last recorded in round {latest.get(q, 0)} "
-            f"(newest {max_round}) — would age past the ceil(N/window) "
-            "cadence"
+            f"(newest {max_round}) — would age past the ceil(N/window)="
+            f"{cadence} cadence"
         )
         if q in oracles:
             # an oracle-checked deferral is legal only once every

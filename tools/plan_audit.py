@@ -59,6 +59,12 @@ ALLOWLIST = {
         "bnlj": "share-of-total: single-row global total crossed into "
         "the per-type rows"
     },
+    "tpch_q11_important_stock": {
+        "bnlj": "Q11's global threshold: a broadcast SINGLE-ROW "
+        "(total, n_parts) aggregate crossed into the per-part values "
+        "for the exact value*n > total*2 comparison — same shape as "
+        "Q22, no data-sized side exists"
+    },
     "tpch_q22_global_sales_opportunity": {
         "bnlj": "Q22's global threshold: a broadcast SINGLE-ROW "
         "(n_pos, total_pos) aggregate crossed into customer for the "
