@@ -540,3 +540,79 @@ def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1 ORDER BY 1
         """
     )
+
+
+# Batch interval-overlap join (round 8): every (view, purchase) pair of
+# the same user whose 30-minute activity windows intersect, plus the
+# overlap length. The operator grid-buckets both sides onto 1800 s
+# cells and emits each pair exactly once from its reporting cell (the
+# intersection start), so there is ONE shuffle on (user_id, cell) and
+# no post-join distinct — the naive theta-join this replaces is a
+# cartesian per user. Epoch-second BIGINT math end to end.
+@query(
+    "interval_overlap_view_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS view_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS vs
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id AS pu, event_id AS purchase_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ps
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.view_id, p.purchase_id,
+           CAST(LEAST(v.vs + 1800, p.ps + 1800)
+                - GREATEST(v.vs, p.ps) AS BIGINT) AS overlap_sec
+    FROM v JOIN p
+      ON v.user_id = p.pu
+     AND v.vs < p.ps + 1800
+     AND p.ps < v.vs + 1800
+    ORDER BY user_id, view_id, purchase_id
+    """,
+)
+def interval_overlap_view_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_ml_showcase_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("long").alias("vs"),
+        (F.col("ts").cast("long") + 1800).alias("ve"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("long").alias("ps"),
+        (F.col("ts").cast("long") + 1800).alias("pe"),
+    )
+    pairs = interval_overlap_join(
+        views,
+        purchases,
+        "vs",
+        "ve",
+        "ps",
+        "pe",
+        bucket_width=1800,
+        on=["user_id"],
+    )
+    return (
+        pairs.select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (
+                F.least(F.col("ve"), F.col("pe"))
+                - F.greatest(F.col("vs"), F.col("ps"))
+            )
+            .cast("bigint")
+            .alias("overlap_sec"),
+        )
+        .orderBy("user_id", "view_id", "purchase_id")
+    )

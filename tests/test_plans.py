@@ -289,3 +289,15 @@ def test_tpch_part3_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" in q11, q11
     q9 = _plan(qs["tpch_q9_product_profit"](spark, SF))
     assert q9.count("BroadcastHashJoin") >= 3, q9  # p, s, n all broadcast
+
+
+def test_interval_overlap_join_plan_is_hash_join_no_dedup(spark):
+    """The grid interval join must plan as a hash equi-join on
+    (user_id, cell) — never a cartesian/BNLJ theta join — and the
+    reporting-cell trick must leave NO aggregate in the plan (a
+    HashAggregate would mean a distinct crept back in)."""
+    qs = entry.queries()
+    plan = _plan(qs["interval_overlap_view_purchase"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" not in plan, plan
