@@ -1,0 +1,136 @@
+"""Hypertable-style continuous aggregate: an incrementally-maintained
+time-bucket rollup over the versioned snapshot store.
+
+The TimescaleDB/Materialize shape: a raw event stream lands in batches
+(possibly LATE — a batch may carry events for buckets that were already
+rolled up), and a bucketed aggregate table must stay equal to
+``GROUP BY bucket, keys`` over everything ingested so far WITHOUT
+rescanning history. The classic warehouse answer is partial-aggregate
+MERGE, and that is exactly what Spark's algebraic aggregates give us:
+
+- The stored rollup keeps mergeable PARTIAL STATES per (bucket, keys):
+  count, decimal sum, min, max. All four combine associatively, so a
+  refresh never needs raw history — old state ⊕ new delta = new state.
+- ``rollup_refresh`` aggregates ONLY the incoming batch (one scan, one
+  shuffle on (bucket, keys)), pulls the CURRENT states for just the
+  affected buckets (a semi-join on the rollup table, which is
+  |buckets| rows, not |events|), re-combines, and MERGEs the combined
+  rows back through the store's keyed upsert (one anti-join on the
+  surrogate key). Unaffected buckets are carried forward untouched.
+- Derived measures that do NOT merge (avg) are computed at READ time
+  from the states (``rollup_read(finalize=True)``) — storing avg would
+  make states non-mergeable, the classic rollup-design mistake.
+
+At 100 TB the raw batch is the only event-scale frame in the plan; the
+rollup table scales with |buckets × keys| (hours × types here), orders
+of magnitude smaller, and the store's manifest versioning gives
+time-travel over rollup states for free (a bad refresh is one version
+rollback away).
+
+Reference parity: the reference has no incremental rollup; this
+generalizes its batch hourly-count dataflow
+(Spark-ML-Showcase/weblog_classification.py's per-hour aggregation) to
+late-data-correct incremental maintenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.sources import versioned
+
+__all__ = ["rollup_refresh", "rollup_read"]
+
+_STATE_COLS = ("n_events", "sum_value", "min_value", "max_value")
+
+
+def _bucket_col(time_col: str, bucket: str) -> F.Column:
+    # epoch-second BIGINT bucket edge: integer output dodges timestamp
+    # formatting drift (repo determinism rules, plans/__init__.py)
+    return (
+        F.date_trunc(bucket, F.col(time_col)).cast("long").alias("bucket_sec")
+    )
+
+
+def _partials(value_col: str) -> list[F.Column]:
+    dec = F.col(value_col).cast("decimal(12,2)")
+    return [
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(dec).cast("decimal(24,2)").alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ]
+
+
+def _combine(keys: list[str]) -> tuple[list[str], list[F.Column]]:
+    group = ["bucket_sec", *keys]
+    aggs = [
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sum_value").cast("decimal(24,2)").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ]
+    return group, aggs
+
+
+def rollup_refresh(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    *,
+    time_col: str,
+    value_col: str,
+    keys: list[str],
+    bucket: str = "hour",
+) -> int:
+    """Fold one raw batch into the stored rollup; returns the new store
+    version. Late rows are first-class: any bucket the batch touches is
+    re-merged from (stored state ⊕ batch delta), buckets it doesn't
+    touch carry forward without being read or rewritten logically.
+    """
+    delta = batch.groupBy(
+        _bucket_col(time_col, bucket), *keys
+    ).agg(*_partials(value_col))
+    group, aggs = _combine(keys)
+    sk = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group]
+    ).alias("_rk")
+
+    if not versioned.snapshot_versions(table_dir):
+        return versioned.write_snapshot(
+            delta.select(sk, *group, *_STATE_COLS), table_dir
+        )
+    current = versioned.read_snapshot(spark, table_dir)
+    touched = delta.select(*group).distinct()
+    # states for affected buckets only: |touched| rows join a
+    # |buckets|-sized table — event-scale data never re-enters
+    affected = current.join(F.broadcast(touched), on=group, how="left_semi")
+    combined = (
+        affected.drop("_rk").unionByName(delta).groupBy(*group).agg(*aggs)
+    )
+    return versioned.merge_keys(
+        spark, table_dir, combined.select(sk, *group, *_STATE_COLS), "_rk"
+    )
+
+
+def rollup_read(
+    spark: SparkSession, table_dir: str, *, finalize: bool = True
+) -> DataFrame:
+    """The rollup as a DataFrame. ``finalize=True`` presents the
+    user-facing measures (avg derived from the mergeable states, the
+    decimal sum cast to double); ``finalize=False`` returns the raw
+    states for further merging or debugging."""
+    df = versioned.read_snapshot(spark, table_dir).drop("_rk")
+    if not finalize:
+        return df
+    return df.select(
+        *[c for c in df.columns if c not in _STATE_COLS],
+        F.col("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.round(
+            F.col("sum_value").cast("double") / F.col("n_events"), 6
+        ).alias("avg_value"),
+        F.col("min_value"),
+        F.col("max_value"),
+    )

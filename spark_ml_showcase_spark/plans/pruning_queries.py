@@ -249,3 +249,64 @@ def snapshot_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         versioned.merge_keys(spark, table_dir, updates, "doc_id")
         io.fp_record(fp_path, fp)
     return versioned.read_snapshot(spark, table_dir).orderBy("doc_id")
+
+
+# Hypertable continuous aggregate (round 8): the hourly rollup of
+# events is built INCREMENTALLY — three batches split by event_id % 3,
+# so batches 2 and 3 are late data for every bucket batch 1 created —
+# then read back finalized. The oracle is the plain one-shot GROUP BY
+# over the whole table: the partial-state merge (count/decimal-sum/
+# min/max per (hour, type), combined across refreshes through the
+# versioned store's keyed upsert) must be indistinguishable from
+# having seen all the data at once. avg derives from the states at
+# read time; the decimal sum keeps it order-exact across any batch
+# split.
+@query(
+    "hypertable_hourly_rollup",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+               AS bucket_sec,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket_sec, event_type
+    """,
+)
+def hypertable_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spark_ml_showcase_spark.operators import hypertable
+    from spark_ml_showcase_spark.sources import versioned
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = os.path.join("/tmp/smss_versioned", key, "events_rollup")
+    fp_path = os.path.join("/tmp/smss_versioned", key, "_SOURCE_FP_ROLLUP")
+    fp = io._source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    if not (
+        len(versioned.snapshot_versions(table_dir)) >= 3
+        and io.fp_cache_ok(fp_path, fp)
+    ):
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        ev = Catalog(spark, sf_dir).events
+        for m in (0, 1, 2):
+            hypertable.rollup_refresh(
+                spark,
+                table_dir,
+                ev.filter(F.col("event_id") % 3 == m),
+                time_col="ts",
+                value_col="value",
+                keys=["event_type"],
+            )
+        io.fp_record(fp_path, fp)
+    return hypertable.rollup_read(spark, table_dir).orderBy(
+        "bucket_sec", "event_type"
+    )
