@@ -521,3 +521,68 @@ def latest_value_per_user_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# KMV sketch, exact regime (round 8): per-type distinct users via the
+# k-minimum-values sketch with k ABOVE the true cardinality, where the
+# sketch IS the distinct set and the estimator is exact — so the full
+# sketch build (two-stage JVM k-min, functions/kmv.py) is held to the
+# COUNT(DISTINCT) oracle bit-for-bit. The estimation regime (k below
+# cardinality) and the set-algebra estimators are covered by
+# tests/test_kmv.py bounds and the rows-only overlap query below.
+@query(
+    "kmv_distinct_users_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.functions import kmv
+
+    ev = Catalog(spark, sf_dir).events
+    sk = kmv.kmv_sketch(ev, ["event_type"], "user_id", k=4096)
+    return (
+        sk.select(
+            "event_type",
+            kmv.kmv_estimate("sketch", k=4096).cast("bigint").alias(
+                "distinct_users"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# KMV set algebra (round 8, rows-only: estimates have no SQL oracle):
+# pairwise audience overlap between event types — Jaccard and
+# intersection-size estimates straight off the per-type sketches, no
+# re-scan of events. The 5x5 sketch self-join is broadcast-tiny; the
+# raw table is read ONCE to build 5 sketch rows. Estimator error
+# bounds are pinned in tests/test_kmv.py on known-overlap sets.
+@query("kmv_user_overlap_types")
+def kmv_user_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.functions import kmv
+
+    ev = Catalog(spark, sf_dir).events
+    sk = kmv.kmv_sketch(ev, ["event_type"], "user_id", k=512)
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sketch").alias("sa")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sketch").alias("sb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(kmv.kmv_jaccard("sa", "sb", k=512), 6).alias("jaccard_est"),
+            F.round(kmv.kmv_intersection("sa", "sb", k=512), 2).alias(
+                "common_users_est"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
