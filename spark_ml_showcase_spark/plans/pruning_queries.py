@@ -310,3 +310,95 @@ def hypertable_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hypertable.rollup_read(spark, table_dir).orderBy(
         "bucket_sec", "event_type"
     )
+
+
+# SCD-2 dimension build (round 8): each user's "latest event type" is
+# tracked as a Type-2 slowly-changing attribute — one update batch per
+# ISO week (last event per user per week, composite
+# (ts, event_id) tie-break), applied in order through
+# operators/scd2.py. The full history table (validity intervals +
+# current flags) must match the oracle's one-shot window
+# reconstruction: consecutive-week dedup via LAG == the operator's
+# current-row comparison, LEAD(eff) == the close-and-open valid_to.
+# The week list is a bounded driver-side collect (5 weeks here),
+# documented — each apply is one update-batch shuffle + a dim-sized
+# broadcast join, never a history scan.
+@query(
+    "scd2_user_type_history",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id,
+               date_trunc('week', ts) AS m,
+               arg_max(event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) * 100000000
+                       + event_id) AS etype,
+               arg_max(CAST(floor(epoch(ts)) AS BIGINT),
+                       CAST(floor(epoch(ts)) AS BIGINT) * 100000000
+                       + event_id) AS eff
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT user_id, etype, eff,
+               lag(etype) OVER (PARTITION BY user_id ORDER BY m) AS prev
+        FROM ord
+    ),
+    chg AS (
+        SELECT user_id, etype, eff FROM seq
+        WHERE prev IS NULL OR etype <> prev
+    ),
+    iv AS (
+        SELECT user_id, etype AS event_type, eff AS valid_from,
+               lead(eff) OVER (PARTITION BY user_id ORDER BY eff)
+                   AS valid_to
+        FROM chg
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM iv
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spark_ml_showcase_spark.operators import scd2
+    from spark_ml_showcase_spark.sources import versioned
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = os.path.join("/tmp/smss_versioned", key, "user_type_scd2")
+    fp_path = os.path.join("/tmp/smss_versioned", key, "_SOURCE_FP_SCD2")
+    fp = io._source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    if not (
+        len(versioned.snapshot_versions(table_dir)) >= 1
+        and io.fp_cache_ok(fp_path, fp)
+    ):
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        ev = Catalog(spark, sf_dir).events
+        ord_col = F.col("ts").cast("long") * F.lit(100000000) + F.col(
+            "event_id"
+        )
+        monthly = ev.groupBy(
+            "user_id", F.date_trunc("week", "ts").alias("_m")
+        ).agg(
+            F.max_by("event_type", ord_col).alias("event_type"),
+            F.max_by(F.col("ts").cast("long"), ord_col).alias("eff"),
+        )
+        weeks = sorted(
+            r._m for r in monthly.select("_m").distinct().collect()
+        )
+        for m in weeks:
+            scd2.scd2_apply(
+                spark,
+                table_dir,
+                monthly.filter(F.col("_m") == m),
+                key_col="user_id",
+                attr_cols=["event_type"],
+                effective_col="eff",
+            )
+        io.fp_record(fp_path, fp)
+    return scd2.scd2_history(spark, table_dir).orderBy(
+        "user_id", "valid_from"
+    )
