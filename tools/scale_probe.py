@@ -288,6 +288,101 @@ def probe_fastss_1m(spark):
     return n
 
 
+def probe_interval_join_10m(spark):
+    """Grid interval-overlap join, 10M x 10M intervals over 1M keys:
+    the exactly-once reporting-cell hash join (operators/intervals.py).
+    Each left interval [k*1000, k*1000+500) overlaps EXACTLY ONE right
+    interval [k*1000+250, k*1000+750) for its user, so the output size
+    is a hard assert and the probe times the explode + equi-join
+    plumbing, not pair volume."""
+    from spark_ml_showcase_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    n = 10_000_000
+    users, w = 1_000_000, 500
+    base = (F.col("id") / users).cast("long") * 1000
+    left = spark.range(n).select(
+        (F.col("id") % users).alias("k"),
+        F.col("id").alias("lid"),
+        base.alias("llo"),
+        (base + 500).alias("lhi"),
+    )
+    right = spark.range(n).select(
+        (F.col("id") % users).alias("k"),
+        F.col("id").alias("rid"),
+        (base + 250).alias("rlo"),
+        (base + 750).alias("rhi"),
+    )
+    cnt = interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi", bucket_width=w, on=["k"]
+    ).count()
+    assert cnt == n, cnt
+    return 2 * n
+
+
+def probe_kmv_50m(spark):
+    """KMV sketch build over 50M rows / 100 groups / 500k distinct per
+    group (functions/kmv.py): the all-JVM two-stage k-min. Estimates
+    must land within the ~4-sigma band of the k=256 estimator."""
+    from spark_ml_showcase_spark.functions import kmv
+
+    n = 50_000_000
+    # value derives from id // 100 (coprime multiplier → bijective on
+    # 0..500k), NOT id itself: v = (id * C) % 500k would alias with the
+    # group modulus and leave each group only gcd-many distinct values
+    # (the probe-design pitfall that bit the funnel probe in r7)
+    df = spark.range(n).select(
+        (F.col("id") % 100).alias("g"),
+        (((F.col("id") / 100).cast("long") * 2654435761) % 500_000).alias(
+            "v"
+        ),
+    )
+    sk = kmv.kmv_sketch(df, ["g"], "v", k=256)
+    rows = sk.select(kmv.kmv_estimate("sketch", k=256).alias("d")).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert abs(r.d - 500_000) / 500_000 < 0.25, r.d
+    return n
+
+
+def probe_hypertable_refresh_20m(spark):
+    """Continuous-aggregate refresh: 20M events folded into an hourly
+    rollup store, then a 1M-row LATE batch re-merging a subset of
+    buckets (operators/hypertable.py). The initial build is one
+    map-side-combined shuffle to |buckets| rows; the late refresh cost
+    is batch-sized, not history-sized."""
+    import shutil
+    import tempfile
+
+    from spark_ml_showcase_spark.operators import hypertable
+
+    n = 20_000_000
+    tdir = tempfile.mkdtemp(prefix="smss_rollup_probe_")
+    try:
+        ev = spark.range(n).select(
+            F.timestamp_seconds(F.col("id") % 3_600_000).alias("ts"),
+            (F.col("id") % 7).cast("string").alias("etype"),
+            (F.col("id") % 100).cast("double").alias("value"),
+        )
+        hypertable.rollup_refresh(
+            spark, tdir, ev, time_col="ts", value_col="value", keys=["etype"]
+        )
+        late = spark.range(1_000_000).select(
+            F.timestamp_seconds(F.col("id") % 36_000).alias("ts"),
+            (F.col("id") % 7).cast("string").alias("etype"),
+            F.lit(1.0).alias("value"),
+        )
+        hypertable.rollup_refresh(
+            spark, tdir, late, time_col="ts", value_col="value", keys=["etype"]
+        )
+        got = hypertable.rollup_read(spark, tdir)
+        assert got.count() == 1000 * 7, got.count()  # 1000 hours x 7 types
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return n + 1_000_000
+
+
 PROBES = {
     "exact_dedup_50m": probe_exact_dedup_50m,
     "window_budget_20m": probe_window_budget_20m,
@@ -305,6 +400,9 @@ PROBES = {
     "funnel_20m": probe_funnel_20m,
     "zorder_20m": probe_zorder_20m,
     "fastss_1m": probe_fastss_1m,
+    "interval_join_10m": probe_interval_join_10m,
+    "kmv_50m": probe_kmv_50m,
+    "hypertable_refresh_20m": probe_hypertable_refresh_20m,
 }
 
 
