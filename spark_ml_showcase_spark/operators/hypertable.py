@@ -38,11 +38,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_ml_showcase_spark.functions import kmv
 from spark_ml_showcase_spark.sources import versioned
 
 __all__ = ["rollup_refresh", "rollup_read"]
 
 _STATE_COLS = ("n_events", "sum_value", "min_value", "max_value")
+_KMV_COL = "kmv_state"
 
 
 def _bucket_col(time_col: str, bucket: str) -> F.Column:
@@ -53,17 +55,36 @@ def _bucket_col(time_col: str, bucket: str) -> F.Column:
     )
 
 
-def _partials(value_col: str) -> list[F.Column]:
+def _kmin(col: F.Column, k: int) -> F.Column:
+    return F.slice(F.array_sort(col), 1, k)
+
+
+def _partials(
+    value_col: str, distinct_col: str | None, k: int
+) -> list[F.Column]:
     dec = F.col(value_col).cast("decimal(12,2)")
-    return [
+    out = [
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(dec).cast("decimal(24,2)").alias("sum_value"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     ]
+    if distinct_col is not None:
+        # a KMV sketch per (bucket, keys) group — functions/kmv.py's
+        # mergeable k-min, embedded as one more algebraic rollup state.
+        # The collect_set is bucket-scoped (one bucket's distincts, not
+        # the stream's), and the stored state is capped at k doubles.
+        out.append(
+            _kmin(F.collect_set(kmv._unit_hash(distinct_col)), k).alias(
+                _KMV_COL
+            )
+        )
+    return out
 
 
-def _combine(keys: list[str]) -> tuple[list[str], list[F.Column]]:
+def _combine(
+    keys: list[str], with_kmv: bool, k: int
+) -> tuple[list[str], list[F.Column]]:
     group = ["bucket_sec", *keys]
     aggs = [
         F.sum("n_events").cast("bigint").alias("n_events"),
@@ -71,6 +92,14 @@ def _combine(keys: list[str]) -> tuple[list[str], list[F.Column]]:
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     ]
+    if with_kmv:
+        # sketch-of-union == k-min of the concatenated sketches (the
+        # kmv_merge identity, n-ary form)
+        aggs.append(
+            _kmin(
+                F.array_distinct(F.flatten(F.collect_list(_KMV_COL))), k
+            ).alias(_KMV_COL)
+        )
     return group, aggs
 
 
@@ -83,23 +112,33 @@ def rollup_refresh(
     value_col: str,
     keys: list[str],
     bucket: str = "hour",
+    distinct_col: str | None = None,
+    kmv_k: int = 256,
 ) -> int:
     """Fold one raw batch into the stored rollup; returns the new store
     version. Late rows are first-class: any bucket the batch touches is
     re-merged from (stored state ⊕ batch delta), buckets it doesn't
     touch carry forward without being read or rewritten logically.
+
+    ``distinct_col`` adds a per-bucket KMV distinct-count sketch to the
+    states (exact while a bucket holds < ``kmv_k`` distinct values —
+    functions/kmv.py); every refresh of a table must pass the same
+    ``distinct_col``/``kmv_k``.
     """
     delta = batch.groupBy(
         _bucket_col(time_col, bucket), *keys
-    ).agg(*_partials(value_col))
-    group, aggs = _combine(keys)
+    ).agg(*_partials(value_col, distinct_col, kmv_k))
+    group, aggs = _combine(keys, distinct_col is not None, kmv_k)
     sk = F.concat_ws(
         "\x1f", *[F.col(c).cast("string") for c in group]
     ).alias("_rk")
 
+    state_cols = list(_STATE_COLS) + (
+        [_KMV_COL] if distinct_col is not None else []
+    )
     if not versioned.snapshot_versions(table_dir):
         return versioned.write_snapshot(
-            delta.select(sk, *group, *_STATE_COLS), table_dir
+            delta.select(sk, *group, *state_cols), table_dir
         )
     current = versioned.read_snapshot(spark, table_dir)
     touched = delta.select(*group).distinct()
@@ -110,22 +149,28 @@ def rollup_refresh(
         affected.drop("_rk").unionByName(delta).groupBy(*group).agg(*aggs)
     )
     return versioned.merge_keys(
-        spark, table_dir, combined.select(sk, *group, *_STATE_COLS), "_rk"
+        spark, table_dir, combined.select(sk, *group, *state_cols), "_rk"
     )
 
 
 def rollup_read(
-    spark: SparkSession, table_dir: str, *, finalize: bool = True
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    finalize: bool = True,
+    kmv_k: int = 256,
 ) -> DataFrame:
     """The rollup as a DataFrame. ``finalize=True`` presents the
     user-facing measures (avg derived from the mergeable states, the
-    decimal sum cast to double); ``finalize=False`` returns the raw
-    states for further merging or debugging."""
+    decimal sum cast to double, the KMV state — if the table carries
+    one — as a ``distinct_est`` count, exact below ``kmv_k``);
+    ``finalize=False`` returns the raw states for further merging."""
     df = versioned.read_snapshot(spark, table_dir).drop("_rk")
     if not finalize:
         return df
-    return df.select(
-        *[c for c in df.columns if c not in _STATE_COLS],
+    hidden = set(_STATE_COLS) | {_KMV_COL}
+    out = [
+        *[c for c in df.columns if c not in hidden],
         F.col("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
         F.round(
@@ -133,4 +178,9 @@ def rollup_read(
         ).alias("avg_value"),
         F.col("min_value"),
         F.col("max_value"),
-    )
+    ]
+    if _KMV_COL in df.columns:
+        out.append(
+            kmv.kmv_estimate(_KMV_COL, k=kmv_k).alias("distinct_est")
+        )
+    return df.select(*out)

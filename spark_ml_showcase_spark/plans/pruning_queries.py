@@ -402,3 +402,69 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2.scd2_history(spark, table_dir).orderBy(
         "user_id", "valid_from"
     )
+
+
+# Continuous aggregate with a DISTINCT state (round 8): the hourly
+# rollup carries a KMV sketch per bucket (functions/kmv.py embedded as
+# one more mergeable rollup state — sketch-of-union == k-min of merged
+# sketches), built incrementally from three interleaved batches with
+# k=4096 far above any bucket's true user cardinality, so the
+# estimator is EXACT and the whole incremental sketch-merge path is
+# held to a COUNT(DISTINCT) oracle. The estimation regime is covered
+# by tests/test_kmv.py; the merge identity by tests/test_hypertable.py.
+@query(
+    "hypertable_distinct_users_hourly",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+               AS bucket_sec,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket_sec, event_type
+    """,
+)
+def hypertable_distinct_users_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from spark_ml_showcase_spark.operators import hypertable
+    from spark_ml_showcase_spark.sources import versioned
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = os.path.join("/tmp/smss_versioned", key, "events_rollup_kmv")
+    fp_path = os.path.join("/tmp/smss_versioned", key, "_SOURCE_FP_ROLLUP_KMV")
+    fp = io._source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    if not (
+        len(versioned.snapshot_versions(table_dir)) >= 3
+        and io.fp_cache_ok(fp_path, fp)
+    ):
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        ev = Catalog(spark, sf_dir).events
+        for m in (0, 1, 2):
+            hypertable.rollup_refresh(
+                spark,
+                table_dir,
+                ev.filter(F.col("event_id") % 3 == m),
+                time_col="ts",
+                value_col="value",
+                keys=["event_type"],
+                distinct_col="user_id",
+                kmv_k=4096,
+            )
+        io.fp_record(fp_path, fp)
+    return (
+        hypertable.rollup_read(spark, table_dir, kmv_k=4096)
+        .select(
+            "bucket_sec",
+            "event_type",
+            "n_events",
+            F.col("distinct_est").cast("bigint").alias("distinct_users"),
+        )
+        .orderBy("bucket_sec", "event_type")
+    )

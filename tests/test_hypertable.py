@@ -129,3 +129,28 @@ def test_new_key_in_old_bucket_inserts(spark, tmp_path):
         for r in hypertable.rollup_read(spark, table).collect()
     }
     assert got == {(0, "a"): 1, (0, "b"): 1}
+
+
+def test_kmv_distinct_state_exact_and_mergeable(spark, tmp_path):
+    table = str(tmp_path / "rollup_kmv")
+    # user u appears in BOTH batches within bucket 0 — the merged
+    # sketch must count it once (set semantics across refreshes)
+    b1 = spark.createDataFrame(
+        [(1, 10, "a", 1.0, 7), (2, 20, "a", 1.0, 8), (3, _H + 5, "a", 1.0, 7)],
+        "event_id bigint, sec bigint, event_type string, value double, uid bigint",
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    b2 = spark.createDataFrame(
+        [(4, 30, "a", 1.0, 7), (5, 40, "a", 1.0, 9)],
+        "event_id bigint, sec bigint, event_type string, value double, uid bigint",
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    for b in (b1, b2):
+        hypertable.rollup_refresh(
+            spark, table, b,
+            time_col="ts", value_col="value", keys=["event_type"],
+            distinct_col="uid", kmv_k=64,
+        )
+    got = {
+        r.bucket_sec: r.distinct_est
+        for r in hypertable.rollup_read(spark, table, kmv_k=64).collect()
+    }
+    assert got == {0: 3.0, _H: 1.0}  # uids {7,8,9} and {7}: exact below k
