@@ -685,3 +685,115 @@ def test_global_threshold_anti_join_parity(spark, ddb_tpch, prio, bal_lo):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.sampled_from([300, 1800, 7200]),
+    st.sampled_from([600, 1800, 3600]),
+    st.sampled_from([600, 1800, 3600, 9000]),
+)
+def test_interval_overlap_parity(spark, ddb_events, span_l, span_r, width):
+    """Family 15: the grid interval-overlap join for RANDOM interval
+    spans and bucket widths must equal DuckDB's naive theta join — the
+    bucket width is a physical knob, never a semantic one, and the
+    reporting-cell dedup must hold for every span/width combination
+    (spans below, equal to, and far above the cell size)."""
+    from spark_ml_showcase_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, SF).events
+    mk = lambda t, span, idc, loc: (  # noqa: E731
+        ev.filter(F.col("event_type") == t).select(
+            "user_id",
+            F.col("event_id").alias(idc),
+            F.col("ts").cast("long").alias(loc),
+            (F.col("ts").cast("long") + span).alias(loc[0] + "hi"),
+        )
+    )
+    out = interval_overlap_join(
+        mk("view", span_l, "lid", "llo"),
+        mk("click", span_r, "rid", "rlo"),
+        "llo",
+        "lhi",
+        "rlo",
+        "rhi",
+        bucket_width=width,
+        on=["user_id"],
+    ).select("lid", "rid")
+    got = {(r.lid, r.rid) for r in out.collect()}
+    want = set(
+        ddb_events.execute(
+            f"""
+            WITH v AS (SELECT user_id, event_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) s
+                       FROM events WHERE event_type = 'view'),
+                 c AS (SELECT user_id, event_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) s
+                       FROM events WHERE event_type = 'click')
+            SELECT v.event_id, c.event_id
+            FROM v JOIN c ON v.user_id = c.user_id
+               AND v.s < c.s + {span_r} AND c.s < v.s + {span_l}
+            """
+        ).fetchall()
+    )
+    assert got == want and len(want) > 0
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=5),
+    st.sampled_from(["hour", "day"]),
+)
+def test_hypertable_rollup_parity(spark, ddb_events, m, bucket):
+    """Family 16: the continuous aggregate built from a RANDOM batch
+    split at a RANDOM granularity — including the KMV distinct state in
+    its exact regime — must equal the one-shot GROUP BY. Every batch
+    after the first is late data for every bucket, so this fuzzes the
+    partial-state merge path end to end."""
+    import shutil
+    import tempfile
+
+    from spark_ml_showcase_spark.operators import hypertable
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, SF).events
+    tdir = tempfile.mkdtemp(prefix="smss_diff_rollup_")
+    try:
+        for i in range(m):
+            hypertable.rollup_refresh(
+                spark,
+                tdir,
+                ev.filter(F.col("event_id") % m == i),
+                time_col="ts",
+                value_col="value",
+                keys=["event_type"],
+                bucket=bucket,
+                distinct_col="user_id",
+                kmv_k=512,
+            )
+        out = hypertable.rollup_read(spark, tdir, kmv_k=512).select(
+            "bucket_sec",
+            "event_type",
+            "n_events",
+            "sum_value",
+            F.col("distinct_est").cast("bigint").alias("du"),
+        )
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    want = set(
+        ddb_events.execute(
+            f"""
+            SELECT CAST(floor(epoch(date_trunc('{bucket}', ts))) AS BIGINT),
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM events GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == want
