@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from spark_ml_showcase_spark.functions import kmv
 from spark_ml_showcase_spark.sources import versioned
 
-__all__ = ["rollup_refresh", "rollup_read"]
+__all__ = ["rollup_refresh", "rollup_read", "stream_rollup_refresh"]
 
 _STATE_COLS = ("n_events", "sum_value", "min_value", "max_value")
 _KMV_COL = "kmv_state"
@@ -184,3 +184,65 @@ def rollup_read(
             kmv.kmv_estimate(_KMV_COL, k=kmv_k).alias("distinct_est")
         )
     return df.select(*out)
+
+
+def stream_rollup_refresh(
+    stream_df: DataFrame,
+    table_dir: str,
+    *,
+    checkpoint_dir: str,
+    time_col: str,
+    value_col: str,
+    keys: list[str],
+    bucket: str = "hour",
+    distinct_col: str | None = None,
+    kmv_k: int = 256,
+    timeout_sec: float = 120.0,
+):
+    """Structured-Streaming leg of the continuous aggregate: every
+    non-empty micro-batch folds into the rollup via
+    :func:`rollup_refresh` — arriving event drops keep the bucketed
+    aggregate current without ever rescanning history, late rows
+    included.
+
+    Exactly-once across restarts, same recipe as
+    ``versioned.stream_append_snapshots``: the source offsets live in
+    the stream checkpoint (at-least-once replay) and the refresh is
+    made IDEMPOTENT by recording every folded ``batch_id`` in the
+    store's retention-independent ledger — a replayed micro-batch
+    would otherwise DOUBLE-MERGE its partial states (refresh is
+    additive, not idempotent), which is the failure mode this guards.
+    Runs with ``availableNow`` (drain, then stop); call again on the
+    next drop — the checkpoint carries progress forward.
+    """
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id in versioned._ingested_batch_ids(table_dir):
+            return  # replay after a crash between refresh and checkpoint
+        rollup_refresh(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            time_col=time_col,
+            value_col=value_col,
+            keys=keys,
+            bucket=bucket,
+            distinct_col=distinct_col,
+            kmv_k=kmv_k,
+        )
+        versioned._ledger_add_batch_id(table_dir, batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream rollup did not drain within {timeout_sec}s"
+        )
+    return q

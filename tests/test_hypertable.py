@@ -154,3 +154,50 @@ def test_kmv_distinct_state_exact_and_mergeable(spark, tmp_path):
         for r in hypertable.rollup_read(spark, table, kmv_k=64).collect()
     }
     assert got == {0: 3.0, _H: 1.0}  # uids {7,8,9} and {7}: exact below k
+
+
+def test_stream_rollup_matches_batch_across_drops(spark, tmp_path):
+    """Streaming leg: two file drops drained by successive availableNow
+    runs must leave the rollup equal to the one-shot GROUP BY over
+    everything landed, and a third run with nothing new must be a
+    no-op (no phantom versions)."""
+    import os
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "rollup")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    s = spark.newSession()
+
+    def _drop(rows):
+        # append new part files into the flat source dir (file-stream
+        # sources do not recurse into subdirectories)
+        _events(s, rows).coalesce(1).write.mode("append").parquet(src)
+
+    def _run():
+        stream = (
+            s.readStream.schema(
+                "event_id bigint, event_type string, value double, ts timestamp"
+            ).parquet(src)
+        )
+        hypertable.stream_rollup_refresh(
+            stream,
+            table,
+            checkpoint_dir=cp,
+            time_col="ts",
+            value_col="value",
+            keys=["event_type"],
+        )
+
+    rows_a = [(i, _H * (i % 3) + i, "a" if i % 2 else "b", float(i)) for i in range(20)]
+    rows_b = [(100 + i, _H * (i % 3) + 50 + i, "a", 2.5) for i in range(10)]
+    _drop(rows_a)
+    _run()
+    _drop(rows_b)  # late data for every bucket drop A created
+    _run()
+    n_versions = len(versioned.snapshot_versions(table))
+    _run()  # nothing new: no extra version
+    assert len(versioned.snapshot_versions(table)) == n_versions
+    got = hypertable.rollup_read(s, table).drop("avg_value")
+    want = _full(s.read.parquet(src))
+    assert _rows(got) == _rows(want)
