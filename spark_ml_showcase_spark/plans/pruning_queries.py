@@ -359,6 +359,18 @@ def hypertable_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators import scd2
+
+    table_dir = _scd2_store(spark, sf_dir)
+    return scd2.scd2_history(spark, table_dir).orderBy(
+        "user_id", "valid_from"
+    )
+
+
+def _scd2_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse, fingerprint-cached) the weekly user-type SCD-2
+    dimension shared by scd2_user_type_history and the temporal
+    dimension-join query."""
     import os
 
     from spark_ml_showcase_spark.operators import scd2
@@ -380,27 +392,115 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ord_col = F.col("ts").cast("long") * F.lit(100000000) + F.col(
             "event_id"
         )
-        monthly = ev.groupBy(
+        weekly = ev.groupBy(
             "user_id", F.date_trunc("week", "ts").alias("_m")
         ).agg(
             F.max_by("event_type", ord_col).alias("event_type"),
             F.max_by(F.col("ts").cast("long"), ord_col).alias("eff"),
         )
         weeks = sorted(
-            r._m for r in monthly.select("_m").distinct().collect()
+            r._m for r in weekly.select("_m").distinct().collect()
         )
         for m in weeks:
             scd2.scd2_apply(
                 spark,
                 table_dir,
-                monthly.filter(F.col("_m") == m),
+                weekly.filter(F.col("_m") == m),
                 key_col="user_id",
                 attr_cols=["event_type"],
                 effective_col="eff",
             )
         io.fp_record(fp_path, fp)
-    return scd2.scd2_history(spark, table_dir).orderBy(
-        "user_id", "valid_from"
+    return table_dir
+
+
+_SCD2_HIST_SQL = """
+    WITH ord AS (
+        SELECT user_id,
+               date_trunc('week', ts) AS m,
+               arg_max(event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) * 100000000
+                       + event_id) AS etype,
+               arg_max(CAST(floor(epoch(ts)) AS BIGINT),
+                       CAST(floor(epoch(ts)) AS BIGINT) * 100000000
+                       + event_id) AS eff
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT user_id, etype, eff,
+               lag(etype) OVER (PARTITION BY user_id ORDER BY m) AS prev
+        FROM ord
+    ),
+    chg AS (
+        SELECT user_id, etype, eff FROM seq
+        WHERE prev IS NULL OR etype <> prev
+    ),
+    hist AS (
+        SELECT user_id, etype, eff AS valid_from,
+               lead(eff) OVER (PARTITION BY user_id ORDER BY eff)
+                   AS valid_to
+        FROM chg
+    )
+"""
+
+
+# Temporal dimension join (round 8): every purchase event joined to
+# the SCD-2 dimension row that was VALID AT the event's own time —
+# the fact-to-Type-2-dimension lookup every warehouse needs. The dim
+# side is |users × changes| (broadcast); the user_id equality makes
+# the plan a BroadcastHashJoin with the interval predicate as a
+# residual filter — a hash join, never a per-row scan of history. The
+# oracle reconstructs the same history (the scd2 query's CTE) and
+# applies the same half-open interval join.
+@query(
+    "purchase_with_user_type_asof",
+    oracle=_SCD2_HIST_SQL
+    + """
+    SELECT e.event_id,
+           e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS purchase_sec,
+           h.etype AS user_type_at_purchase
+    FROM events e
+    JOIN hist h
+      ON e.user_id = h.user_id
+     AND h.valid_from <= CAST(floor(epoch(e.ts)) AS BIGINT)
+     AND (h.valid_to IS NULL
+          OR CAST(floor(epoch(e.ts)) AS BIGINT) < h.valid_to)
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+)
+def purchase_with_user_type_asof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_ml_showcase_spark.operators import scd2
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    table_dir = _scd2_store(spark, sf_dir)
+    hist = scd2.scd2_history(spark, table_dir).select(
+        F.col("user_id").alias("_hu"),
+        F.col("event_type").alias("user_type_at_purchase"),
+        "valid_from",
+        "valid_to",
+    )
+    p = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("purchase_sec"),
+    )
+    cond = (
+        (p.user_id == hist._hu)
+        & (hist.valid_from <= p.purchase_sec)
+        & (hist.valid_to.isNull() | (p.purchase_sec < hist.valid_to))
+    )
+    return (
+        p.join(F.broadcast(hist), cond)
+        .select(
+            "event_id", "user_id", "purchase_sec", "user_type_at_purchase"
+        )
+        .orderBy("event_id")
     )
 
 
