@@ -59,6 +59,12 @@ ALLOWLIST = {
         "bnlj": "share-of-total: single-row global total crossed into "
         "the per-type rows"
     },
+    "kmv_user_overlap_types": {
+        "bnlj": "pairwise set-algebra over the 5 per-type KMV sketch "
+        "rows: a broadcast type_a < type_b self-join of a "
+        "|event-types|-sized frame — the whole point is that the "
+        "event-scale table was already reduced to 5 sketch rows"
+    },
     "tpch_q11_important_stock": {
         "bnlj": "Q11's global threshold: a broadcast SINGLE-ROW "
         "(total, n_parts) aggregate crossed into the per-part values "
