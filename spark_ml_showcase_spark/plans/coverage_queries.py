@@ -586,3 +586,64 @@ def kmv_user_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# Exact-moment Pearson correlation (round 8): per-flag corr(quantity,
+# extendedprice) from six EXACT decimal power sums, with the r formula
+# evaluated in identical double arithmetic on both engines (IEEE ops +
+# correctly-rounded sqrt on correctly-rounded inputs are bitwise
+# reproducible). The price² sum's integer representation exceeds 2^53,
+# which trips DuckDB's decimal→double double-rounding (the r8 hazard
+# pinned in tests/test_oracle_lint.py) — the ROUND-to-scale-2 remedy
+# can't shrink a 1e15-scale sum, so the oracle routes those casts
+# through VARCHAR (exact digits → strtod, correctly rounded like
+# Spark's BigDecimal cast). F.corr itself is float-sum-based and
+# partition-order-dependent — this is the deterministic form.
+@query(
+    "corr_qty_price_by_flag",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)))
+                    AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+                             * CAST(l_quantity AS DECIMAL(4,0)))
+                    AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+                             * CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS VARCHAR) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    q = F.col("l_quantity").cast("decimal(4,0)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag", F.round(r, 6).alias("corr_qty_price")
+    ).orderBy("l_returnflag")

@@ -1513,3 +1513,98 @@ def udtf_lateral_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, chunk_id
         """
     )
+
+
+# BM25 document ranking (round 8): Okapi BM25 (k1=1.2, b=0.75) for a
+# fixed 3-term query over whitespace-tokenized documents. Every input
+# to the formula is an exact integer (token tf, doc length, doc
+# frequency, N), so idf/tf-saturation/length-normalization evaluate in
+# identical double arithmetic on both engines; the score rounds to 6dp
+# LAST. The corpus stats are a broadcast single-row aggregate (the
+# allowlisted scalar-BNLJ shape, cf. bigram_lm_scores); at 100 TB the
+# per-doc side is one projection pass — tf extraction never shuffles
+# text, and only (doc_id, score) rows reach the ordering.
+@query(
+    "bm25_rank_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tl FROM documents
+    ),
+    tf AS (
+        SELECT doc_id,
+               CAST(len(tl) AS DOUBLE) AS dl,
+               CAST(len(list_filter(tl, x -> x = 'spark')) AS DOUBLE) AS tf1,
+               CAST(len(list_filter(tl, x -> x = 'query')) AS DOUBLE) AS tf2,
+               CAST(len(list_filter(tl, x -> x = 'merge')) AS DOUBLE) AS tf3
+        FROM toks
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+               CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+               CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        FROM tf
+    )
+    SELECT doc_id,
+           ROUND(
+               ln((n - df1 + 0.5) / (df1 + 0.5) + 1)
+                 * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df2 + 0.5) / (df2 + 0.5) + 1)
+                 * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df3 + 0.5) / (df3 + 0.5) + 1)
+                 * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               6) AS bm25
+    FROM tf, stats
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY bm25 DESC, doc_id
+    """,
+)
+def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.split("text", " ").alias("tl")
+    )
+    terms = ["spark", "query", "merge"]
+
+    def _is(term):
+        # NB a 2-arg lambda (x, t=term) would be read by F.filter as the
+        # (element, index) form — bind the term via closure instead
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("tl"), _is(t)))
+        .cast("double")
+        .alias(f"tf{i + 1}")
+        for i, t in enumerate(terms)
+    ]
+    tf = docs.select(
+        "doc_id", F.size("tl").cast("double").alias("dl"), *tf_cols
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i + 1}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i + 1}")
+            for i in range(len(terms))
+        ],
+    )
+    j = tf.crossJoin(F.broadcast(stats)).filter(
+        (F.col("tf1") + F.col("tf2") + F.col("tf3")) > 0
+    )
+    norm = F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+    )
+    score = None
+    for i in range(len(terms)):
+        tf_i, df_i = F.col(f"tf{i + 1}"), F.col(f"df{i + 1}")
+        idf = F.log(
+            (F.col("n") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5)) + F.lit(1)
+        )
+        part = idf * tf_i * F.lit(2.2) / (tf_i + norm)
+        score = part if score is None else score + part
+    return (
+        j.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+    )

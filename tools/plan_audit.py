@@ -59,6 +59,11 @@ ALLOWLIST = {
         "bnlj": "share-of-total: single-row global total crossed into "
         "the per-type rows"
     },
+    "bm25_rank_docs": {
+        "bnlj": "BM25's corpus stats (N, avgdl, per-term df) are ONE "
+        "broadcast row crossed into the per-doc tf frame — the "
+        "bigram_lm_scores scalar shape; no data-sized side exists"
+    },
     "kmv_user_overlap_types": {
         "bnlj": "pairwise set-algebra over the 5 per-type KMV sketch "
         "rows: a broadcast type_a < type_b self-join of a "
