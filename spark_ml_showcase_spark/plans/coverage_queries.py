@@ -647,3 +647,48 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag", F.round(r, 6).alias("corr_qty_price")
     ).orderBy("l_returnflag")
+
+
+# Aggregate-function surface extras (round 8): the SQL aggregates the
+# registry had not yet pinned cross-engine — ordered STRING_AGG
+# (Spark: sorted collect_list + array_join; deterministic only with
+# the explicit ORDER BY inside the aggregate), exact interpolated
+# MEDIAN (Spark `percentile` == DuckDB percentile_cont over doubles;
+# the unordered `median()` on decimals differs), COUNT_IF, and
+# BOOL_AND/BOOL_OR. One pass over orders, grouped by status.
+@query(
+    "agg_extras_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, '|'
+                      ORDER BY o_orderpriority) AS priorities,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (
+               ORDER BY CAST(o_totalprice AS DOUBLE)), 6) AS median_price,
+           CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0.0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_extras_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
+            F.round(
+                F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.5)),
+                6,
+            ).alias("median_price"),
+            F.count_if(F.col("o_totalprice") > 200000.0)
+            .cast("bigint")
+            .alias("n_big"),
+            F.every(F.col("o_totalprice") > 0.0).alias("all_positive"),
+            F.some(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
