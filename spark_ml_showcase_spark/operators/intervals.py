@@ -49,6 +49,7 @@ def interval_overlap_join(
     bucket_width: float,
     on: list[str] | None = None,
     residual: Column | None = None,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """All (left, right) pairs whose half-open intervals
     ``[left_lo, left_hi)`` and ``[right_lo, right_hi)`` intersect,
@@ -59,6 +60,18 @@ def interval_overlap_join(
     column names must not collide between the two sides — alias before
     calling, as with any join. ``residual`` is an extra filter applied
     after the join (referencing columns from both sides).
+
+    ``max_cell_rows`` is the hot-cell guard (same philosophy as the
+    MinHash ``max_bucket`` and SemDeDup hot-cell guards): a (keys,
+    cell) bucket's join cost is |left-in-cell| × |right-in-cell|, so
+    one pathological cell — every interval covering midnight, one
+    tenant's maintenance window — can dominate the whole job. With the
+    guard set, cells whose LEFT-side population exceeds the bound are
+    excluded from the join (a broadcast anti-join on the cell id; at
+    most |hot cells| values), and the caller handles them explicitly —
+    a narrower bucket_width, per-key salting, or a dedicated pass.
+    Excluding by one side keeps the semantics simple: a pair is
+    dropped iff its reporting cell is hot.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
@@ -77,6 +90,17 @@ def interval_overlap_join(
     # same-named columns across a self-join is ambiguous, so the right
     # side's join columns get fresh internal names before the join.
     lb = left.withColumn("_cell", cells(left_lo, left_hi))
+    if max_cell_rows is not None:
+        # dropping the left copy of a hot cell kills exactly the pairs
+        # whose REPORTING cell it is — other cells of the same interval
+        # still join, so only hot-cell pairs are excluded
+        hot = (
+            lb.groupBy(*keys, "_cell")
+            .count()
+            .filter(F.col("count") > int(max_cell_rows))
+            .select(*keys, "_cell")
+        )
+        lb = lb.join(F.broadcast(hot), on=[*keys, "_cell"], how="left_anti")
     rb = right.withColumn("_rcell", cells(right_lo, right_hi))
     rkey = {k: f"_rk_{k}" for k in keys}
     for k, rk in rkey.items():

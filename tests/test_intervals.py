@@ -112,3 +112,22 @@ def test_bucket_width_must_be_positive(spark):
         pass
     else:  # pragma: no cover
         raise AssertionError("bucket_width=0 accepted")
+
+
+def test_hot_cell_guard_drops_only_hot_reporting_cells(spark):
+    # 50 left intervals crammed into cell 0 (the hot cell) + 1 in cell 5;
+    # right side overlaps both regions
+    lrows = [(i, "k", 1, 5) for i in range(50)] + [(99, "k", 20, 24)]
+    rrows = [(1, "k", 2, 4), (2, "k", 21, 23)]
+    left = spark.createDataFrame(lrows, "lid int, k string, llo int, lhi int")
+    right = spark.createDataFrame(rrows, "rid int, k string, rlo int, rhi int")
+    guarded = interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi",
+        bucket_width=4, on=["k"], max_cell_rows=10,
+    )
+    # the 50 hot-cell pairs are excluded; the cool cell-5 pair survives
+    assert _pairs(guarded) == {(99, 2)}
+    unguarded = interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi", bucket_width=4, on=["k"]
+    )
+    assert len(_pairs(unguarded)) == 51
