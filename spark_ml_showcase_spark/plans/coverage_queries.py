@@ -692,3 +692,63 @@ def agg_extras_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# Group-wise OLS linear trend (round 8): slope/intercept of value over
+# time per event type, from five EXACT power sums — the per-key trend
+# detector (is this metric drifting?) as a one-pass aggregation, the
+# X38 exact-moment recipe extended to regression. Time is centered on
+# a fixed epoch (2024-01-01) so the squared sums stay narrow; they
+# still exceed 2^53, so the oracle routes the decimal→double casts
+# through VARCHAR (strtod, correctly rounded) exactly like
+# corr_qty_price_by_flag. The double formula is evaluated identically
+# on both engines and rounded 6dp last.
+@query(
+    "trend_value_by_type",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(floor(epoch(ts)) - 1704067200
+                                  AS DECIMAL(10,0)))
+                    AS VARCHAR) AS DOUBLE) AS st,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                    AS VARCHAR) AS DOUBLE) AS sv,
+               CAST(CAST(SUM(CAST(floor(epoch(ts)) - 1704067200
+                                  AS DECIMAL(10,0))
+                             * CAST(floor(epoch(ts)) - 1704067200
+                                    AS DECIMAL(10,0)))
+                    AS VARCHAR) AS DOUBLE) AS stt,
+               CAST(CAST(SUM(CAST(floor(epoch(ts)) - 1704067200
+                                  AS DECIMAL(10,0))
+                             * CAST(value AS DECIMAL(12,2)))
+                    AS VARCHAR) AS DOUBLE) AS stv
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND((n * stv - st * sv) / (n * stt - st * st) * 86400.0,
+                 6) AS slope_per_day,
+           ROUND((sv - (n * stv - st * sv) / (n * stt - st * st) * st)
+                 / n, 6) AS intercept
+    FROM m ORDER BY event_type
+    """,
+)
+def trend_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    t = (F.col("ts").cast("long") - F.lit(1704067200)).cast("decimal(10,0)")
+    v = F.col("value").cast("decimal(12,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(t).cast("double").alias("st"),
+        F.sum(v).cast("double").alias("sv"),
+        F.sum(t * t).cast("double").alias("stt"),
+        F.sum(t * v).cast("double").alias("stv"),
+    )
+    n, st, sv = F.col("n"), F.col("st"), F.col("sv")
+    stt, stv = F.col("stt"), F.col("stv")
+    slope = (n * stv - st * sv) / (n * stt - st * st)
+    return m.select(
+        "event_type",
+        F.round(slope * F.lit(86400.0), 6).alias("slope_per_day"),
+        F.round((sv - slope * st) / n, 6).alias("intercept"),
+    ).orderBy("event_type")

@@ -797,3 +797,72 @@ def test_hypertable_rollup_parity(spark, ddb_events, m, bucket):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.sampled_from(
+        [("view", "click"), ("view", "purchase"), ("signup", "error"),
+         ("click", "purchase")]
+    ),
+    st.integers(min_value=0, max_value=20),
+)
+def test_kmv_exact_regime_set_algebra_parity(spark, ddb_events, pair, day_lo):
+    """Family 17: below k the KMV sketch IS the distinct set, so the
+    union/Jaccard/intersection estimators must equal DuckDB's exact set
+    arithmetic — not approximately, EXACTLY — for random type pairs and
+    random day windows (including windows where one side is empty)."""
+    from spark_ml_showcase_spark.functions import kmv
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    ta, tb = pair
+    lo = 1704067200 + day_lo * 86400
+    hi = lo + 7 * 86400
+    ev = Catalog(spark, SF).events.filter(
+        (F.col("ts").cast("long") >= lo) & (F.col("ts").cast("long") < hi)
+    )
+    k = 4096
+    sk = kmv.kmv_sketch(ev, ["event_type"], "user_id", k=k)
+    a = sk.filter(F.col("event_type") == ta).select(
+        F.col("sketch").alias("sa")
+    )
+    b = sk.filter(F.col("event_type") == tb).select(
+        F.col("sketch").alias("sb")
+    )
+    got = (
+        a.crossJoin(b)
+        .select(
+            kmv.kmv_estimate(kmv.kmv_merge("sa", "sb", k=k), k=k).alias("u"),
+            kmv.kmv_intersection("sa", "sb", k=k).alias("i"),
+        )
+        .collect()
+    )
+    want = ddb_events.execute(
+        f"""
+        WITH a AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = '{ta}'
+                     AND CAST(floor(epoch(ts)) AS BIGINT) >= {lo}
+                     AND CAST(floor(epoch(ts)) AS BIGINT) < {hi}),
+             b AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = '{tb}'
+                     AND CAST(floor(epoch(ts)) AS BIGINT) >= {lo}
+                     AND CAST(floor(epoch(ts)) AS BIGINT) < {hi})
+        SELECT (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)),
+               (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+        """
+    ).fetchall()[0]
+    if not got:  # one side empty at this window: nothing to compare
+        n_a = ddb_events.execute(
+            f"SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = '{ta}'"
+            f" AND CAST(floor(epoch(ts)) AS BIGINT) >= {lo}"
+            f" AND CAST(floor(epoch(ts)) AS BIGINT) < {hi}"
+        ).fetchone()[0]
+        n_b = ddb_events.execute(
+            f"SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = '{tb}'"
+            f" AND CAST(floor(epoch(ts)) AS BIGINT) >= {lo}"
+            f" AND CAST(floor(epoch(ts)) AS BIGINT) < {hi}"
+        ).fetchone()[0]
+        assert n_a == 0 or n_b == 0
+        return
+    assert got[0].u == float(want[0])
+    assert got[0].i == float(want[1])
