@@ -752,3 +752,87 @@ def trend_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope * F.lit(86400.0), 6).alias("slope_per_day"),
         F.round((sv - slope * st) / n, 6).alias("intercept"),
     ).orderBy("event_type")
+
+
+# Data-quality expectations gate (round 8): six declared constraints
+# validated against orders in minimal passes — ALL row-local checks
+# share ONE scan (a single aggregation exploded into per-check rows,
+# plan-pinned in tests/test_expectations.py), uniqueness is one
+# distinct-count, and the FK check is one broadcast anti-join. The
+# oracle replays each check as an independent scalar aggregate. This
+# is the deequ-style assertion step a production ingest runs before
+# committing a drop to the versioned store.
+@query(
+    "validate_orders_expectations",
+    oracle="""
+    WITH checks AS (
+        SELECT 'in_range(o_totalprice)' AS check_name,
+               CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0
+                                   OR o_totalprice > 600000.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+               CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'matches_regex(o_orderpriority)',
+               CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority,
+                                                     '^[1-5]-')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'not_null(o_orderkey)',
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'referential(o_custkey)',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey IS NOT NULL
+                  AND o.o_custkey NOT IN
+                      (SELECT c_custkey FROM customer)),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               CAST(COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+                    - COUNT(DISTINCT o_orderkey) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+    )
+    SELECT check_name, violations, total,
+           (violations = 0) AS passed
+    FROM checks
+    ORDER BY check_name
+    """,
+)
+def validate_orders_expectations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_ml_showcase_spark.operators import expectations as X
+
+    cat = Catalog(spark, sf_dir)
+    o, c = cat.orders, cat.customer
+    out = X.validate(
+        o,
+        [
+            X.not_null("o_orderkey"),
+            X.in_range("o_totalprice", 0.0, 600000.0),
+            X.in_set("o_orderstatus", ["F", "O", "P"]),
+            X.matches_regex("o_orderpriority", "^[1-5]-"),
+            X.unique("o_orderkey"),
+            X.referential("o_custkey", c, "c_custkey"),
+        ],
+    )
+    return out.select(
+        F.col("check").alias("check_name"), "violations", "total", "passed"
+    ).orderBy("check_name")
