@@ -59,6 +59,12 @@ ALLOWLIST = {
         "bnlj": "share-of-total: single-row global total crossed into "
         "the per-type rows"
     },
+    "validate_orders_expectations": {
+        "bnlj": "the unique/referential check rows cross their "
+        "SINGLE-ROW violation aggregate with the SINGLE-ROW total "
+        "aggregate — two 1-row frames per check; the row-local checks "
+        "share one scan and never cross anything"
+    },
     "bm25_rank_docs": {
         "bnlj": "BM25's corpus stats (N, avgdl, per-term df) are ONE "
         "broadcast row crossed into the per-doc tf frame — the "
