@@ -836,3 +836,46 @@ def validate_orders_expectations(
     return out.select(
         F.col("check").alias("check_name"), "violations", "total", "passed"
     ).orderBy("check_name")
+
+
+# UNPIVOT / melt (round 8): the inverse of V1's native pivot —
+# a wide per-type stat frame reshaped long via DataFrame.unpivot
+# (whole-stage-codegen Expand, no shuffle beyond the feeding agg).
+# The oracle replays the reshape as a UNION ALL of the three stat
+# projections; avg is decimal-exact-sum / count rounded 6dp, min/max
+# are raw stored doubles.
+@query(
+    "unpivot_event_value_stats",
+    oracle="""
+    WITH wide AS (
+        SELECT event_type,
+               MIN(value) AS v_min,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS v_avg,
+               MAX(value) AS v_max
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, stat, value FROM (
+        SELECT event_type, 'v_min' AS stat, v_min AS value FROM wide
+        UNION ALL
+        SELECT event_type, 'v_avg', v_avg FROM wide
+        UNION ALL
+        SELECT event_type, 'v_max', v_max FROM wide
+    )
+    ORDER BY event_type, stat
+    """,
+)
+def unpivot_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    wide = ev.groupBy("event_type").agg(
+        F.min("value").alias("v_min"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v_avg"),
+        F.max("value").alias("v_max"),
+    )
+    return wide.unpivot(
+        ["event_type"], ["v_min", "v_avg", "v_max"], "stat", "value"
+    ).orderBy("event_type", "stat")
