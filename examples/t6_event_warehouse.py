@@ -121,7 +121,8 @@ def main() -> None:
         on=["user_id"],
     )
     print(f"overlapping view/purchase windows: {pairs.count()} pairs")
-    spark.stop()
+    # no spark.stop(): the other examples leave the session to process
+    # exit too, and the smoke test shares the suite-wide session
 
 
 if __name__ == "__main__":
