@@ -95,7 +95,7 @@ QZ_DICT_V1 = (
 # v2 (round 8): the registry outgrew v1's compression at 145 names
 # (qz alone blew the 1960-char budget); the added fragments cover the
 # r7/r8 query families and bring the same payload to ~1.55k chars.
-QZ_DICT = QZ_DICT_V1 + (
+QZ_DICT_V2 = QZ_DICT_V1 + (
     b"|learned_quality_terciles|stream_lsh_dedup_docs|volume_shipping"
     b"|market_share|returned_items|customer_distribution|promo_effect"
     b"|top_supplier|small_quantity|global_sales_opportunity"
@@ -116,6 +116,19 @@ QZ_DICT = QZ_DICT_V1 + (
     b"|pyds_gen|dpp_|mondays|above_|spark|drift|diff|lag|hll"
 )
 
+# v3 (round 8, second half): 169 registered names overflowed v2 —
+# fragments for the TPC-H completion and the warehouse/statistics
+# families added this half.
+QZ_DICT = QZ_DICT_V2 + (
+    b"|min_cost_supplier|product_profit|important_stock|late_priority"
+    b"|part_supplier_cnt|disjunctive_revenue|excess_share_suppliers"
+    b"|waiting_orders|interval_overlap_view_purchase|hypertable_"
+    b"|distinct_users|kmv_|user_overlap_types|scd2_user_type_history"
+    b"|purchase_with_user_type_asof|corr_qty_price_by_flag"
+    b"|bm25_rank_docs|agg_extras_by_status|trend_value_by_type"
+    b"|validate_orders_expectations|unpivot_event_value_stats|_hourly"
+)
+
 
 def decode_qz(qz: str) -> dict[str, float]:
     """Inverse of :func:`encode_qz` — seconds keyed by query name.
@@ -125,7 +138,7 @@ def decode_qz(qz: str) -> dict[str, float]:
     import zlib
 
     raw = None
-    for zd in (QZ_DICT, QZ_DICT_V1):
+    for zd in (QZ_DICT, QZ_DICT_V2, QZ_DICT_V1):
         try:
             dec = zlib.decompressobj(zdict=zd)
             raw = dec.decompress(base64.b85decode(qz)) + dec.flush()
