@@ -34,7 +34,15 @@ partial states (operators/hypertable.py).
 
 Hash collisions (xxhash64, 64-bit) perturb the exact regime with
 probability ~d²/2⁶⁵ for d distinct values — negligible below ~10⁸
-distinct per group, documented rather than defended.
+distinct per group, documented rather than defended. That bound only
+holds because sketches store the RAW 64-bit hash (bigint): an earlier
+revision stored ``hash/2⁶⁴`` doubles, which collapses the space to
+~2⁵³ distinguishable values and degrades collisions ~2000× (at 10⁸
+distinct, ~50% odds — advisor finding r8). The signed-long sort order
+is the unit-interval order (``x ↦ x/2⁶⁴ + 0.5`` is monotone), so
+k-min over bigints IS k-min over [0,1); the conversion happens once,
+inside :func:`kmv_estimate`, where double rounding only perturbs the
+estimate by ~2⁻⁵³ relative — harmless there.
 """
 
 from __future__ import annotations
@@ -53,23 +61,30 @@ __all__ = [
 _TWO64 = 2.0**64
 
 
-def _unit_hash(col: str | Column) -> Column:
-    """xxhash64 mapped to uniform [0, 1): signed long → unit interval."""
+def _hash64(col: str | Column) -> Column:
+    """Raw xxhash64 (signed BIGINT). Sketch values stay in this domain;
+    ascending signed order == ascending unit-interval order."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.xxhash64(c).cast("double") / F.lit(_TWO64)) + F.lit(0.5)
+    return F.xxhash64(c)
+
+
+def _to_unit(c: Column) -> Column:
+    """Signed 64-bit hash → uniform [0, 1), for the estimator only."""
+    return (c.cast("double") / F.lit(_TWO64)) + F.lit(0.5)
 
 
 def kmv_sketch(
     df: DataFrame, group_cols: list[str], value_col: str, *, k: int = 256
 ) -> DataFrame:
-    """One row per group: ``group_cols..., sketch array<double>`` — the
-    sorted k smallest unit hashes of ``value_col``'s distinct values."""
+    """One row per group: ``group_cols..., sketch array<bigint>`` — the
+    sorted k smallest 64-bit hashes of ``value_col``'s distinct values
+    (signed order, which equals the unit-interval order)."""
     if k < 2:
         raise ValueError("k must be >= 2")
     kmin = lambda c: F.slice(F.array_sort(F.collect_set(c)), 1, k)  # noqa: E731
     part = df.select(
         *group_cols,
-        _unit_hash(value_col).alias("_h"),
+        _hash64(value_col).alias("_h"),
         F.spark_partition_id().alias("_pid"),
     )
     # stage 1: per-(group, partition) k-min — the map-side combine;
@@ -88,7 +103,7 @@ def kmv_estimate(sketch: str | Column, *, k: int) -> Column:
     """Distinct-count estimate: exact size below k, else (k-1)/h_(k)."""
     s = F.col(sketch) if isinstance(sketch, str) else sketch
     return F.when(F.size(s) < k, F.size(s).cast("double")).otherwise(
-        F.lit(float(k - 1)) / F.element_at(s, k)
+        F.lit(float(k - 1)) / _to_unit(F.element_at(s, k))
     )
 
 

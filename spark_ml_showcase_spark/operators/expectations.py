@@ -106,6 +106,18 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     scan; order of the output follows the order of ``checks``."""
     if not checks:
         raise ValueError("no checks given")
+    names = [c.name for c in checks]
+    dups = sorted({n for n in names if names.count(n) > 1})
+    if dups:
+        # Two same-named checks are easy to create accidentally (default
+        # names omit parameters: two in_range on one column collide) and
+        # would (a) hit Spark's DUPLICATED_MAP_KEY error in the ordering
+        # map below and (b) make the result rows indistinguishable —
+        # fail loudly with the fix spelled out (advisor finding r8).
+        raise ValueError(
+            f"duplicate check names {dups}: pass an explicit name= to "
+            "disambiguate same-kind checks on the same column"
+        )
     total_col = F.count(F.lit(1)).cast("bigint")
     results: list[DataFrame] = []
 

@@ -75,7 +75,7 @@ def _partials(
         # The collect_set is bucket-scoped (one bucket's distincts, not
         # the stream's), and the stored state is capped at k doubles.
         out.append(
-            _kmin(F.collect_set(kmv._unit_hash(distinct_col)), k).alias(
+            _kmin(F.collect_set(kmv._hash64(distinct_col)), k).alias(
                 _KMV_COL
             )
         )
@@ -114,6 +114,7 @@ def rollup_refresh(
     bucket: str = "hour",
     distinct_col: str | None = None,
     kmv_k: int = 256,
+    batch_id: int | None = None,
 ) -> int:
     """Fold one raw batch into the stored rollup; returns the new store
     version. Late rows are first-class: any bucket the batch touches is
@@ -124,6 +125,11 @@ def rollup_refresh(
     states (exact while a bucket holds < ``kmv_k`` distinct values —
     functions/kmv.py); every refresh of a table must pass the same
     ``distinct_col``/``kmv_k``.
+
+    ``batch_id`` (streaming callers) is stamped into the committed
+    manifest ATOMICALLY with the data, so a crash after the commit but
+    before any separate ledger write still leaves durable evidence the
+    batch landed — see :func:`stream_rollup_refresh`.
     """
     delta = batch.groupBy(
         _bucket_col(time_col, bucket), *keys
@@ -138,7 +144,9 @@ def rollup_refresh(
     )
     if not versioned.snapshot_versions(table_dir):
         return versioned.write_snapshot(
-            delta.select(sk, *group, *state_cols), table_dir
+            delta.select(sk, *group, *state_cols),
+            table_dir,
+            batch_id=batch_id,
         )
     current = versioned.read_snapshot(spark, table_dir)
     touched = delta.select(*group).distinct()
@@ -149,7 +157,11 @@ def rollup_refresh(
         affected.drop("_rk").unionByName(delta).groupBy(*group).agg(*aggs)
     )
     return versioned.merge_keys(
-        spark, table_dir, combined.select(sk, *group, *state_cols), "_rk"
+        spark,
+        table_dir,
+        combined.select(sk, *group, *state_cols),
+        "_rk",
+        batch_id=batch_id,
     )
 
 
@@ -212,6 +224,13 @@ def stream_rollup_refresh(
     store's retention-independent ledger — a replayed micro-batch
     would otherwise DOUBLE-MERGE its partial states (refresh is
     additive, not idempotent), which is the failure mode this guards.
+    The ledger alone is NOT crash-safe: it is written in a separate
+    step after the refresh commit, so a crash in between leaves the
+    batch committed but unledgered and the replay would double-count
+    (advisor finding r8). Belt-and-braces, same as
+    ``stream_append_snapshots``: the refresh stamps ``batch_id`` into
+    the snapshot manifest ATOMICALLY with the data commit, and the
+    replay check unions live-manifest batch ids with the ledger.
     Runs with ``availableNow`` (drain, then stop); call again on the
     next drop — the checkpoint carries progress forward.
     """
@@ -219,7 +238,11 @@ def stream_rollup_refresh(
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if batch_id in versioned._ingested_batch_ids(table_dir):
+        committed = versioned._ingested_batch_ids(table_dir) | {
+            versioned._read_manifest(table_dir, v).get("batch_id")
+            for v in versioned.snapshot_versions(table_dir)
+        }
+        if batch_id in committed:
             return  # replay after a crash between refresh and checkpoint
         rollup_refresh(
             batch_df.sparkSession,
@@ -231,6 +254,7 @@ def stream_rollup_refresh(
             bucket=bucket,
             distinct_col=distinct_col,
             kmv_k=kmv_k,
+            batch_id=batch_id,
         )
         versioned._ledger_add_batch_id(table_dir, batch_id)
 

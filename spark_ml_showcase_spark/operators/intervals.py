@@ -76,15 +76,21 @@ def interval_overlap_join(
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     w = F.lit(bucket_width)
-    eps = F.lit(1e-12)
     keys = list(on or [])
 
     def cells(lo: str, hi: str) -> Column:
-        # [lo, hi) covers cells floor(lo/w) .. floor((hi-eps)/w); the
-        # eps keeps an exact multiple-of-w endpoint OUT of the next cell
-        return F.explode(
-            F.sequence(F.floor(F.col(lo) / w), F.floor((F.col(hi) - eps) / w))
-        )
+        # [lo, hi) covers cells floor(lo/w) .. end_cell, where end_cell
+        # steps BACK one cell when hi sits exactly on a cell boundary
+        # (the half-open end excludes it). The boundary test is an exact
+        # `hi % w == 0`, not an epsilon: an earlier absolute eps=1e-12
+        # underflowed at epoch-second magnitudes (hi - 1e-12 == hi in
+        # double for hi ~ 1.7e9), silently exploding boundary-ending
+        # intervals into one extra cell each (advisor finding r8 —
+        # results stayed correct via the overlap+reporting-cell filters,
+        # but the fan-out and this invariant were off).
+        hc = F.floor(F.col(hi) / w)
+        end = F.when(F.col(hi) % w == 0, hc - F.lit(1)).otherwise(hc)
+        return F.explode(F.sequence(F.floor(F.col(lo) / w), end))
 
     # Both sides often share lineage (two filters of one table); joining
     # same-named columns across a self-join is ambiguous, so the right

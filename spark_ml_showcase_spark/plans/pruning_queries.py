@@ -535,8 +535,16 @@ def hypertable_distinct_users_hourly(
     from spark_ml_showcase_spark.sources.catalog import Catalog
 
     key = os.path.basename(os.path.normpath(sf_dir))
-    table_dir = os.path.join("/tmp/smss_versioned", key, "events_rollup_kmv")
-    fp_path = os.path.join("/tmp/smss_versioned", key, "_SOURCE_FP_ROLLUP_KMV")
+    # _v2: the KMV state schema changed array<double> → array<bigint>
+    # (full-resolution hashes, advisor r8); a pre-change cached store
+    # would feed doubles to the bigint estimator, so the cache key must
+    # change with the state format
+    table_dir = os.path.join(
+        "/tmp/smss_versioned", key, "events_rollup_kmv_v2"
+    )
+    fp_path = os.path.join(
+        "/tmp/smss_versioned", key, "_SOURCE_FP_ROLLUP_KMV_V2"
+    )
     fp = io._source_fingerprint(os.path.join(sf_dir, "events.parquet"))
     if not (
         len(versioned.snapshot_versions(table_dir)) >= 3

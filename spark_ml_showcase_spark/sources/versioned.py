@@ -430,6 +430,8 @@ def merge_keys(
     table_dir: str,
     updates: DataFrame,
     key_col: str,
+    *,
+    batch_id: int | None = None,
 ) -> int:
     """MERGE (SCD-1 upsert): commit a new version where each key in
     ``updates`` REPLACES its current row (or is inserted if new) and
@@ -449,6 +451,10 @@ def merge_keys(
     History is immutable: the parent version still holds the old rows
     until expire+vacuum, so a bad merge is one time-travel away from
     recovery.
+
+    ``batch_id`` stamps the commit's manifest for streaming callers
+    whose folds are additive (hypertable rollup): the manifest is the
+    crash-safe replay record, committed atomically with the data.
     """
     dup = (
         updates.groupBy(key_col)
@@ -468,4 +474,4 @@ def merge_keys(
         keys, latest[key_col] == F.col("_mk"), "left_anti"
     )
     merged = kept.unionByName(updates, allowMissingColumns=True)
-    return write_snapshot(merged, table_dir)
+    return write_snapshot(merged, table_dir, batch_id=batch_id)

@@ -98,7 +98,17 @@ def stream_minhash_dedup(
     # garbage Jaccard estimates — fail loudly instead. A state dir that
     # HAS signatures but NO manifest (built by something else) is
     # unverifiable — refuse rather than stamp the new params over it.
-    params = {"ngram": ngram, "k": k, "bands": bands}
+    # `sig_scheme` pins the signature IMPLEMENTATION too (advisor r8):
+    # the numpy path hashes grams with crc32 while the old agg path
+    # used xxhash64 — same params, incompatible signature VALUES, so a
+    # resume across the implementation switch must also fail loudly
+    # (an old manifest has no sig_scheme key and mismatches here).
+    params = {
+        "ngram": ngram,
+        "k": k,
+        "bands": bands,
+        "sig_scheme": "np-crc32-v1",
+    }
     manifest = os.path.join(state_dir, "params.json")
     if resume and os.path.exists(manifest):
         prior = json.loads(open(manifest).read())

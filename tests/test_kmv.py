@@ -70,10 +70,11 @@ def test_jaccard_and_intersection_estimates(spark):
 def test_two_stage_equals_direct_kmin(spark):
     df = _ids(spark, 3000).repartition(16)
     sk = kmv.kmv_sketch(df, ["g"], "v", k=64).collect()[0].sketch
+    # sketches hold raw signed 64-bit hashes; signed ascending order is
+    # the unit-interval order, so the two-stage k-min must equal the
+    # direct distinct-sort-limit over the bigint hash domain
     direct = (
-        df.select(
-            ((F.xxhash64("v").cast("double") / F.lit(2.0**64)) + 0.5).alias("h")
-        )
+        df.select(F.xxhash64("v").alias("h"))
         .distinct()
         .orderBy("h")
         .limit(64)
