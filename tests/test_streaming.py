@@ -397,6 +397,84 @@ def test_stream_minhash_dedup_resume_across_calls(spark, tmp_path):
         )
 
 
+def test_stream_minhash_dedup_compaction_bounds_state_parts(spark, tmp_path):
+    """LSM compaction (round 9): across many micro-batches the number of
+    live state parts a lookup reads stays bounded by compact_every + 1
+    (base + deltas) — it must NOT grow linearly with ingested batches —
+    while dedup results are identical to the uncompacted path, including
+    dups of docs whose state now lives in the compacted base, and
+    resume=True keeps working across a compaction boundary."""
+    import json
+
+    from spark_ml_showcase_spark.streaming import corpus as sc_
+
+    words = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "red orange yellow green blue indigo violet crimson amber teal navy gold",
+        "north south east west upper lower inner outer left right front back",
+        "spark shuffle broadcast partition executor driver stage task codegen arrow pandas catalyst",
+        "apple banana cherry date elderberry fig grape honeydew kiwi lemon mango nectarine",
+        "table index column row schema parquet footer statistics predicate pushdown pruning scan",
+        "river mountain valley forest desert ocean island plateau canyon glacier tundra marsh",
+        "copper silver golden iron nickel cobalt zinc titanium chromium platinum mercury lead",
+        "monday tuesday wednesday thursday friday saturday sunday january february march april may",
+    ]
+    d = os.path.join(str(tmp_path), "docs")
+    # drop i carries novel doc i*10 plus (for i>=1) an exact copy of the
+    # FIRST doc — by drop 5+ that original's state is in the compacted
+    # base, so the copy dropping proves base lookups work
+    for i, w in enumerate(words):
+        rows = [(i * 10, w)]
+        if i >= 1:
+            rows.append((i * 10 + 1, words[0]))
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    state = os.path.join(str(tmp_path), "lsh_state")
+    kept = sc_.stream_minhash_dedup(
+        se.stream_staged(spark, d, max_files_per_trigger=1),
+        state_dir=state,
+        ngram=3,
+        k=32,
+        bands=8,
+        threshold=0.5,
+        compact_every=3,
+    )
+    assert {r.doc_id for r in kept.collect()} == {i * 10 for i in range(10)}
+
+    man = json.loads(open(os.path.join(state, "base.json")).read())
+    assert man["gen"] >= 2, "10 batches at compact_every=3 must compact twice+"
+    for sub in ("sigs", "buckets"):
+        live = [
+            n
+            for n in os.listdir(os.path.join(state, sub))
+            if os.path.exists(os.path.join(state, sub, n, "_SUCCESS"))
+            and (n == f"base_g{man['gen']}" or int(n.lstrip("b")) not in set(man["batch_ids"]))
+            if not (n.startswith("base_") and n != f"base_g{man['gen']}")
+        ]
+        assert len(live) <= 4, f"{sub}: {live} exceeds compact_every+1"
+
+    # resume across the compaction boundary: copy of a base-resident doc
+    # drops, novel doc survives, cumulative corpus returned
+    spark.createDataFrame(
+        [(900, words[2]), (901, "wholly new content regarding streaming state compaction generations and manifests today")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("append").parquet(d)
+    kept2 = sc_.stream_minhash_dedup(
+        se.stream_staged(spark, d, max_files_per_trigger=1),
+        state_dir=state,
+        resume=True,
+        ngram=3,
+        k=32,
+        bands=8,
+        threshold=0.5,
+        compact_every=3,
+    )
+    assert {r.doc_id for r in kept2.collect()} == {i * 10 for i in range(10)} | {901}
+
+
 def test_stream_minhash_dedup_resume_refuses_legacy_layouts(spark, tmp_path):
     """resume=True against unverifiable state fails loudly: a state dir
     with signatures but no params manifest, and one in the pre-batch-
