@@ -129,7 +129,7 @@ def stream_minhash_dedup(
         "ngram": ngram,
         "k": k,
         "bands": bands,
-        "sig_scheme": "np-crc32-v1",
+        "sig_scheme": "np-crc32poly-v2",
     }
     manifest = os.path.join(state_dir, "params.json")
     if resume and os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
