@@ -136,18 +136,31 @@ def write_snapshot(
         # skipped — see stream_append_snapshots
         manifest["batch_id"] = batch_id
 
+    _commit_manifest(table_dir, manifest, token)
+    return version
+
+
+def _commit_manifest(table_dir: str, manifest: dict, token: str) -> None:
+    """The commit critical section, shared by every writer: publish
+    ``manifest`` as version ``manifest['version']`` or raise
+    :class:`SnapshotConflict` leaving the winner untouched. Factored
+    out of :func:`write_snapshot` so the multiprocessing stress test
+    (tests/test_versioned.py) can hammer the REAL protocol from
+    Spark-less worker processes rather than a re-implementation.
+
+    link(2) is atomic create-exclusive: EEXIST means another writer
+    committed this version between our pick and now, and their manifest
+    is untouched. A rename here would silently REPLACE the winner's
+    manifest — a lost commit with orphaned data files.
+    """
     mdir = _manifest_dir(table_dir)
     os.makedirs(mdir, exist_ok=True)
+    version = manifest["version"]
     final = os.path.join(mdir, f"v{version:04d}.json")
     tmp = os.path.join(mdir, f".tmp-{token}.json")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     try:
-        # link(2) is atomic create-exclusive: EEXIST means another
-        # writer committed this version between our pick and now, and
-        # their manifest is untouched. A rename here would silently
-        # REPLACE the winner's manifest — a lost commit with orphaned
-        # data files.
         os.link(tmp, final)
     except FileExistsError:
         os.unlink(tmp)
@@ -155,7 +168,6 @@ def write_snapshot(
             f"version {version} already committed"
         ) from None
     os.unlink(tmp)
-    return version
 
 
 def _parquet_rows(path: str) -> int:
