@@ -119,7 +119,7 @@ QZ_DICT_V2 = QZ_DICT_V1 + (
 # v3 (round 8, second half): 169 registered names overflowed v2 —
 # fragments for the TPC-H completion and the warehouse/statistics
 # families added this half.
-QZ_DICT = QZ_DICT_V2 + (
+QZ_DICT_V3 = QZ_DICT_V2 + (
     b"|min_cost_supplier|product_profit|important_stock|late_priority"
     b"|part_supplier_cnt|disjunctive_revenue|excess_share_suppliers"
     b"|waiting_orders|interval_overlap_view_purchase|hypertable_"
@@ -127,6 +127,16 @@ QZ_DICT = QZ_DICT_V2 + (
     b"|purchase_with_user_type_asof|corr_qty_price_by_flag"
     b"|bm25_rank_docs|agg_extras_by_status|trend_value_by_type"
     b"|validate_orders_expectations|unpivot_event_value_stats|_hourly"
+)
+
+# v4 (round 9): v3 left only ~13 chars of line budget at 170 names —
+# fragments for the r9 additions plus headroom for the families a
+# future round plausibly grows.
+QZ_DICT = QZ_DICT_V3 + (
+    b"|stream_pyds_docs_drain|compaction|generation|resume|vacuum"
+    b"|racing|manifest|lookup|flat|probe|aqe_skew|broadcast|shuffle"
+    b"|partition|pushdown|pruned|estimate|approx|weighted|benchmark"
+    b"|streaming|corpus_|release|provenance|lineage|audit|retention"
 )
 
 
@@ -138,7 +148,7 @@ def decode_qz(qz: str) -> dict[str, float]:
     import zlib
 
     raw = None
-    for zd in (QZ_DICT, QZ_DICT_V2, QZ_DICT_V1):
+    for zd in (QZ_DICT, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1):
         try:
             dec = zlib.decompressobj(zdict=zd)
             raw = dec.decompress(base64.b85decode(qz)) + dec.flush()
