@@ -148,3 +148,112 @@ def cohort_retention(
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count consecutive ``(prev_type, cur_type)`` pairs and
+    normalize each row of the matrix to probabilities.
+
+    Ordering inside a user is ``(ts, tiebreak)`` — the tiebreak makes
+    the lag DETERMINISTIC when two events share a timestamp (without
+    it, engines disagree on which event "comes first" and the matrix
+    is not reproducible).
+
+    Scale posture: ONE shuffle keyed by the user column (the lag
+    window); the pair count that follows reduces to at most
+    ``|types|²`` rows via partial aggregation, and the row-normalize
+    window runs on that tiny frame. No UDFs.
+
+    Returns ``(prev_type, cur_type, transitions, prob)`` where ``prob``
+    is the row-conditional probability rounded to ``round_decimals``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(user_col, ts_col, tiebreak_col, type_col)
+        .withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("_prev").alias("prev_type"), F.col(type_col).alias("cur_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("transitions"))
+    wrow = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "prob",
+        F.round(
+            F.col("transitions") / F.sum("transitions").over(wrow),
+            round_decimals,
+        ),
+    ).orderBy("prev_type", "cur_type")
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: Column,
+    col_col: Column,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the exact-statistic analogue
+    of ``pyspark.ml.stat.ChiSquareTest`` kept entirely in SQL algebra
+    so it cross-checks against any ANSI engine.
+
+    One shuffle builds the contingency table (at most
+    ``|rows|·|cols|`` cells — tiny for categorical data); marginals are
+    window sums over that tiny frame, so the statistic costs ONE scan
+    of the input. Expected counts use double division in a fixed
+    order (``row_tot * col_tot / n``) and the final statistic is
+    rounded, keeping the result engine-portable.
+
+    Returns a single row ``(n, dof, chi2, cramers_v)``.
+    """
+    cells = df.select(
+        row_col.alias("_r"), col_col.alias("_c")
+    ).groupBy("_r", "_c").agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    wr = Window.partitionBy("_r")
+    wc = Window.partitionBy("_c")
+    wall = Window.partitionBy()
+    terms = (
+        cells.withColumn("_rt", F.sum("_o").over(wr))
+        .withColumn("_ct", F.sum("_o").over(wc))
+        .withColumn("_n", F.sum("_o").over(wall))
+        .withColumn("_e", F.col("_rt") * F.col("_ct") / F.col("_n"))
+        .withColumn(
+            # (o-e)*(o-e), not pow(o-e, 2): self-multiply is the same
+            # IEEE operation in every engine; pow(x, 2.0) need not be.
+            "_t",
+            (F.col("_o") - F.col("_e"))
+            * (F.col("_o") - F.col("_e"))
+            / F.col("_e"),
+        )
+    )
+    return terms.agg(
+        F.max("_n").cast("bigint").alias("n"),
+        (
+            (F.countDistinct("_r") - F.lit(1))
+            * (F.countDistinct("_c") - F.lit(1))
+        ).cast("bigint").alias("dof"),
+        F.round(F.sum("_t"), round_decimals).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum("_t")
+                / (
+                    F.max("_n")
+                    * F.least(
+                        F.countDistinct("_r") - F.lit(1),
+                        F.countDistinct("_c") - F.lit(1),
+                    )
+                )
+            ),
+            round_decimals,
+        ).alias("cramers_v"),
+    )

@@ -162,6 +162,7 @@ def _load_all() -> None:
         logs_queries,
         coverage_queries,
         joins_queries,
+        spatial_queries,
         tpch_queries,
         extensions,
         ml_queries,

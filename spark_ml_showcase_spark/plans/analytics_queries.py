@@ -11,8 +11,10 @@ ROUND(x, 6) DOUBLE both sides, dates travel as ISO strings.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_ml_showcase_spark.operators import analytics
+from spark_ml_showcase_spark.operators import windows as windows_ops
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
@@ -91,3 +93,185 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     return analytics.cohort_retention(ev)
+
+
+# First-order Markov transition matrix over per-user event sequences.
+# The (ts, event_id) tiebreak makes the lag deterministic when two
+# events share a timestamp — both engines compute identical pairs.
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH p AS (
+        SELECT event_type AS cur_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS transitions
+        FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, cur_type, transitions,
+           ROUND(transitions / sum(transitions)
+                 OVER (PARTITION BY prev_type), 6) AS prob
+    FROM c
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return analytics.transition_matrix(ev)
+
+
+# Pearson chi-square independence of event_type × ISO day-of-week,
+# with Cramér's V. Expected counts and per-cell terms are
+# deterministic double arithmetic ((o-e)*(o-e)/e — self-multiply, not
+# pow); only the 35-term final sum is order-dependent, far inside the
+# ROUND(.., 6) guard.
+@query(
+    "chi2_event_type_isodow",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS r, CAST(isodow(ts) AS BIGINT) AS c,
+               CAST(count(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT o,
+               sum(o) OVER (PARTITION BY r) AS rt,
+               sum(o) OVER (PARTITION BY c) AS ct,
+               sum(o) OVER () AS n,
+               r, c
+        FROM cells
+    ),
+    t AS (
+        SELECT r, c, n,
+               (o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)
+                   AS term
+        FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
+                AS BIGINT) AS dof,
+           ROUND(sum(term), 6) AS chi2,
+           ROUND(sqrt(sum(term) / (max(n) * least(count(DISTINCT r) - 1,
+                                                  count(DISTINCT c) - 1))),
+                 6) AS cramers_v
+    FROM t
+    """,
+)
+def chi2_event_type_isodow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    # weekday() is 0=Monday; +1 matches DuckDB's isodow (1=Monday).
+    return analytics.chi_square_independence(
+        ev,
+        F.col("event_type"),
+        (F.expr("weekday(ts)") + F.lit(1)).cast("bigint"),
+    )
+
+
+# Hourly avg-value series per event type, gap-filled over a dense
+# bucket spine and LINEARLY INTERPOLATED across missing buckets.
+# Observed averages are rounded to 6 BEFORE interpolation so both
+# engines interpolate from bit-identical inputs; the interpolation
+# itself is per-row deterministic arithmetic (same expression tree
+# both sides), rounded again on output.
+@query(
+    "gapfill_interpolate_hourly",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+        FROM events
+    ),
+    obs AS (
+        -- exact-decimal average: a plain avg() of doubles is
+        -- sum-order-dependent and can straddle the ROUND boundary
+        -- (bit one bucket at sf0.1); per-row ROUND + DECIMAL sum is
+        -- order-free, and the per-bucket sum's integer representation
+        -- stays far below 2^53 so the double cast is exact.
+        SELECT event_type, ep - ep % 3600 AS bucket_epoch,
+               ROUND(CAST(sum(CAST(ROUND(value, 6) AS DECIMAL(20,6)))
+                          AS DOUBLE) / count(value), 6) AS avg_value
+        FROM e GROUP BY 1, 2
+    ),
+    span AS (SELECT min(bucket_epoch) AS lo, max(bucket_epoch) AS hi
+             FROM obs),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT)
+                   AS bucket_epoch
+        FROM span
+    ),
+    grid AS (
+        SELECT t.event_type, s.bucket_epoch
+        FROM (SELECT DISTINCT event_type FROM obs) t CROSS JOIN spine s
+    ),
+    sparse AS (
+        SELECT g.event_type, g.bucket_epoch, o.avg_value
+        FROM grid g LEFT JOIN obs o USING (event_type, bucket_epoch)
+    ),
+    w AS (
+        SELECT event_type, bucket_epoch, avg_value,
+               last_value(CASE WHEN avg_value IS NOT NULL
+                               THEN bucket_epoch END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket_epoch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS px,
+               last_value(CASE WHEN avg_value IS NOT NULL
+                               THEN avg_value END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket_epoch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS py,
+               first_value(CASE WHEN avg_value IS NOT NULL
+                                THEN bucket_epoch END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket_epoch
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nx,
+               first_value(CASE WHEN avg_value IS NOT NULL
+                                THEN avg_value END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket_epoch
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS ny
+        FROM sparse
+    )
+    SELECT event_type, bucket_epoch,
+           ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                      WHEN px IS NOT NULL AND nx IS NOT NULL
+                      THEN py + (ny - py) * (bucket_epoch - px) / (nx - px)
+                 END, 6) AS avg_value,
+           CASE WHEN avg_value IS NOT NULL THEN 'observed'
+                WHEN px IS NOT NULL AND nx IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS src
+    FROM w
+    """,
+)
+def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    epoch = F.col("ts").cast("long")
+    obs = (
+        ev.groupBy(
+            "event_type",
+            (epoch - epoch % 3600).alias("bucket_epoch"),
+        )
+        .agg(
+            # order-free exact-decimal mean (see oracle note)
+            F.round(
+                F.sum(
+                    F.round(F.col("value"), 6).cast("decimal(20,6)")
+                ).cast("double")
+                / F.count(F.col("value")),
+                6,
+            ).alias("avg_value")
+        )
+        .localCheckpoint()  # reused 3×: span, key set, grid join
+    )
+    span = obs.agg(
+        F.min("bucket_epoch").alias("_lo"), F.max("bucket_epoch").alias("_hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence("_lo", "_hi", F.lit(3600))).alias("bucket_epoch")
+    )
+    grid = obs.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    sparse = grid.join(obs, ["event_type", "bucket_epoch"], "left")
+    return windows_ops.interpolate_linear(
+        sparse, ["event_type"], "bucket_epoch", "avg_value"
+    )

@@ -1,0 +1,103 @@
+"""Spatial + multi-criteria queries: grid-bucketed planar radius join
+(``operators/geo.py``) and the skyline / Pareto-frontier operator
+(``operators/skyline.py``), both DuckDB-oracle-checked.
+
+Neither exists in the reference (its joins are equi-joins, its
+orderings single-criterion top-k); these are the standard "pairs
+within distance r" and "undominated offers" shapes. Coordinates for
+the radius join are SYNTHESIZED deterministically from the keys with
+pure BIGINT arithmetic — both engines derive bit-identical points, so
+the squared-distance join is exact end-to-end (no trig, no doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.operators.geo import grid_radius_join
+from spark_ml_showcase_spark.operators.skyline import skyline
+from spark_ml_showcase_spark.plans import query
+from spark_ml_showcase_spark.sources.catalog import Catalog
+
+# Synthetic planar coordinates on a 100 km × 100 km integer-meter
+# grid, derived from the entity key (Knuth multiplicative constants;
+# products stay far below 2^63 for every SF's key range).
+_MX, _MY, _OY, _SIDE = 2654435761, 97711, 12345, 100_000
+_RADIUS = 5_000  # meters
+
+
+def _with_xy(df: DataFrame, key: str) -> DataFrame:
+    k = F.col(key).cast("bigint")
+    return df.withColumn(
+        f"{key[:1]}x", (k * F.lit(_MX)) % F.lit(_SIDE)
+    ).withColumn(f"{key[:1]}y", (k * F.lit(_MY) + F.lit(_OY)) % F.lit(_SIDE))
+
+
+# All (customer, supplier) pairs within 5 km on the synthetic plane.
+# The oracle is the O(n·m) cross join with the distance predicate —
+# exactly what the grid join exists to avoid; integer math makes the
+# two bit-comparable.
+@query(
+    "geo_radius_join_cust_supp",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey,
+               (c_custkey * {_MX}) % {_SIDE} AS x,
+               (c_custkey * {_MY} + {_OY}) % {_SIDE} AS y
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey,
+               (s_suppkey * {_MX}) % {_SIDE} AS x,
+               (s_suppkey * {_MY} + {_OY}) % {_SIDE} AS y
+        FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST((c.x - s.x) * (c.x - s.x)
+                + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist2
+    FROM c, s
+    WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+          <= {_RADIUS * _RADIUS}
+    """,
+)
+def geo_radius_join_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cust = _with_xy(cat.customer.select("c_custkey"), "c_custkey")
+    supp = _with_xy(cat.supplier.select("s_suppkey"), "s_suppkey")
+    joined = grid_radius_join(
+        cust,
+        supp,
+        left_xy=("cx", "cy"),
+        right_xy=("sx", "sy"),
+        radius=_RADIUS,
+    )
+    return joined.select("c_custkey", "s_suppkey", "dist2")
+
+
+# Pareto frontier of parts: cheapest-AND-largest — no part in the
+# answer is beaten on both price and size by any other part. The
+# oracle is the textbook quadratic NOT EXISTS; the engine runs the
+# two-phase local-prune + broadcast-refine plan.
+@query(
+    "skyline_parts_price_size",
+    oracle="""
+    SELECT c.p_partkey, c.p_retailprice,
+           CAST(c.p_size AS BIGINT) AS p_size
+    FROM part c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part d
+        WHERE d.p_retailprice <= c.p_retailprice
+          AND d.p_size >= c.p_size
+          AND (d.p_retailprice < c.p_retailprice
+               OR d.p_size > c.p_size)
+    )
+    """,
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = Catalog(spark, sf_dir).part.select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    return skyline(part, minimize="p_retailprice", maximize="p_size")

@@ -121,6 +121,17 @@ ALLOWLIST = {
         "sequence() buckets — both sides tiny by construction; the "
         "events table itself joins the grid hash-keyed"
     },
+    "gapfill_interpolate_hourly": {
+        "bnlj": "same calendar-spine grid as dense_hourly_event_counts: "
+        "distinct event types × broadcast sequence() buckets, both "
+        "tiny; the observed averages join the grid hash-keyed"
+    },
+    "skyline_parts_price_size": {
+        "bnlj": "two-phase skyline refine: the dominance anti-join runs "
+        "on the broadcast LOCAL-skyline survivors only (O(log² n) per "
+        "partition on random data), never on the input — that bound is "
+        "the point of the mapInPandas prune (operators/skyline.py)"
+    },
     "decontaminate_embedding": {
         "bnlj": "by design: corpus streams once past "
         "crossJoin(broadcast(benchmark vectors)) — the benchmark side "
