@@ -284,10 +284,16 @@ def main() -> int:
         times[name] = round(min(reps), 4)
         # relative spread between repeats: the per-query noise floor a
         # round-over-round comparison must exceed before it means
-        # anything (recorded per query; the envelope carries the median)
-        if len(reps) > 1 and min(reps) > 0:
+        # anything (recorded per query; the envelope carries the median).
+        # rep0 pays first-run codegen + AQE re-planning, so with >= 3
+        # reps the spread is computed over the WARM reps only — at
+        # repeat=2 it unavoidably conflates warmup with noise (r9:
+        # median 27% at repeat=2 on an idle box vs single-digit
+        # warm-vs-warm)
+        warm = reps[1:] if len(reps) >= 3 else reps
+        if len(warm) > 1 and min(warm) > 0:
             spread_pct[name] = round(
-                100.0 * (max(reps) - min(reps)) / min(reps), 1
+                100.0 * (max(warm) - min(warm)) / min(warm), 1
             )
 
     total = round(sum(times.values()), 4)

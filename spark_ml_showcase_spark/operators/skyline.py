@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -41,30 +42,33 @@ from pyspark.sql import functions as F
 def _local_skyline(
     pdf: pd.DataFrame, min_col: str, max_col: str
 ) -> pd.DataFrame:
-    """Exact skyline of one in-memory batch: sort by (min_col asc,
-    max_col desc) and sweep. A point survives iff its max_col exceeds
-    the best seen among strictly-better min_col points — with the one
-    duplicate subtlety that an exact (min, max) tie with the last
-    survivor also survives (neither strictly dominates the other)."""
+    """Exact skyline of one in-memory batch, fully vectorized: after
+    sorting by (min_col asc, max_col desc), a point survives iff its
+    max_col strictly exceeds the running max of everything sorted
+    before it — plus the duplicate subtlety that exact (min, max) ties
+    of a survivor also survive (neither strictly dominates the other).
+    Identical pairs sort adjacent, so ties resolve per run: a run is
+    kept iff its FIRST element beats the prefix cummax (within a run
+    the cummax already includes the first element, so later elements
+    can never be primary on their own)."""
     if pdf.empty:
         return pdf
-    s = pdf.sort_values(
-        [min_col, max_col], ascending=[True, False], kind="mergesort"
-    )
-    mins = s[min_col].to_numpy()
-    maxs = s[max_col].to_numpy()
-    keep = []
-    best_max: float | None = None
-    best_pair: tuple | None = None
-    for i in range(len(s)):
-        pair = (mins[i], maxs[i])
-        if best_max is None or maxs[i] > best_max:
-            keep.append(i)
-            best_max = maxs[i]
-            best_pair = pair
-        elif pair == best_pair:
-            keep.append(i)
-    return s.iloc[keep]
+    mins_all = pdf[min_col].to_numpy()
+    maxs_all = pdf[max_col].to_numpy()
+    order = np.lexsort((-maxs_all, mins_all))
+    mn = mins_all[order]
+    mx = maxs_all[order]
+    cummax = np.maximum.accumulate(mx)
+    primary = np.empty(len(mx), dtype=bool)
+    primary[0] = True
+    primary[1:] = mx[1:] > cummax[:-1]
+    new_run = np.empty(len(mx), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (mn[1:] != mn[:-1]) | (mx[1:] != mx[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_kept = primary[new_run]  # one flag per run, in run order
+    keep = run_kept[run_id]
+    return pdf.iloc[order[keep]]
 
 
 def skyline(df: DataFrame, *, minimize: str, maximize: str) -> DataFrame:

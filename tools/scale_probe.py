@@ -486,6 +486,55 @@ def probe_interval_join_10m(spark):
     return 2 * n
 
 
+def probe_geo_radius_10m(spark):
+    """Grid radius join, 10M x 10M points: each left point sits on a
+    1000-spaced lattice (spacing >> 2r, so no cross-talk) and its
+    matching right point is offset by (3, 4) — dist^2 = 25 = r^2
+    exactly — so every left point matches EXACTLY ONE right point and
+    the output size is a hard assert. Times the 3x3 neighborhood
+    explode + cell equi-join + integer residual, not pair volume."""
+    from spark_ml_showcase_spark.operators.geo import grid_radius_join
+
+    n = 10_000_000
+    k = 100_000
+    x = (F.col("id") % k) * 1000
+    y = (F.col("id") / k).cast("long") * 1000
+    left = spark.range(n).select(
+        F.col("id").alias("lid"), x.alias("lx"), y.alias("ly")
+    )
+    right = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (x + 3).alias("rx"),
+        (y + 4).alias("ry"),
+    )
+    cnt = grid_radius_join(
+        left, right, left_xy=("lx", "ly"), right_xy=("rx", "ry"), radius=5
+    ).count()
+    assert cnt == n, cnt
+    return 2 * n
+
+
+def probe_skyline_20m(spark):
+    """Two-phase skyline over 20M pseudo-random 2-criteria points
+    (two INDEPENDENT xxhash64 streams, uniform in [0, 1e6) — a pair of
+    linear-congruential coords would be a correlated 1D lattice): the
+    local numpy sort-sweep prunes each partition to O(log^2 n)
+    survivors, the broadcast dominance anti-join refines. Skyline of
+    uniform random points is tiny — asserted < 200 — so the probe
+    times the scan + local prune, which is the 100 TB cost."""
+    from spark_ml_showcase_spark.operators.skyline import skyline
+
+    n = 20_000_000
+    pts = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("price"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)).alias("size"),
+    )
+    out = skyline(pts, minimize="price", maximize="size").count()
+    assert 0 < out < 200, out
+    return n
+
+
 def probe_kmv_50m(spark):
     """KMV sketch build over 50M rows / 100 groups / 500k distinct per
     group (functions/kmv.py): the all-JVM two-stage k-min. Estimates
@@ -568,6 +617,8 @@ PROBES = {
     "zorder_20m": probe_zorder_20m,
     "fastss_1m": probe_fastss_1m,
     "interval_join_10m": probe_interval_join_10m,
+    "geo_radius_10m": probe_geo_radius_10m,
+    "skyline_20m": probe_skyline_20m,
     "kmv_50m": probe_kmv_50m,
     "hypertable_refresh_20m": probe_hypertable_refresh_20m,
 }
