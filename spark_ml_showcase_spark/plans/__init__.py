@@ -161,6 +161,7 @@ def _load_all() -> None:
         pruning_queries,
         logs_queries,
         coverage_queries,
+        hierarchy_queries,
         joins_queries,
         spatial_queries,
         tpch_queries,

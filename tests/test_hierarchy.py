@@ -1,0 +1,70 @@
+"""Pointer-doubling transitive closure + subtree rollup invariants:
+shapes the recursive-CTE oracle can't isolate (deep chains spanning
+many doubling rounds, forests, DAG min-distance)."""
+
+from __future__ import annotations
+
+from spark_ml_showcase_spark.operators.hierarchy import (
+    subtree_rollup,
+    transitive_closure,
+)
+
+
+def _closure(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "child bigint, parent bigint")
+    return {
+        (r.node, r.anc): r.dist
+        for r in transitive_closure(df, **kw).collect()
+    }
+
+
+def test_chain_depth_10_needs_multiple_doubling_rounds(spark):
+    # 11-node chain: node i's parent is i-1; closure = all i > j pairs
+    edges = [(i, i - 1) for i in range(1, 11)]
+    got = _closure(spark, edges, max_depth=16)
+    want = {(i, j): i - j for i in range(1, 11) for j in range(0, i)}
+    assert got == want
+
+
+def test_forest_stays_separate(spark):
+    # two disjoint 3-node trees
+    edges = [(2, 1), (3, 1), (20, 10), (30, 10)]
+    got = _closure(spark, edges)
+    assert got == {(2, 1): 1, (3, 1): 1, (20, 10): 1, (30, 10): 1}
+
+
+def test_dag_takes_min_distance(spark):
+    # diamond: 4 -> {2, 3} -> 1, plus a long detour 4 -> 5 -> 6 -> 1:
+    # dist(4, 1) must be the MIN path length (2), not 3
+    edges = [(4, 2), (4, 3), (2, 1), (3, 1), (4, 5), (5, 6), (6, 1)]
+    got = _closure(spark, edges)
+    assert got[(4, 1)] == 2
+    assert got[(5, 1)] == 2
+    assert got[(4, 6)] == 2
+
+
+def test_max_depth_caps_cycles(spark):
+    # 2-cycle would recurse forever in a CTE; the cap bounds it
+    edges = [(1, 2), (2, 1)]
+    got = _closure(spark, edges, max_depth=4)
+    # every pair reachable within the cap, at its min distance
+    assert got[(1, 2)] == 1 and got[(2, 1)] == 1
+    assert got[(1, 1)] == 2 and got[(2, 2)] == 2
+
+
+def test_subtree_rollup_counts_and_sums(spark):
+    # balanced: 1 <- {2, 3}; 2 <- {4, 5}; values = node as money
+    edges = [(2, 1), (3, 1), (4, 2), (5, 2)]
+    closure = transitive_closure(
+        spark.createDataFrame(edges, "child bigint, parent bigint")
+    )
+    nodes = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "id bigint, bal double"
+    )
+    got = {
+        r.anc: (r.n_desc, r.total)
+        for r in subtree_rollup(
+            closure, nodes, node_col="id", value_col="bal"
+        ).collect()
+    }
+    assert got == {1: (4, 14.0), 2: (2, 9.0)}
