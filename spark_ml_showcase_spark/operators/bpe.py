@@ -1,0 +1,128 @@
+"""BPE merge-rule learning: the iterative tokenizer-vocabulary
+induction loop (Sennrich et al., "Neural Machine Translation of Rare
+Words with Subword Units", ACL 2016 — the algorithm behind GPT/BERT
+vocabularies).
+
+Extends the engine's single-round pair count
+(``bpe_pair_counts_top20``, plans/extensions.py) to the full loop:
+count adjacent symbol pairs, merge the most frequent pair everywhere,
+repeat. Not SQL-expressible (each round reshapes the symbol arrays),
+so the registered query is rows-only; the loop is pinned against a
+pure-Python reference implementation in ``tests/test_bpe.py``.
+
+Scale posture (100 TB corpus):
+
+- The corpus is touched ONCE — the word-frequency shuffle. Every
+  round after that runs on the DISTINCT-WORD vocabulary (orders of
+  magnitude smaller; the classic BPE trick), so per-round cost is
+  O(vocab), not O(corpus).
+- Per round: one exploded pair count (map-side combined — the pair
+  space is tiny) + one argmax ``limit(1).collect()`` — a bounded
+  driver sink, one row per round — + one Arrow-batched pandas UDF
+  applying the merge to the symbol arrays. ``localCheckpoint`` per
+  round cuts the growing lineage.
+- Determinism: ties in pair frequency break by (left, right) symbol
+  order, so the learned merge table is a pure function of the corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# adjacent symbol pairs of one word: slice(syms, 1, n-1) is the
+# 1-based prefix syms[0..n-2]; transform's lambda index i is 0-based
+# and the [] subscript is 0-based too, so the partner of slice
+# element i (= syms[i]) is syms[i + 1]
+_PAIRS = (
+    "transform(slice(syms, 1, size(syms) - 1),"
+    " (s, i) -> struct(s AS l, syms[i + 1] AS r))"
+)
+
+
+def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(syms: array<string>, freq: bigint) per DISTINCT word — the one
+    corpus-sized shuffle of the whole algorithm."""
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+    )
+
+
+def _merge_udf(left: str, right: str, merged: str):
+    """Arrow-batched merge application: replace every adjacent
+    (left, right) with the merged symbol. Closure factory — binds the
+    round's pair by value (a loop-scope lambda would late-bind)."""
+
+    def apply_merge(col: pd.Series) -> pd.Series:
+        def one(syms):
+            out = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return col.map(one)
+
+    return F.pandas_udf(apply_merge, ArrayType(StringType()))
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from a document corpus.
+    Returns one row per learned rule:
+    ``(rank, left, right, merged, freq)`` in learning order."""
+    spark: SparkSession = docs.sparkSession
+    vocab = _word_vocab(docs, text_col).localCheckpoint()
+    # size the ITERATION to the vocab, not the corpus: every round
+    # re-materializes the symbol arrays, and at distinct-word scale
+    # (thousands at test SFs, ~50k rows per partition at corpus scale)
+    # task-launch overhead dominates a 32-way layout 8 rounds deep
+    n_words = vocab.count()
+    parts = max(1, min(32, n_words // 50_000 + 1))
+    if vocab.rdd.getNumPartitions() > parts:
+        vocab = vocab.coalesce(parts).localCheckpoint()
+
+    rules: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(F.explode(F.expr(_PAIRS)).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+        )
+        # bounded driver sink: exactly ONE row per round (the argmax),
+        # mirroring the scd2-style limit(1) guards
+        top = counts.orderBy(
+            F.desc("n"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, freq = top[0].l, top[0].r, int(top[0].n)
+        merged = left + right
+
+        merge_udf = _merge_udf(left, right, merged)
+        vocab = vocab.select(
+            merge_udf(F.col("syms")).alias("syms"), "freq"
+        ).localCheckpoint()
+        rules.append((rank, left, right, merged, freq))
+
+    return spark.createDataFrame(
+        rules, "rank bigint, left string, right string, merged string, freq bigint"
+    )

@@ -1608,3 +1608,17 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
     )
+
+
+# X47: the full BPE merge-learning loop (rows-only — each round
+# reshapes the symbol arrays, which SQL can't express; the loop is
+# pinned against a pure-Python reference in tests/test_bpe.py).
+# Deterministic: pair-frequency ties break by (left, right), so the
+# 8-rule table is a pure function of the corpus — the driver's
+# rows-only record re-verifies the same rows every round.
+@query("bpe_learn_merges_docs")
+def bpe_learn_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators.bpe import learn_bpe_merges
+
+    docs = Catalog(spark, sf_dir).documents.select("text")
+    return learn_bpe_merges(docs, n_merges=8).orderBy("rank")

@@ -535,6 +535,25 @@ def probe_skyline_20m(spark):
     return n
 
 
+def probe_bpe_1m_words(spark):
+    """BPE merge learning over a 1M-distinct-word vocabulary (base-36
+    xxhash64 words, ~12 chars -> ~11M exploded pairs per round), 2
+    rounds: times the per-round pair count + argmax + Arrow merge
+    apply at a vocabulary size where the fixture corpus (31 distinct
+    words) says nothing. Throughput = words x rounds."""
+    from spark_ml_showcase_spark.operators.bpe import learn_bpe_merges
+
+    n = 1_000_000
+    docs = spark.range(n).select(
+        F.conv(
+            F.abs(F.xxhash64("id")).cast("string"), 10, 36
+        ).alias("text")
+    )
+    rules = learn_bpe_merges(docs, n_merges=2).collect()
+    assert len(rules) == 2, rules
+    return 2 * n
+
+
 def probe_kmv_50m(spark):
     """KMV sketch build over 50M rows / 100 groups / 500k distinct per
     group (functions/kmv.py): the all-JVM two-stage k-min. Estimates
@@ -619,6 +638,7 @@ PROBES = {
     "interval_join_10m": probe_interval_join_10m,
     "geo_radius_10m": probe_geo_radius_10m,
     "skyline_20m": probe_skyline_20m,
+    "bpe_1m_words": probe_bpe_1m_words,
     "kmv_50m": probe_kmv_50m,
     "hypertable_refresh_20m": probe_hypertable_refresh_20m,
 }
