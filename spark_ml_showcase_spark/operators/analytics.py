@@ -257,3 +257,53 @@ def chi_square_independence(
             round_decimals,
         ).alias("cramers_v"),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Inactivity-gap sessionization with EXPLICIT session ids: a new
+    session starts when the gap since the user's previous event
+    exceeds ``gap_seconds``. Unlike ``F.session_window`` (which only
+    aggregates), this assigns a stable per-user ``session_seq`` and
+    returns one summary row per session — the shape funnels, path
+    analysis and per-session features consume.
+
+    Scale posture: ONE shuffle (the user window); the running
+    boundary-count that numbers sessions reuses the same
+    partitioning+sort, and the final per-session rollup groups on
+    (user, session_seq) — a superset of the window's hash key, so
+    Catalyst inserts no further Exchange. All arithmetic is epoch-
+    second BIGINT; (ts, tiebreak) ordering makes same-timestamp events
+    deterministic.
+
+    Output: ``(user_id, session_seq, n_events, start_epoch, end_epoch,
+    duration_sec)``.
+    """
+    epoch = F.col(ts_col).cast("long")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = events.select(
+        user_col, ts_col, tiebreak_col, epoch.alias("_e")
+    ).withColumn(
+        "_new",
+        F.when(
+            (F.col("_e") - F.lag("_e").over(w)) > gap_seconds, 1
+        ).otherwise(
+            F.when(F.lag("_e").over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    numbered = marked.withColumn(
+        "session_seq", F.sum("_new").over(run).cast("bigint")
+    )
+    return numbered.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("_e").alias("start_epoch"),
+        F.max("_e").alias("end_epoch"),
+        (F.max("_e") - F.min("_e")).alias("duration_sec"),
+    )

@@ -275,3 +275,43 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows_ops.interpolate_linear(
         sparse, ["event_type"], "bucket_epoch", "avg_value"
     )
+
+
+# Inactivity-gap sessionization (30 min) with explicit per-user
+# session numbering — the session_window companion that actually
+# ASSIGNS ids. All epoch-second BIGINT arithmetic; (ts, event_id)
+# ordering pins same-timestamp events.
+@query(
+    "sessionize_events_30m",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts, event_id, ep,
+               CASE WHEN lag(ep) OVER w IS NULL THEN 1
+                    WHEN ep - lag(ep) OVER w > 1800 THEN 1
+                    ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    n AS (
+        SELECT user_id, ep,
+               CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_seq
+        FROM m
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ep) AS start_epoch, max(ep) AS end_epoch,
+           max(ep) - min(ep) AS duration_sec
+    FROM n GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return analytics.sessionize(ev, gap_seconds=1800)

@@ -1622,3 +1622,40 @@ def bpe_learn_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents.select("text")
     return learn_bpe_merges(docs, n_merges=8).orderBy("rank")
+
+
+# X48: exact Jaccard-threshold set-similarity self-join via prefix
+# filtering (PPJoin family) — the deterministic sibling of the MinHash
+# band join. The oracle is the O(n²) cross join the prefix filter
+# exists to avoid: the filter is COMPLETE (a >= t pair always shares a
+# rarity-ordered prefix token), so the two must emit identical rows.
+# Same scale-relative doc slice as the other pairwise-oracle queries.
+@query(
+    "set_similarity_join_docs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x <> '')) AS toks
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                     (len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))), 6)
+                   AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(a.toks) > 0 AND len(b.toks) > 0
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.9
+    """,
+)
+def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators.dedup import set_similarity_join
+
+    docs = Catalog(spark, sf_dir).documents.filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return set_similarity_join(docs, threshold=0.9)
