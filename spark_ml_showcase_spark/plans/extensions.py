@@ -1659,3 +1659,108 @@ def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 == 0
     )
     return set_similarity_join(docs, threshold=0.9)
+
+
+# X50: token co-occurrence mining (the support-count first level of
+# frequent-itemset / market-basket analysis). The per-doc self-join
+# explodes quadratically in document DISTINCT-token count, so the
+# token list is capped to the 40 rarity-first tokens per doc (a
+# support-mining standard: rare tokens carry the signal; the cap is
+# part of the query contract and replayed identically in the oracle).
+@query(
+    "token_cooccurrence_support",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x <> '')))[:40] AS toks
+        FROM documents
+    ),
+    x AS (SELECT doc_id, unnest(toks) AS tok FROM t)
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM x a JOIN x b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def token_cooccurrence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        F.col("doc_id"),
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda x: x != F.lit(""),
+                    )
+                )
+            ),
+            1,
+            40,
+        ).alias("toks"),
+    )
+    x = toks.select("doc_id", F.explode("toks").alias("tok"))
+    a, b = x.alias("a"), x.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 5)
+    )
+
+
+# X51: IQR outlier fences per event type — exact interpolated
+# quartiles (Spark percentile == DuckDB percentile_cont over doubles,
+# pinned by agg_extras_by_status), Tukey 1.5x fences, outlier counts
+# and share. Fence arithmetic is identical double expressions both
+# sides; only counts and rounded ratios travel.
+@query(
+    "iqr_outliers_by_type",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+           ROUND(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                            OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS outlier_share
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+)
+def iqr_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    flagged = ev.join(F.broadcast(q), "event_type").withColumn(
+        "_out",
+        F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_out").cast("bigint").alias("outliers"),
+        F.round(
+            F.sum("_out") * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("outlier_share"),
+    )
