@@ -126,3 +126,70 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         rules, "rank bigint, left string, right string, merged string, freq bigint"
     )
+
+
+def encode_token_counts(
+    docs: DataFrame,
+    rules: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """ENCODE with a learned merge table: apply the rules in learning
+    order to every word and count the resulting subword tokens per
+    document — the apply-side of :func:`learn_bpe_merges`, i.e. the
+    token-budget accounting a training pipeline runs with the final
+    vocabulary.
+
+    One Arrow-batched pass over the corpus (the rule table rides the
+    closure — merge tables are KBs); no shuffle at all unless the
+    caller aggregates afterwards. Output: input id columns +
+    ``n_words`` + ``n_tokens``.
+    """
+    id_cols = id_cols or []
+    ordered = list(rules)
+
+    def encode(col: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"\s+")  # mirror the JVM-side \s+ word split
+
+        def count_tokens(text: str) -> int:
+            total = 0
+            for w in ws.split(text.lower()):
+                if not w:
+                    continue
+                syms = list(w)
+                for left, right in ordered:
+                    merged, out, i, n = left + right, [], 0, len(syms)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                total += len(syms)
+            return total
+
+        return col.map(count_tokens)
+
+    n_tokens = F.pandas_udf(encode, "long")
+
+    def n_words(col):
+        return F.size(
+            F.filter(
+                F.split(F.lower(col), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).cast("bigint")
+
+    return docs.select(
+        *id_cols,
+        n_words(F.col(text_col)).alias("n_words"),
+        n_tokens(F.col(text_col)).alias("n_tokens"),
+    )

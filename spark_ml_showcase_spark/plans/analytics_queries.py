@@ -315,3 +315,102 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     return analytics.sessionize(ev, gap_seconds=1800)
+
+
+# Top-20 three-step event paths (the path-analysis companion of the
+# Markov matrix): consecutive per-user type triples via two lags in
+# ONE window, count, deterministic (count desc, path asc) top-k.
+@query(
+    "top_event_paths_3step",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               lag(event_type, 2) OVER w AS t1,
+               lag(event_type, 1) OVER w AS t2,
+               event_type AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM p WHERE t1 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 20
+    """,
+)
+def top_event_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    return (
+        p.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+# Median imputation per group — the data-repair shape every training
+# pipeline runs before featurization. The fixture has no nulls, so
+# the query SYNTHESIZES them deterministically (value -> NULL when
+# event_id % 7 == 0) and then repairs: per-type exact interpolated
+# median of the surviving values (Spark percentile ≡ DuckDB
+# percentile_cont on doubles, pinned), coalesce-filled. The audit row
+# carries the decimal-domain total of the filled column, proving the
+# fill actually landed in every hole.
+@query(
+    "impute_median_by_type",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS m
+        FROM e GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imputed,
+           ROUND(max(med.m), 6) AS fill_value,
+           ROUND(CAST(sum(CAST(ROUND(coalesce(e.v, med.m), 6)
+                               AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_after
+    FROM e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type
+    """,
+)
+def impute_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    e = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("m")
+    )
+    j = e.join(F.broadcast(med), "event_type")
+    filled = F.coalesce(F.col("v"), F.col("m"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_imputed"),
+        F.round(F.max("m"), 6).alias("fill_value"),
+        F.round(
+            F.sum(F.round(filled, 6).cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_after"),
+    )

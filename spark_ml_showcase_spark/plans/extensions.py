@@ -1764,3 +1764,35 @@ def iqr_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_out") * F.lit(1.0) / F.count(F.lit(1)), 6
         ).alias("outlier_share"),
     )
+
+
+# X47 apply-side: token-budget accounting with the LEARNED vocabulary
+# (learn 8 merges, then encode the corpus and aggregate per source).
+# Rows-only like the learner; deterministic end-to-end (fixed corpus
+# -> fixed merge table -> fixed token counts), and pinned against the
+# same pure-Python reference (tests/test_bpe.py).
+@query("bpe_token_budget_by_source")
+def bpe_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators.bpe import (
+        encode_token_counts,
+        learn_bpe_merges,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    rules = [
+        (r.left, r.right)
+        for r in learn_bpe_merges(docs.select("text"), n_merges=8)
+        .orderBy("rank")
+        .collect()  # bounded: n_merges rows
+    ]
+    enc = encode_token_counts(
+        docs, rules, text_col="text", id_cols=["source"]
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens") * F.lit(1.0) / F.sum("n_words"), 6
+        ).alias("tokens_per_word"),
+    )

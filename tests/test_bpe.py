@@ -85,3 +85,45 @@ def test_exhausted_corpus_stops_early(spark):
     # single-char words have no pairs: zero rules, no crash
     docs = spark.createDataFrame([("a b c",)], "text string")
     assert learn_bpe_merges(docs, n_merges=3).count() == 0
+
+
+def _reference_encode(texts: list[str], rules):
+    total_tokens = 0
+    total_words = 0
+    for t in texts:
+        for w in t.lower().split():
+            total_words += 1
+            syms = list(w)
+            for _, left, right, merged, _f in rules:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            total_tokens += len(syms)
+    return total_words, total_tokens
+
+
+def test_encode_token_counts_match_reference(spark):
+    from spark_ml_showcase_spark.operators.bpe import encode_token_counts
+
+    rules = _reference_bpe(TEXTS, 5)
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    got = (
+        encode_token_counts(docs, [(r[1], r[2]) for r in rules])
+        .agg({"n_words": "sum", "n_tokens": "sum"})
+        .collect()[0]
+    )
+    want_words, want_tokens = _reference_encode(TEXTS, rules)
+    assert got["sum(n_words)"] == want_words
+    assert got["sum(n_tokens)"] == want_tokens
+    # merges actually compress: tokens < raw characters
+    assert want_tokens < sum(len(w) for t in TEXTS for w in t.split())
