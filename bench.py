@@ -132,11 +132,27 @@ QZ_DICT_V3 = QZ_DICT_V2 + (
 # v4 (round 9): v3 left only ~13 chars of line budget at 170 names —
 # fragments for the r9 additions plus headroom for the families a
 # future round plausibly grows.
-QZ_DICT = QZ_DICT_V3 + (
+QZ_DICT_V4 = QZ_DICT_V3 + (
     b"|stream_pyds_docs_drain|compaction|generation|resume|vacuum"
     b"|racing|manifest|lookup|flat|probe|aqe_skew|broadcast|shuffle"
     b"|partition|pushdown|pruned|estimate|approx|weighted|benchmark"
     b"|streaming|corpus_|release|provenance|lineage|audit|retention"
+)
+
+# v5 (round 9, second half): the 15 X41-X53 query names overflowed v4
+# (real-digit timings pushed the blob past the budget and bench fell
+# back to qz="" — caught before commit). Full new names compress to
+# back-references; a few generic stems buy headroom for round 10.
+QZ_DICT = QZ_DICT_V4 + (
+    b"|markov_event_transitions|chi2_event_type_isodow"
+    b"|gapfill_interpolate_hourly|geo_radius_join_cust_supp"
+    b"|skyline_parts_price_size|customer_tree_closure"
+    b"|subtree_rollup_customers|bpe_learn_merges_docs"
+    b"|set_similarity_join_docs|sessionize_events_30m"
+    b"|token_cooccurrence_support|iqr_outliers_by_type"
+    b"|top_event_paths_3step|impute_median_by_type"
+    b"|bpe_token_budget_by_source|hierarchy|closure|anomaly"
+    b"|outlier|impute|encode|decode|normalize|reservoir|bloom"
 )
 
 
@@ -148,7 +164,7 @@ def decode_qz(qz: str) -> dict[str, float]:
     import zlib
 
     raw = None
-    for zd in (QZ_DICT, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1):
+    for zd in (QZ_DICT, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1):
         try:
             dec = zlib.decompressobj(zdict=zd)
             raw = dec.decompress(base64.b85decode(qz)) + dec.flush()

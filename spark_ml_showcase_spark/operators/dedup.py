@@ -1053,23 +1053,33 @@ def set_similarity_join(
                 lambda s: s["_t"],
             ).alias("_toks")
         )
+        # consumed three times (prefix explode + two payload joins)
+        .localCheckpoint()
     )
     s = F.size("_toks")
     p = (s - F.ceil(F.lit(float(threshold)) * s) + F.lit(1)).cast("int")
+    # candidate generation carries BARE id pairs — the token arrays
+    # would otherwise ride through the prefix join and the duplicate
+    # shuffle (a prefix of length p yields up to p copies of each
+    # pair); payloads attach AFTER dedup, against the slim ranked table
     prefixed = ranked.select(
-        "_id", "_toks", F.explode(F.slice("_toks", 1, p)).alias("_pt")
+        "_id", F.explode(F.slice("_toks", 1, p)).alias("_pt")
     )
     a, b = prefixed.alias("a"), prefixed.alias("b")
-    cand = (
+    cand_ids = (
         a.join(b, (F.col("a._pt") == F.col("b._pt"))
                & (F.col("a._id") < F.col("b._id")))
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._toks").alias("_ta"),
-            F.col("b._toks").alias("_tb"),
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand_ids.join(
+        ranked.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")),
+        "id_a",
+    ).join(
+        ranked.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size("_ta") + F.size("_tb") - inter
