@@ -414,3 +414,155 @@ def impute_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_after"),
     )
+
+
+# Shannon entropies + mutual information of event_type × ISO weekday,
+# from the same one-scan contingency cells as the chi-square. Every
+# per-cell term is deterministic double arithmetic (libm log differs
+# by ≤1 ulp across engines — orders of magnitude inside the ROUND(,6)
+# guard, same precedent as BM25's idf).
+@query(
+    "mi_event_type_isodow",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS r, CAST(isodow(ts) AS BIGINT) AS c,
+               CAST(count(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT o, r, c,
+               sum(o) OVER (PARTITION BY r) AS rt,
+               sum(o) OVER (PARTITION BY c) AS ct,
+               sum(o) OVER () AS n
+        FROM cells
+    ),
+    t AS (
+        SELECT (o / n) * ln((o / n) / ((rt / n) * (ct / n))) AS mi_term,
+               CASE WHEN rn = 1 THEN (rt / n) * ln(rt / n) END AS hr_term,
+               CASE WHEN cn = 1 THEN (ct / n) * ln(ct / n) END AS hc_term
+        FROM (
+            SELECT o, rt, ct, n,
+                   row_number() OVER (PARTITION BY r ORDER BY c) AS rn,
+                   row_number() OVER (PARTITION BY c ORDER BY r) AS cn
+            FROM m
+        )
+    )
+    SELECT ROUND(-sum(hr_term), 6) AS h_type,
+           ROUND(-sum(hc_term), 6) AS h_dow,
+           ROUND(sum(mi_term), 6) AS mi
+    FROM t
+    """,
+)
+def mi_event_type_isodow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    cells = (
+        ev.select(
+            F.col("event_type").alias("r"),
+            (F.expr("weekday(ts)") + F.lit(1)).cast("bigint").alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    wr, wc = Window.partitionBy("r"), Window.partitionBy("c")
+    m = (
+        cells.withColumn("rt", F.sum("o").over(wr))
+        .withColumn("ct", F.sum("o").over(wc))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+        .withColumn("rn", F.row_number().over(wr.orderBy("c")))
+        .withColumn("cn", F.row_number().over(wc.orderBy("r")))
+    )
+    o, rt, ct, n = F.col("o"), F.col("rt"), F.col("ct"), F.col("n")
+    t = m.select(
+        ((o / n) * F.log((o / n) / ((rt / n) * (ct / n)))).alias("mi_term"),
+        F.when(F.col("rn") == 1, (rt / n) * F.log(rt / n)).alias("hr_term"),
+        F.when(F.col("cn") == 1, (ct / n) * F.log(ct / n)).alias("hc_term"),
+    )
+    return t.agg(
+        F.round(-F.sum("hr_term"), 6).alias("h_type"),
+        F.round(-F.sum("hc_term"), 6).alias("h_dow"),
+        F.round(F.sum("mi_term"), 6).alias("mi"),
+    )
+
+
+# Lagged cross-correlation of two hourly count series (view vs
+# purchase) at lags -3..+3 hours. Counts are INTEGERS, so every power
+# sum is exact and the Pearson formula runs on identical doubles both
+# sides — the X38 exact-moment recipe applied to time series.
+@query(
+    "xcorr_view_purchase_lags",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    b AS (
+        SELECT event_type, ep - ep % 3600 AS bk,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM e GROUP BY 1, 2
+    ),
+    v AS (SELECT bk, cnt AS x FROM b WHERE event_type = 'view'),
+    p AS (SELECT bk, cnt AS y FROM b WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(unnest(generate_series(-3, 3)) AS BIGINT) AS lag),
+    j AS (
+        SELECT l.lag, v.x, p.y
+        FROM lags l
+        JOIN v ON TRUE
+        JOIN p ON p.bk = v.bk + l.lag * 3600
+    ),
+    s AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+        FROM j GROUP BY lag
+    )
+    SELECT lag, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS corr
+    FROM s
+    """,
+)
+def xcorr_view_purchase_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    epoch = F.col("ts").cast("long")
+    b = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            "event_type", (epoch - epoch % 3600).alias("bk")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()  # consumed by both series legs
+    )
+    v = b.filter(F.col("event_type") == "view").select(
+        "bk", F.col("cnt").alias("x")
+    )
+    p = b.filter(F.col("event_type") == "purchase").select(
+        F.col("bk").alias("pbk"), F.col("cnt").alias("y")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    j = v.crossJoin(F.broadcast(lags)).join(
+        p, F.col("pbk") == F.col("bk") + F.col("lag") * 3600
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "lag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr"),
+    )

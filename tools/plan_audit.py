@@ -121,6 +121,11 @@ ALLOWLIST = {
         "sequence() buckets — both sides tiny by construction; the "
         "events table itself joins the grid hash-keyed"
     },
+    "xcorr_view_purchase_lags": {
+        "bnlj": "7-row broadcast lag spine crossed into the hourly "
+        "count series (≤ buckets × 7 rows) — the join to the second "
+        "series is hash-keyed on the shifted bucket"
+    },
     "gapfill_interpolate_hourly": {
         "bnlj": "same calendar-spine grid as dense_hourly_event_counts: "
         "distinct event types × broadcast sequence() buckets, both "
