@@ -866,3 +866,52 @@ def test_kmv_exact_regime_set_algebra_parity(spark, ddb_events, pair, day_lo):
         return
     assert got[0].u == float(want[0])
     assert got[0].i == float(want[1])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from([600, 1800, 3600, 7200]),
+    st.integers(min_value=2, max_value=7),
+)
+def test_sessionize_parity(spark, ddb_events, gap, mod):
+    """Differential family 18: inactivity-gap sessionization over a
+    random user slice at a random gap — session numbering, sizes and
+    epoch bounds are all integers, so agreement is bit-for-bit."""
+    from spark_ml_showcase_spark.operators.analytics import sessionize
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    # Catalog, not a raw read: the fixture's TIMESTAMP_NTZ needs the
+    # same physical-type normalization the registered queries get
+    df = Catalog(spark, SF).events.filter(F.col("user_id") % mod == 0)
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_epoch, r.end_epoch)
+        for r in sessionize(df, gap_seconds=gap).collect()
+    }
+    rows = ddb_events.execute(
+        f"""
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events WHERE user_id % {mod} = 0
+        ),
+        m AS (
+            SELECT user_id, ts, event_id, ep,
+                   CASE WHEN lag(ep) OVER w IS NULL THEN 1
+                        WHEN ep - lag(ep) OVER w > {gap} THEN 1
+                        ELSE 0 END AS ns
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        n AS (
+            SELECT user_id, ep,
+                   CAST(sum(ns) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS seq
+            FROM m
+        )
+        SELECT user_id, seq, COUNT(*), MIN(ep), MAX(ep)
+        FROM n GROUP BY 1, 2
+        """
+    ).fetchall()
+    want = {(u, s): (c, lo, hi) for u, s, c, lo, hi in rows}
+    assert got == want
