@@ -616,3 +616,76 @@ def interval_overlap_view_purchase(
         )
         .orderBy("user_id", "view_id", "purchase_id")
     )
+
+
+# X57: incremental JOIN-view maintenance — three fact batches and two
+# synthetic dimension updates folded through the delta algebra
+# (operators/ivm.py); the final view must hash-match the one-shot join
+# of ALL orders against the FINAL customer state, which is exactly
+# what the oracle computes. Updates are arithmetic (segment overwrite
+# for custkey % 10, balance bump for custkey % 7) so both engines
+# derive identical final dimension attributes.
+@query(
+    "ivm_orders_customer_view",
+    oracle="""
+    WITH final_dim AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED'
+                    ELSE c_mktsegment END AS segment,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN CAST(CAST(c_acctbal AS DECIMAL(20,2))
+                              + 100.00 AS DOUBLE)
+                    ELSE c_acctbal END AS balance
+        FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           d.segment, d.balance
+    FROM orders o JOIN final_dim d ON o.o_custkey = d.c_custkey
+    """,
+)
+def ivm_orders_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators.ivm import join_view_fold
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = cat.customer
+
+    def batch(i: int) -> DataFrame:
+        return orders.filter(F.col("o_orderkey") % 3 == i).withColumnRenamed(
+            "o_custkey", "c_custkey"
+        )
+
+    d0 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    d1 = d0.withColumn(
+        "segment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("UPDATED")).otherwise(
+            F.col("segment")
+        ),
+    )
+    d2 = d1.withColumn(
+        "balance",
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            (
+                F.col("balance").cast("decimal(20,2)")
+                + F.lit(100).cast("decimal(20,2)")
+            ).cast("double"),
+        ).otherwise(F.col("balance")),
+    )
+    ch1 = cust.filter(F.col("c_custkey") % 10 == 0).select("c_custkey")
+    ch2 = cust.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    view = join_view_fold(
+        [(batch(0), d0, None), (batch(1), d1, ch1), (batch(2), d2, ch2)],
+        key="c_custkey",
+    )
+    return view.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "o_totalprice",
+        "segment",
+        "balance",
+    )

@@ -101,3 +101,37 @@ def stratified_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Deterministic stratified downsample: EXACTLY k rows per stratum,
+# chosen by md5 order (the engine-portable hash — xxhash64 differs
+# across engines, md5 hex strings do not; same trick as domain_mix).
+# The training-data-curation shape: cap every class at k with a
+# seedless, reproducible, engine-independent pick.
+@query(
+    "stratified_k_per_type",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM events
+    )
+    SELECT event_type, event_id FROM r WHERE rk <= 40
+    """,
+)
+def stratified_k_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select("event_type", "event_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 40)
+        .select("event_type", "event_id")
+    )
