@@ -143,7 +143,7 @@ QZ_DICT_V4 = QZ_DICT_V3 + (
 # (real-digit timings pushed the blob past the budget and bench fell
 # back to qz="" — caught before commit). Full new names compress to
 # back-references; a few generic stems buy headroom for round 10.
-QZ_DICT = QZ_DICT_V4 + (
+QZ_DICT_V5 = QZ_DICT_V4 + (
     b"|markov_event_transitions|chi2_event_type_isodow"
     b"|gapfill_interpolate_hourly|geo_radius_join_cust_supp"
     b"|skyline_parts_price_size|customer_tree_closure"
@@ -155,6 +155,15 @@ QZ_DICT = QZ_DICT_V4 + (
     b"|outlier|impute|encode|decode|normalize|reservoir|bloom"
 )
 
+# v6 (round 9, third batch): v5 left 7 chars at 180 names — the four
+# statistics/IVM names plus stems for the next round's growth.
+QZ_DICT = QZ_DICT_V5 + (
+    b"|mi_event_type_isodow|xcorr_view_purchase_lags"
+    b"|stratified_k_per_type|ivm_orders_customer_view"
+    b"|entropy|mutual|incremental|materialized|view_|delta"
+    b"|changepoint|cusum|ewma|smooth|forecast_|lift|basket"
+)
+
 
 def decode_qz(qz: str) -> dict[str, float]:
     """Inverse of :func:`encode_qz` — seconds keyed by query name.
@@ -164,7 +173,9 @@ def decode_qz(qz: str) -> dict[str, float]:
     import zlib
 
     raw = None
-    for zd in (QZ_DICT, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1):
+    for zd in (
+        QZ_DICT, QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1
+    ):
         try:
             dec = zlib.decompressobj(zdict=zd)
             raw = dec.decompress(base64.b85decode(qz)) + dec.flush()
