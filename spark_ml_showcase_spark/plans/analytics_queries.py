@@ -566,3 +566,104 @@ def xcorr_view_purchase_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+# CUSUM changepoint per event type: on the dense hourly count series,
+# S_t = prefix(x) - (t*total)/n peaks where the level shifts. Counts
+# are integers so prefix and t*total are exact; the single division
+# makes S_t identical doubles both sides, and the argmax orders by
+# (|S| desc, bucket asc) - fully tie-deterministic.
+@query(
+    "cusum_changepoint_by_type",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events
+    ),
+    o AS (
+        SELECT event_type, ep - ep % 3600 AS bk,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM e GROUP BY 1, 2
+    ),
+    span AS (SELECT min(bk) AS lo, max(bk) AS hi FROM o),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS bk
+        FROM span
+    ),
+    g AS (
+        SELECT t.event_type, s.bk, coalesce(o.cnt, 0) AS x
+        FROM (SELECT DISTINCT event_type FROM o) t
+        CROSS JOIN spine s
+        LEFT JOIN o ON o.event_type = t.event_type AND o.bk = s.bk
+    ),
+    w AS (
+        SELECT event_type, bk,
+               sum(x) OVER (PARTITION BY event_type ORDER BY bk
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pfx,
+               row_number() OVER (PARTITION BY event_type ORDER BY bk)
+                   AS t,
+               sum(x) OVER (PARTITION BY event_type) AS total,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM g
+    ),
+    s AS (
+        SELECT event_type, bk, n,
+               pfx - (t * total) * 1.0 / n AS cusum
+        FROM w
+    ),
+    r AS (
+        SELECT event_type, bk, n, cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(cusum) DESC, bk) AS rk
+        FROM s
+    )
+    SELECT event_type, bk AS cp_bucket, CAST(n AS BIGINT) AS n,
+           ROUND(cusum, 6) AS cusum
+    FROM r WHERE rk = 1
+    """,
+)
+def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    epoch = F.col("ts").cast("long")
+    o = ev.groupBy(
+        "event_type", (epoch - epoch % 3600).alias("bk")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).localCheckpoint()
+    span = o.agg(F.min("bk").alias("_lo"), F.max("bk").alias("_hi"))
+    spine = span.select(
+        F.explode(F.sequence("_lo", "_hi", F.lit(3600))).alias("bk")
+    )
+    g = (
+        o.select("event_type").distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(o, ["event_type", "bk"], "left")
+        .select(
+            "event_type", "bk",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("x"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("bk")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    s = (
+        g.withColumn("pfx", F.sum("x").over(run))
+        .withColumn("t", F.row_number().over(wo))
+        .withColumn("total", F.sum("x").over(wall))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "cusum",
+            F.col("pfx") - (F.col("t") * F.col("total")) * F.lit(1.0) / F.col("n"),
+        )
+    )
+    r = s.withColumn(
+        "rk",
+        F.row_number().over(wall.orderBy(F.abs("cusum").desc(), F.asc("bk"))),
+    )
+    return r.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("bk").alias("cp_bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("cusum", 6).alias("cusum"),
+    )

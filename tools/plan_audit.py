@@ -131,6 +131,11 @@ ALLOWLIST = {
         "distinct event types × broadcast sequence() buckets, both "
         "tiny; the observed averages join the grid hash-keyed"
     },
+    "cusum_changepoint_by_type": {
+        "bnlj": "same calendar-spine grid: distinct event types × "
+        "broadcast sequence() buckets — the CUSUM series needs the "
+        "dense grid; observed counts join it hash-keyed"
+    },
     "skyline_parts_price_size": {
         "bnlj": "two-phase skyline refine: the dominance anti-join runs "
         "on the broadcast LOCAL-skyline survivors only (O(log² n) per "
