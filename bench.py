@@ -52,27 +52,41 @@ PRINTED_LINE_BUDGET = 1960
 
 
 def encode_qz(times: dict[str, float]) -> str:
-    """All benched timings as zlib+base64 of
-    ``"name,...|centisec,..."`` (names sorted, values int centiseconds —
-    wall-times jitter ±20% with host load, so 10 ms resolution loses
-    nothing). ~104 full-name timings compress to ~1.6k chars vs ~2.9k
-    plain JSON, which is what lets the ENTIRE suite ride inside the
-    driver's 2000-char stdout tail."""
+    """All benched timings, compressed to ride the driver's 2000-char
+    stdout tail. Wire format (round 9, third revision): a ``.`` marker
+    + base85(zlib(names + NUL + packed values)) — names sorted and
+    comma-joined (preset-dictionary back-references), values as
+    big-endian uint16 CENTISECONDS (10 ms resolution loses nothing
+    against ±20% host jitter; 655.35 s cap — a per-query timing past
+    that is a bug, and the cap saturates rather than wraps). Packing
+    the value stream halved its footprint: at 181 queries the digit
+    CSV form stopped fitting even with dict v6 — digits are
+    high-entropy, binary isn't shorter per value than 2 bytes."""
     import base64
+    import struct
     import zlib
 
     items = sorted(times.items())
-    payload = ",".join(k for k, _ in items) + "|" + ",".join(
-        str(int(round(v * 100))) for _, v in items
-    )
+    names = ",".join(k for k, _ in items).encode()
+    # 1-byte value with a 0xFF + uint16 escape: most per-query timings
+    # sit well under 2.55 s, so the value stream averages ~1.1 bytes
+    # per query instead of a fixed 2 (the fixed-width form put the
+    # 189-name growth-margin payload exactly AT the budget)
+    vals = bytearray()
+    for _, v in items:
+        c = min(65535, int(round(v * 100)))
+        if c < 255:
+            vals.append(c)
+        else:
+            vals.append(255)
+            vals += struct.pack(">H", c)
+    vals = bytes(vals)
     co = zlib.compressobj(9, zlib.DEFLATED, 15, 9,
                           zlib.Z_DEFAULT_STRATEGY, zdict=QZ_DICT)
-    comp = co.compress(payload.encode()) + co.flush()
-    # base85 (JSON-safe alphabet: no quote/backslash) + a preset
-    # dictionary of registry-name fragments buys ~8% over the round-6
-    # base64+plain-zlib form — the registry outgrew the 2000-char
-    # driver tail at 125 queries without it
-    return base64.b85encode(comp).decode()
+    comp = co.compress(names + b"\x00" + vals) + co.flush()
+    # '.' is not in the base85 alphabet, so it unambiguously marks the
+    # packed format; decode_qz still reads every older form
+    return "." + base64.b85encode(comp).decode()
 
 
 # Frequent query-name fragments, shared by encoder and decoder. The
@@ -167,24 +181,45 @@ QZ_DICT = QZ_DICT_V5 + (
 
 def decode_qz(qz: str) -> dict[str, float]:
     """Inverse of :func:`encode_qz` — seconds keyed by query name.
-    Transparently decodes the round-6 format (base64 + dict-less zlib)
-    for older committed BENCH_r*.json artifacts."""
+    Transparently decodes every older wire form: the '.'-marked packed
+    format (current), the CSV-payload dict forms (rounds 6-9, any dict
+    version), and the round-6 base64 + dict-less zlib."""
     import base64
+    import struct
     import zlib
 
+    packed = qz.startswith(".")
+    body = qz[1:] if packed else qz
     raw = None
     for zd in (
         QZ_DICT, QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1
     ):
         try:
             dec = zlib.decompressobj(zdict=zd)
-            raw = dec.decompress(base64.b85decode(qz)) + dec.flush()
-            raw.decode()  # wrong-dict decompression can "succeed" as garbage
+            raw = dec.decompress(base64.b85decode(body)) + dec.flush()
+            if not packed:
+                raw.decode()  # wrong-dict decompression can "succeed" as garbage
+            elif b"\x00" not in raw:
+                raise ValueError("packed form lacks separator")
             break
         except Exception:
             raw = None
     if raw is None:
-        raw = zlib.decompress(base64.b64decode(qz))
+        raw = zlib.decompress(base64.b64decode(body))
+    if packed:
+        names_b, vals_b = raw.split(b"\x00", 1)
+        names = names_b.decode().split(",")
+        vals = []
+        i = 0
+        while i < len(vals_b):
+            c = vals_b[i]
+            if c == 255:
+                (c,) = struct.unpack(">H", vals_b[i + 1 : i + 3])
+                i += 3
+            else:
+                i += 1
+            vals.append(c)
+        return {n: v / 100.0 for n, v in zip(names, vals)}
     names, vals = raw.decode().split("|")
     return {
         n: int(v) / 100.0
