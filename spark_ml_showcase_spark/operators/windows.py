@@ -250,3 +250,41 @@ def interpolate_linear(
         F.round(filled, round_decimals).alias(y_col),
         src.alias("src"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    *,
+    alpha: float = 0.3,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``ewma_t = alpha*y_t + (1-alpha)*ewma_{t-1}`` over rows ordered by
+    ``x_col`` — the one classic smoother whose recurrence SQL windows
+    cannot express (every output depends on the full prefix with
+    geometric weights), so it runs as ``applyInPandas`` per key with
+    pandas' C-side ``ewm`` kernel.
+
+    Scale posture: ONE shuffle keyed by ``keys`` (the groupBy); each
+    group is a single series — the natural parallelism unit; batch
+    arithmetic is vectorized C, no Python-per-row work. Output: input
+    columns + ``ewma`` (rounded).
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", ewma double"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col, kind="mergesort")
+        pdf["ewma"] = (
+            pdf[y_col].ewm(alpha=alpha, adjust=False).mean()
+            .round(round_decimals)
+        )
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(smooth, schema=out_schema)

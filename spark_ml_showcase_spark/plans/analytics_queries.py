@@ -667,3 +667,202 @@ def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round("cusum", 6).alias("cusum"),
     )
+
+
+# Two-proportion z-test (the A/B-test readout): purchase conversion of
+# even- vs odd-user cohorts. Counts are exact integers; the pooled-
+# variance z statistic is one deterministic double expression.
+@query(
+    "ab_test_purchase_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id % 2 AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS conv
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT max(CASE WHEN grp = 0 THEN n END) AS n0,
+               max(CASE WHEN grp = 0 THEN conv END) AS c0,
+               max(CASE WHEN grp = 1 THEN n END) AS n1,
+               max(CASE WHEN grp = 1 THEN conv END) AS c1
+        FROM u
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(c0 * 1.0 / n0, 6) AS p0,
+           ROUND(c1 * 1.0 / n1, 6) AS p1,
+           ROUND((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+                 / sqrt((c0 + c1) * 1.0 / (n0 + n1)
+                        * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z
+    FROM w
+    """,
+)
+def ab_test_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    u = ev.groupBy((F.col("user_id") % 2).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
+    w = u.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0"), F.col("c0")
+    n1, c1 = F.col("n1"), F.col("c1")
+    pool = (c0 + c1) * F.lit(1.0) / (n0 + n1)
+    z = (c0 * F.lit(1.0) / n0 - c1 * F.lit(1.0) / n1) / F.sqrt(
+        pool * (F.lit(1) - pool) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.round(c0 * F.lit(1.0) / n0, 6).alias("p0"),
+        F.round(c1 * F.lit(1.0) / n1, 6).alias("p1"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+# Gini coefficient of per-user spend (inequality of purchase value):
+# G = (2*Sigma(i*x_i) / (n*Sigma(x)) - (n+1)/n) over ascending-sorted
+# x with a deterministic (spend, user) rank. Spend is summed in the
+# exact decimal domain; the rank-weighted sum stays exact until the
+# one final division.
+@query(
+    "gini_user_spend",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               sum(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS spend
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    r AS (
+        SELECT spend,
+               row_number() OVER (ORDER BY spend, user_id) AS i,
+               count(*) OVER () AS n
+        FROM s
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           ROUND(CAST(sum(spend) AS DOUBLE), 2) AS total_spend,
+           ROUND(2.0 * CAST(sum(i * spend) AS DOUBLE)
+                 / (max(n) * CAST(sum(spend) AS DOUBLE))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM r
+    """,
+)
+def gini_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    s = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value"), 6).cast("decimal(20,6)")
+            ).alias("spend")
+        )
+    )
+    w = Window.orderBy("spend", "user_id")
+    r = s.select(
+        "spend",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.sum("spend").cast("double"), 2).alias("total_spend"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("spend")).cast("double")
+            / (F.max("n") * F.sum("spend").cast("double"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# Bayesian shrunken group score (the IMDB weighted-rating formula):
+# score = (n*mean + C*mu) / (n + C) with prior strength C=50 and the
+# global mean as prior. Everything derives from exact decimal sums;
+# the one division per group runs on identical doubles.
+@query(
+    "shrunken_value_score_by_type",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(CAST(ROUND(value, 6) AS DECIMAL(20,6)))
+                         AS VARCHAR) AS DOUBLE) AS s
+        FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(sum(s) AS DOUBLE) AS ts FROM g)
+    SELECT g.event_type, g.n,
+           ROUND(g.s / g.n, 6) AS mean_value,
+           ROUND((g.s + 50 * (tot.ts / tot.tn)) / (g.n + 50), 6)
+               AS shrunken_score
+    FROM g, tot
+    """,
+)
+def shrunken_value_score_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("s"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s").cast("double").alias("ts"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    return j.select(
+        "event_type",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean_value"),
+        F.round(
+            (F.col("s") + F.lit(50) * (F.col("ts") / F.col("tn")))
+            / (F.col("n") + F.lit(50)),
+            6,
+        ).alias("shrunken_score"),
+    )
+
+
+# X59: EWMA-smoothed hourly count series per type (rows-only — the
+# geometric-prefix recurrence is not SQL-expressible; pinned against a
+# hand-rolled Python recurrence in tests/test_windows_ewma.py).
+# Deterministic: counts are integers, alpha fixed, per-series ordering
+# total (bucket epochs unique within a type).
+@query("ewma_hourly_counts_by_type")
+def ewma_hourly_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    epoch = F.col("ts").cast("long")
+    counts = ev.groupBy(
+        "event_type", (epoch - epoch % 3600).alias("bk")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    sm = windows_ops.ewma_smooth(
+        counts, ["event_type"], "bk", "cnt", alpha=0.3
+    )
+    # bounded summary: last smoothed level + max deviation per type
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("bk"))
+    return (
+        sm.withColumn("_rk", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max(F.when(F.col("_rk") == 1, F.col("ewma"))).alias(
+                "last_ewma"
+            ),
+            F.round(
+                F.max(F.abs(F.col("cnt") - F.col("ewma"))), 6
+            ).alias("max_abs_dev"),
+        )
+    )

@@ -131,6 +131,10 @@ ALLOWLIST = {
         "distinct event types × broadcast sequence() buckets, both "
         "tiny; the observed averages join the grid hash-keyed"
     },
+    "shrunken_value_score_by_type": {
+        "bnlj": "single-row broadcast global-prior frame crossed into "
+        "the 5 per-type aggregate rows — the event_type_share shape"
+    },
     "cusum_changepoint_by_type": {
         "bnlj": "same calendar-spine grid: distinct event types × "
         "broadcast sequence() buckets — the CUSUM series needs the "
