@@ -160,6 +160,69 @@ def probe_aqe_skew_split_20m(spark):
     return n
 
 
+def probe_runtime_bloom_filter_50m(spark):
+    """Executed-plan evidence for Spark's RUNTIME BLOOM-FILTER join
+    pruning (the row-level sibling of DPP): a selective filter on the
+    dim side injects ``bloom_filter_agg`` / ``might_contain`` onto the
+    FACT scan, so ~99% of the 50M probe rows die before the shuffle
+    instead of after it. Broadcast is disabled so the join actually
+    shuffles (runtime filters exist precisely for the shuffle-join
+    case); the creation-side threshold is raised since the filtered
+    dim (~10k rows) is tiny by cluster standards but the default
+    thresholds are tuned for real tables with stats.
+
+    Asserts the filter appears in the executed plan AND the join
+    result is exactly the closed-form count — evidence the pruning is
+    sound, not just present."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    n, dim_n = 50_000_000, 1_000_000
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        fact = spark.range(n).select(
+            (F.col("id") % dim_n).alias("k"), F.xxhash64("id").alias("v")
+        )
+        # 1% of dim keys survive the selective predicate
+        dim = spark.range(dim_n).select(
+            F.col("id").alias("k"), (F.col("id") % 100).alias("flag")
+        )
+        agg = fact.join(dim.filter(F.col("flag") == 7), "k").agg(
+            F.count(F.lit(1)).alias("c"), F.avg("v").alias("av")
+        )
+        row = agg.collect()[0]
+        assert row.c == n // 100, row.c  # 50 fact rows per key × 10k keys
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    return n
+
+
 def probe_agg_100m(spark):
     n = 100_000_000
     df = spark.range(n).select(
@@ -621,6 +684,7 @@ PROBES = {
     "window_budget_20m": probe_window_budget_20m,
     "skew_join_20m": probe_skew_join_20m,
     "aqe_skew_split_20m": probe_aqe_skew_split_20m,
+    "runtime_bloom_filter_50m": probe_runtime_bloom_filter_50m,
     "agg_100m": probe_agg_100m,
     "topk_50m": probe_topk_50m,
     # minhash BEFORE the temporal probes: the 20M-row single-partition
