@@ -97,3 +97,75 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, *, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Exact triangle count of an undirected graph (edges distinct,
+    one row per unordered pair) by DEGREE ORIENTATION — the
+    Suri/Vassilvitskii MR recipe: orient every edge from its
+    lower-(degree, id) endpoint to the higher, turning the graph into
+    a DAG where each triangle has exactly one node with both
+    out-edges; count wedges at that node and close them with one more
+    join.
+
+    Why orientation matters at scale: naive wedge counting explodes at
+    hub nodes (Σ deg² — a celebrity node with 10M neighbors yields
+    10¹⁴ wedges); orientation bounds every out-degree by O(√m), so the
+    wedge join is O(m^1.5) worst-case TOTAL, independent of skew. The
+    degree table is node-sized and broadcast.
+
+    Returns one row: ``(n_nodes, n_edges, n_triangles)``.
+    """
+    u, v = F.col(u_col), F.col(v_col)
+    deg = (
+        edges.select(F.explode(F.array(u, v)).alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # total-order key (degree, id) packed into one long; ids in real
+    # graphs fit 32 bits — assert cheaply via the packing being
+    # collision-free for id < 2^31 and degree < 2^31
+    key = (F.col("d") * F.lit(2**31) + F.col("x")).alias("k")
+    dk = deg.select("x", key)
+    e = (
+        edges.join(F.broadcast(dk.withColumnRenamed("x", u_col)
+                               .withColumnRenamed("k", "ku")), u_col)
+        .join(F.broadcast(dk.withColumnRenamed("x", v_col)
+                          .withColumnRenamed("k", "kv")), v_col)
+    )
+    oriented = e.select(
+        F.when(F.col("ku") < F.col("kv"), u).otherwise(v).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), v).otherwise(u).alias("dst"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv"))
+        .otherwise(F.col("ku"))
+        .alias("dst_k"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst_k") < F.col("o2.dst_k")),
+    ).select(F.col("o1.dst").alias("a"), F.col("o2.dst").alias("b"))
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+    )
+    return (
+        closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .crossJoin(
+            F.broadcast(
+                edges.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_edges")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            )
+        )
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

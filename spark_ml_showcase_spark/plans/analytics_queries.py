@@ -866,3 +866,59 @@ def ewma_hourly_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs_dev"),
         )
     )
+
+
+# X63: triangle count of the supplier co-part graph (suppliers linked
+# when they supply the same part, parts sliced scale-relatively).
+# The engine orients by degree (wedges bounded O(m^1.5) regardless of
+# hubs); the oracle's id-ordered triple join counts each triangle
+# exactly once too, and the total is orientation-invariant.
+@query(
+    "triangle_count_suppliers",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey
+        FROM lineitem WHERE l_partkey % 20 = 0
+    ),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM ps a JOIN ps b
+          ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    nodes AS (
+        SELECT count(DISTINCT x) AS n FROM (
+            SELECT u AS x FROM e UNION ALL SELECT v FROM e
+        )
+    )
+    SELECT CAST(nodes.n AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*)
+                 FROM e e1
+                 JOIN e e2 ON e1.v = e2.u
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                AS BIGINT) AS n_triangles
+    FROM nodes
+    """,
+)
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators.graph import triangle_count
+
+    li = Catalog(spark, sf_dir).lineitem
+    ps = (
+        li.filter(F.col("l_partkey") % 20 == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -50,3 +50,22 @@ def test_pagerank_directed_dangling_leaks_mass(spark):
 def test_pagerank_empty_edges(spark):
     e = _edges(spark, [])
     assert graph.pagerank(e, iterations=3).count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from spark_ml_showcase_spark.operators.graph import triangle_count
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "u bigint, v bigint")
+        return triangle_count(df).collect()[0]
+
+    # K4: 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = run(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # star: no triangles regardless of hub degree
+    star = [(0, i) for i in range(1, 8)]
+    assert run(star).n_triangles == 0
+    # two triangles sharing an edge
+    bowtie = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]
+    assert run(bowtie).n_triangles == 2

@@ -131,6 +131,11 @@ ALLOWLIST = {
         "distinct event types × broadcast sequence() buckets, both "
         "tiny; the observed averages join the grid hash-keyed"
     },
+    "triangle_count_suppliers": {
+        "bnlj": "two broadcast SINGLE-ROW aggregate frames (edge count, "
+        "node count) crossed into the 1-row triangle count — the "
+        "profile_orders_table shape"
+    },
     "shrunken_value_score_by_type": {
         "bnlj": "single-row broadcast global-prior frame crossed into "
         "the 5 per-type aggregate rows — the event_type_share shape"
