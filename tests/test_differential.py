@@ -915,3 +915,41 @@ def test_sessionize_parity(spark, ddb_events, gap, mod):
     ).fetchall()
     want = {(u, s): (c, lo, hi) for u, s, c, lo, hi in rows}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=10_000),
+    st.integers(min_value=8, max_value=40),
+)
+def test_triangle_count_parity(spark, seed, n_nodes):
+    """Differential family 19: exact triangle counting on a random
+    graph — the degree-oriented wedge join vs DuckDB's id-ordered
+    triple join (the count is orientation-invariant)."""
+    import duckdb
+
+    from spark_ml_showcase_spark.operators.graph import triangle_count
+
+    rng = __import__("numpy").random.default_rng(seed)
+    n_edges = min(n_nodes * 3, n_nodes * (n_nodes - 1) // 2)
+    pairs = set()
+    while len(pairs) < n_edges:
+        a, b = rng.integers(0, n_nodes, size=2)
+        if a != b:
+            pairs.add((int(min(a, b)), int(max(a, b))))
+    edges = sorted(pairs)
+    got = triangle_count(
+        spark.createDataFrame(edges, "u bigint, v bigint")
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (u BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    want = con.execute(
+        """
+        SELECT count(*) FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """
+    ).fetchone()[0]
+    assert got.n_triangles == want
+    assert got.n_edges == len(edges)
