@@ -922,3 +922,124 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+# X64: winsorization — clip values at the per-group exact p01/p99
+# before feature scaling (the standard heavy-tail guard in a training
+# pipeline). The clipped-sum audit travels in the exact decimal
+# domain; percentiles follow the pinned percentile ≡ percentile_cont
+# equivalence.
+@query(
+    "winsorize_value_by_type",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               percentile_cont(0.01) WITHIN GROUP (ORDER BY value) AS p01,
+               percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < q.p01 OR e.value > q.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(CAST(sum(CAST(ROUND(
+                     CASE WHEN e.value < q.p01 THEN q.p01
+                          WHEN e.value > q.p99 THEN q.p99
+                          ELSE e.value END, 6) AS DECIMAL(20,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_winsorized
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    clipped = (
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("p01"))
+                | (F.col("value") > F.col("p99")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+        F.round(
+            F.sum(F.round(clipped, 6).cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_winsorized"),
+    )
+
+
+# X65: robust z-score outliers (median/MAD) — the IQR fence's sibling
+# for asymmetric tails: MAD = median(|x - median|), flag
+# |x - median| > 3 * 1.4826 * MAD. Two exact interpolated medians
+# (one over values, one over absolute deviations from the broadcast
+# median), then a one-scan count.
+@query(
+    "robust_zscore_outliers_by_type",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS m
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               percentile_cont(0.5) WITHIN GROUP (
+                   ORDER BY abs(e.value - med.m)) AS mad
+        FROM events e JOIN med ON e.event_type = med.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(max(med.m), 6) AS median_value,
+           ROUND(max(mad.mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - med.m)
+                              > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+    FROM events e
+    JOIN med ON e.event_type = med.event_type
+    JOIN mad ON e.event_type = mad.event_type
+    GROUP BY e.event_type
+    """,
+)
+def robust_zscore_outliers_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    j1 = ev.join(F.broadcast(med), "event_type")
+    mad = j1.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    j = j1.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.max("m"), 6).alias("median_value"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("m"))
+                > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("outliers"),
+    )
