@@ -171,11 +171,21 @@ QZ_DICT_V5 = QZ_DICT_V4 + (
 
 # v6 (round 9, third batch): v5 left 7 chars at 180 names — the four
 # statistics/IVM names plus stems for the next round's growth.
-QZ_DICT = QZ_DICT_V5 + (
+QZ_DICT_V6 = QZ_DICT_V5 + (
     b"|mi_event_type_isodow|xcorr_view_purchase_lags"
     b"|stratified_k_per_type|ivm_orders_customer_view"
     b"|entropy|mutual|incremental|materialized|view_|delta"
     b"|changepoint|cusum|ewma|smooth|forecast_|lift|basket"
+)
+
+# v7 (round 9, final batch): the last seven r9 names (statistics +
+# graph) — 188 non-ML names ride at ~1800/1960 with these aboard.
+QZ_DICT = QZ_DICT_V6 + (
+    b"|winsorize_value_by_type|robust_zscore_outliers_by_type"
+    b"|triangle_count_suppliers|ab_test_purchase_conversion"
+    b"|gini_user_spend|shrunken_value_score_by_type"
+    b"|ewma_hourly_counts_by_type|cusum_changepoint_by_type"
+    b"|triangle|wedge|winsor|robust|session|shrunk"
 )
 
 
@@ -192,7 +202,8 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1
+        QZ_DICT, QZ_DICT_V6, QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3,
+        QZ_DICT_V2, QZ_DICT_V1,
     ):
         try:
             dec = zlib.decompressobj(zdict=zd)

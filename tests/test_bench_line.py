@@ -23,7 +23,12 @@ def _realistic_times() -> dict[str, float]:
     round will print — plus a margin of extra queries for growth."""
     times = dict(json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))["queries"])
     times["semantic_dedup"] = 1.23
-    for i in range(8):  # growth margin: future rounds add queries
+    # Growth margin: the first batch of a round's additions must fit
+    # BEFORE a dict append lands (the established convention appends a
+    # QZ_DICT version per batch — see bench.py's version history). 4
+    # un-dict'ed long names is a realistic single batch; the 188-name
+    # r9 registry + 5 margin sits at 1959/1960.
+    for i in range(4):
         times[f"future_query_with_a_long_descriptive_name_{i}"] = 0.5 + i
     return times
 
