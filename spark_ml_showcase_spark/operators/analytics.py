@@ -243,18 +243,28 @@ def chi_square_independence(
             * (F.countDistinct("_c") - F.lit(1))
         ).cast("bigint").alias("dof"),
         F.round(F.sum("_t"), round_decimals).alias("chi2"),
-        F.round(
-            F.sqrt(
-                F.sum("_t")
-                / (
-                    F.max("_n")
-                    * F.least(
-                        F.countDistinct("_r") - F.lit(1),
-                        F.countDistinct("_c") - F.lit(1),
+        # degenerate contract: if either variable has ONE category the
+        # test is undefined (dof = 0) — emit NULL explicitly rather
+        # than letting the 0-division produce NaN/Infinity silently.
+        F.when(
+            F.least(
+                F.countDistinct("_r") - F.lit(1),
+                F.countDistinct("_c") - F.lit(1),
+            )
+            > 0,
+            F.round(
+                F.sqrt(
+                    F.sum("_t")
+                    / (
+                        F.max("_n")
+                        * F.least(
+                            F.countDistinct("_r") - F.lit(1),
+                            F.countDistinct("_c") - F.lit(1),
+                        )
                     )
-                )
+                ),
+                round_decimals,
             ),
-            round_decimals,
         ).alias("cramers_v"),
     )
 

@@ -1057,7 +1057,13 @@ def set_similarity_join(
         .localCheckpoint()
     )
     s = F.size("_toks")
-    p = (s - F.ceil(F.lit(float(threshold)) * s) + F.lit(1)).cast("int")
+    # ceil(t*s) via double can land just ABOVE the true integer when
+    # t*s is exactly integral (e.g. 0.7*10 → 7.000000000000001), which
+    # would shorten the prefix by one and miss pairs; nudge down by an
+    # epsilon far below any representable t*s gap before ceiling.
+    p = (
+        s - F.ceil(F.lit(float(threshold)) * s - F.lit(1e-9)) + F.lit(1)
+    ).cast("int")
     # candidate generation carries BARE id pairs — the token arrays
     # would otherwise ride through the prefix join and the duplicate
     # shuffle (a prefix of length p yields up to p copies of each

@@ -124,10 +124,11 @@ def triangle_count(
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # total-order key (degree, id) packed into one long; ids in real
-    # graphs fit 32 bits — assert cheaply via the packing being
-    # collision-free for id < 2^31 and degree < 2^31
-    key = (F.col("d") * F.lit(2**31) + F.col("x")).alias("k")
+    # total-order key (degree, id) as a struct — Spark compares structs
+    # lexicographically, so this is collision-free for ANY id type/range
+    # (a packed d*2^31+id long would silently collide on negative or
+    # >=2^31 ids and corrupt the wedge dedup order)
+    key = F.struct(F.col("d").alias("d"), F.col("x").alias("x")).alias("k")
     dk = deg.select("x", key)
     e = (
         edges.join(F.broadcast(dk.withColumnRenamed("x", u_col)

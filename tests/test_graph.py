@@ -69,3 +69,18 @@ def test_triangle_count_known_graphs(spark):
     # two triangles sharing an edge
     bowtie = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]
     assert run(bowtie).n_triangles == 2
+
+
+def test_triangle_count_negative_and_wide_ids(spark):
+    # ADVICE r9: the old packed d*2^31+id orientation key collided on
+    # negative or >=2^31 ids; the struct key must not. K4 on ids far
+    # outside [0, 2^31) still counts 4 triangles.
+    from spark_ml_showcase_spark.operators.graph import triangle_count
+
+    ids = [-5, 2**33, 2**33 + 7, -(2**31) - 3]
+    k4 = [
+        (ids[a], ids[b]) for a in range(4) for b in range(a + 1, 4)
+    ]
+    df = spark.createDataFrame(k4, "u bigint, v bigint")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)

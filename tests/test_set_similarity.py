@@ -67,3 +67,21 @@ def test_threshold_boundary_pair_included(spark):
     c = " ".join(f"t{k}" for k in range(9))
     got = _run(spark, {1: a, 3: c}, 0.9)
     assert got == {(1, 3): 0.9}
+
+
+def test_integral_threshold_product_prefix_complete(spark):
+    # ADVICE r9: ceil(0.7 * 10) computed in doubles can exceed 7 and
+    # shorten the prefix by one token. Docs of exactly 10 tokens at
+    # t=0.7 sharing 7 tokens sit right on that boundary — the join
+    # must still find every qualifying pair vs the naive reference.
+    base = [f"t{k}" for k in range(10)]
+    texts = {}
+    for i in range(8):
+        # 7 shared + 3 distinct tokens -> 10 tokens, pairwise overlap
+        # 7/13 < 0.7 except for crafted exact-duplicate pairs below
+        texts[i] = " ".join(base[:7] + [f"u{i}a", f"u{i}b", f"u{i}c"])
+    texts[100] = " ".join(base)          # exact 10-token doc
+    texts[101] = " ".join(base)          # duplicate: jaccard 1.0
+    texts[102] = " ".join(base[:7] + ["z1", "z2", "z3"])
+    for t in (0.5, 0.7, 1.0):
+        assert _run(spark, texts, t) == _naive(texts, t)

@@ -181,3 +181,13 @@ def test_chi2_matches_hand_computation(spark):
     assert out.n == n and out.dof == 1
     assert out.chi2 == pytest.approx(expect, abs=1e-6)
     assert out.cramers_v == pytest.approx(np.sqrt(expect / n), abs=1e-6)
+
+
+def test_chi2_single_category_cramers_v_null(spark):
+    # degenerate contract (ADVICE r9): one distinct row-category means
+    # dof = 0 — cramers_v must be explicit NULL, not NaN/Infinity.
+    rows = [("x", 1)] * 3 + [("x", 2)] * 5
+    df = spark.createDataFrame(rows, "r string, c bigint")
+    out = chi_square_independence(df, F.col("r"), F.col("c")).collect()[0]
+    assert out.dof == 0
+    assert out.cramers_v is None
