@@ -180,12 +180,18 @@ QZ_DICT_V6 = QZ_DICT_V5 + (
 
 # v7 (round 9, final batch): the last seven r9 names (statistics +
 # graph) — 188 non-ML names ride at ~1800/1960 with these aboard.
-QZ_DICT = QZ_DICT_V6 + (
+QZ_DICT_V7 = QZ_DICT_V6 + (
     b"|winsorize_value_by_type|robust_zscore_outliers_by_type"
     b"|triangle_count_suppliers|ab_test_purchase_conversion"
     b"|gini_user_spend|shrunken_value_score_by_type"
     b"|ewma_hourly_counts_by_type|cusum_changepoint_by_type"
     b"|triangle|wedge|winsor|robust|session|shrunk"
+)
+
+# v8 (round 10): substring-level dedup + tfidf SQL twin + quantized ANN.
+QZ_DICT = QZ_DICT_V7 + (
+    b"|substring_dup_spans|tfidf_top_terms_sql|quantized_ann_recall"
+    b"|substring|quantized|recall"
 )
 
 
@@ -202,8 +208,8 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V6, QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3,
-        QZ_DICT_V2, QZ_DICT_V1,
+        QZ_DICT, QZ_DICT_V7, QZ_DICT_V6, QZ_DICT_V5, QZ_DICT_V4,
+        QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1,
     ):
         try:
             dec = zlib.decompressobj(zdict=zd)

@@ -242,7 +242,13 @@ def minhash_signature_np_udf(ngram: int = 3, k: int = 32, seed: int = 40):
             pos = end
         return pd.Series(out, dtype=object)
 
-    return F.pandas_udf(fn, "array<bigint>")
+    # asNondeterministic: the UDF IS deterministic, but the marker stops
+    # Catalyst pushing `isnotnull(fn(text))` predicates below exchanges —
+    # the pushed copy materialized a SECOND full-corpus ArrowEvalPython
+    # (r10 plan read: fn(text) below the repartition for the filter,
+    # fn(_t) above it for the projection — every signature computed
+    # twice, at every call site, since r8).
+    return F.pandas_udf(fn, "array<bigint>").asNondeterministic()
 
 
 def _minhash_signatures_np(
@@ -308,21 +314,37 @@ def minhash_candidate_pairs(
     buckets = buckets.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
         F.col("_bsz") <= max_bucket
     )
-    # Materialize the guarded buckets ONCE before the self-join: the two
-    # join sides are re-analyzed with fresh expr ids, and Spark's
-    # exchange-reuse does not canonicalize the ArrowEvalPython subtree
-    # as equal — without this barrier the signature UDF and the window
-    # run TWICE (r9 profiling: 0 ReusedExchange, 4 ArrowEvalPython nodes
-    # in the executed plan; candidates 8.9 s → 5.6 s at 1M docs). The
-    # checkpoint holds 3 narrow longs × bands per doc — the same
-    # bounded working set the join shuffles anyway.
-    buckets = buckets.drop("_bsz").localCheckpoint()
-    a = buckets.select(F.col("_id").alias("id_a"), "band", "bh")
-    b = buckets.select(F.col("_id").alias("id_b"), "band", "bh")
+    # Pair generation WITHOUT a self-join: collect each surviving
+    # bucket's member list and explode the in-bucket pairs. The window
+    # filter above already bounds every list to ``max_bucket`` ids
+    # (and the WINDOW — not collect_list — meets the hot bucket, with
+    # spill-safe buffering), so the collect is O(max_bucket) per group;
+    # the window's (band, bh) clustering satisfies the groupBy's
+    # distribution, so this adds NO shuffle. One subtree also means the
+    # signature UDF executes exactly once — the r9 localCheckpoint
+    # barrier existed only because the self-join's two sides re-ran the
+    # ArrowEvalPython subtree (exchange reuse never canonicalized it);
+    # the barrier's eager job cost ~2 s fixed inside composed pipelines
+    # (clean_corpus_funnel r9 regression), all of which this removes.
+    grouped = (
+        buckets.drop("_bsz")
+        .groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    n = F.size("_ids")
+    pairs = F.flatten(
+        F.transform(
+            "_ids",
+            lambda x, i: F.transform(
+                F.slice("_ids", i + F.lit(2), n - i - F.lit(1)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(pairs).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
 
@@ -1094,4 +1116,145 @@ def set_similarity_join(
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _gram_hash_seq_fn(n: int):
+    """Arrow-batched text → array of n-gram hashes IN OFFSET ORDER
+    (int64 blake2b-8 of the space-joined gram) — the positional sibling
+    of ``boilerplate._gram_hashes_fn`` (which dedups to a set). Offset
+    order is the whole point here: consecutive equal grams across two
+    docs are what merge into maximal duplicate spans."""
+    from hashlib import blake2b
+
+    from spark_ml_showcase_spark.functions.text import py_tokens
+
+    def fn(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = py_tokens(t)
+            out.append(
+                [
+                    int.from_bytes(
+                        blake2b(
+                            " ".join(toks[i : i + n]).encode(),
+                            digest_size=8,
+                        ).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for i in range(len(toks) - n + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return fn
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    span_tokens: int = 50,
+    max_gram_occurrences: int = 200,
+) -> DataFrame:
+    """Exact substring-level duplication across documents (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    every maximal cross-doc token span of length ≥ ``span_tokens``
+    repeated verbatim between two documents. Where MinHash flags
+    near-duplicate DOCUMENTS and the 6-gram boilerplate pass flags
+    popular SHORT spans, this finds the long exact overlaps (quoted
+    passages, mirrored paragraphs) that survive both.
+
+    Spark shape (suffix arrays don't distribute; sliding grams do):
+    one Arrow pass emits each doc's ``span_tokens``-gram hash sequence
+    → posexplode to ``(id, off, gh)`` (only longs shuffle, never text)
+    → hot-gram guard (occurrences per gram ≤ ``max_gram_occurrences``,
+    window-counted spill-safely BEFORE any list materializes — a gram
+    in B docs yields B² pairs, so corpus-wide boilerplate must be
+    dropped, exactly the MinHash ``max_bucket`` posture) → per-gram
+    in-bucket pair explode (bounded by the guard; no self-join, the
+    gram subtree exists ONCE in the plan) → merge consecutive matching
+    offsets per (pair, diagonal) into maximal spans via the classic
+    gaps-and-islands ``off − row_number`` trick.
+
+    A common substring of L ≥ span_tokens tokens appears as exactly
+    L − span_tokens + 1 consecutive matching grams on one diagonal, so
+    ``span_len`` is EXACT (token-measured) and the whole construction
+    is replayable in ANSI SQL on the gram strings — the DuckDB oracle
+    does precisely that (hash vs string join: identical up to blake2b-8
+    collision, P ≈ G²/2⁻⁶⁴).
+
+    Returns ``(id_a, id_b, start_a, start_b, span_len)`` with
+    ``id_a < id_b``; offsets are 1-based token positions.
+    """
+    udf = F.pandas_udf(_gram_hash_seq_fn(span_tokens), "array<bigint>")
+    grams = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(udf(F.col(text_col))).alias("_off0", "gh"),
+        )
+        .select(
+            "_id", (F.col("_off0") + F.lit(1)).alias("_off"), "gh"
+        )
+    )
+    wg = Window.partitionBy("gh")
+    guarded = (
+        grams.withColumn("_gsz", F.count(F.lit(1)).over(wg))
+        .filter(F.col("_gsz") <= max_gram_occurrences)
+        .drop("_gsz")
+    )
+    # (band, bh) → (gh): same no-self-join pair generation as
+    # minhash_candidate_pairs — the window's clustering satisfies the
+    # groupBy, so this adds no shuffle, and the guard bounds the list.
+    grouped = (
+        guarded.groupBy("gh")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_id").alias("id"), F.col("_off").alias("off")
+                    )
+                )
+            ).alias("_occ")
+        )
+        .filter(F.size("_occ") >= 2)
+    )
+    nocc = F.size("_occ")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "_occ",
+                lambda x, i: F.transform(
+                    F.slice("_occ", i + F.lit(2), nocc - i - F.lit(1)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        x["off"].alias("off_a"),
+                        y["id"].alias("id_b"),
+                        y["off"].alias("off_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] != p["id_b"],
+    )
+    m = (
+        grouped.select(F.explode(pairs).alias("_p"))
+        .select("_p.id_a", "_p.off_a", "_p.id_b", "_p.off_b")
+        .withColumn("_diag", F.col("off_a") - F.col("off_b"))
+    )
+    wrun = Window.partitionBy("id_a", "id_b", "_diag").orderBy("off_a")
+    runs = m.withColumn("_grp", F.col("off_a") - F.row_number().over(wrun))
+    return (
+        runs.groupBy("id_a", "id_b", "_diag", "_grp")
+        .agg(
+            F.min("off_a").cast("bigint").alias("start_a"),
+            F.min("off_b").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(span_tokens - 1))
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "span_len")
     )

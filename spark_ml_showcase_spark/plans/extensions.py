@@ -301,6 +301,56 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# X66: exact substring-level dedup (Lee et al. 2022) — maximal cross-doc
+# token spans repeated verbatim, found via sliding span-gram hashes and
+# gaps-and-islands merging (operators/dedup.substring_dup_spans). The
+# Spark side joins 64-bit gram hashes; the oracle joins the gram STRINGS
+# and replays the occurrence guard + island merge — identical up to
+# blake2b-8 collision. span=30 matches the fixture's planted boilerplate
+# sentence length; the operator default is the paper's ~50.
+@query(
+    "substring_dup_spans",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id,
+               unnest([{'off': i, 's': array_to_string(toks[i:i+29], ' ')}
+                       for i in generate_series(1, len(toks) - 29)]) AS u
+        FROM t WHERE len(toks) >= 30
+    ),
+    g AS (SELECT doc_id, u.off AS off, u.s AS s FROM g0),
+    gz AS (SELECT *, count(*) OVER (PARTITION BY s) AS gsz FROM g),
+    gg AS (SELECT doc_id, off, s FROM gz WHERE gsz <= 200),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.off AS off_a, b.off AS off_b, a.off - b.off AS diag
+        FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT *, off_a - row_number() OVER (
+            PARTITION BY id_a, id_b, diag ORDER BY off_a) AS grp
+        FROM m
+    )
+    SELECT id_a, id_b,
+           CAST(min(off_a) AS BIGINT) AS start_a,
+           CAST(min(off_b) AS BIGINT) AS start_b,
+           CAST(count(*) + 29 AS BIGINT) AS span_len
+    FROM runs GROUP BY id_a, id_b, diag, grp
+    ORDER BY id_a, id_b, start_a, start_b
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.substring_dup_spans(
+        docs, "doc_id", "text", span_tokens=30, max_gram_occurrences=200
+    ).orderBy("id_a", "id_b", "start_a", "start_b")
+
+
 # X3: exact cosine top-3 for 5 query vectors against the whole embeddings
 # table. Both sides rank by the ROUNDED score with a cand_id tie-break, so
 # float ulp drift between engines cannot flip the selection.
