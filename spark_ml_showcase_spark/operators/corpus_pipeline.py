@@ -34,7 +34,11 @@ StageFn = Callable[[DataFrame], DataFrame]
 @dataclass
 class Stage:
     """One named pipeline step. ``materialize``: None | 'cache' |
-    'checkpoint' (localCheckpoint: eager, lineage-truncating)."""
+    'checkpoint' (lazy localCheckpoint: lineage-truncating, computed by
+    the first action that touches it — eager=True would run the whole
+    upstream chain as a separate job at BUILD time, measured +0.6 s on
+    the standard recipe at sf0.1 with zero benefit: the report action
+    materializes it anyway)."""
 
     name: str
     fn: StageFn
@@ -64,7 +68,7 @@ class CorpusPipeline:
             if st.materialize == "cache":
                 cur = cur.cache()
             elif st.materialize == "checkpoint":
-                cur = cur.localCheckpoint()
+                cur = cur.localCheckpoint(eager=False)
             elif st.materialize is not None:
                 raise ValueError(f"unknown materialize {st.materialize!r}")
             frames.append((f"{i}_{st.name}", cur))
