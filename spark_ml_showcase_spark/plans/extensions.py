@@ -472,9 +472,66 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # X4: composite quality score, heuristic language ID, BPE-ish token count.
-# The scoring heuristics are engine-defined (no SQL twin) → rows-only;
-# exactness is covered by tests/test_text.py on known fixtures.
-@query("text_quality_lang")
+# Every heuristic is regex counting + arithmetic (functions/text.py keeps
+# the patterns in the Java∩RE2 subset), so the whole row is replayable in
+# DuckDB (r9 verdict item #4 upgraded this from rows-only): quality =
+# round(((len_score + word_len_score) + punct_score)/3, 6) with the sum
+# written in Spark's association order; lang = sequential argmax over the
+# per-language stopword hit counts with strictly-greater updates in
+# sorted(lang) order, i.e. max > 0 wins with earliest-lang tie-break;
+# BPE-ish count = non-overlapping matches of disjoint character classes
+# (alternation is unambiguous, so Java and RE2 agree).
+def _lang_hits_sql(lang: str) -> str:
+    stops = ", ".join(f"'{s}'" for s in TX._LANG_STOPWORDS[lang])
+    return (
+        "len(list_filter(list_filter(string_split_regex(lower(text), "
+        rf"'\s+'), x -> x <> ''), t -> list_contains([{stops}], t)))"
+    )
+
+
+@query(
+    "text_quality_lang",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '')) AS n_tok,
+               length(text) - length(regexp_replace(
+                   text, '[!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
+               len(regexp_extract_all(
+                   text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+               {_lang_hits_sql("de")} AS s_de,
+               {_lang_hits_sql("en")} AS s_en,
+               {_lang_hits_sql("es")} AS s_es,
+               {_lang_hits_sql("fr")} AS s_fr
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_bpe, s_de, s_en, s_es, s_fr,
+               LEAST(n_tok / 50.0, 1.0) AS len_score,
+               CASE WHEN n_tok > 0
+                         AND n_chars::DOUBLE / n_tok >= 3
+                         AND n_chars::DOUBLE / n_tok <= 12
+                    THEN 1.0 ELSE 0.5 END AS word_len_score,
+               1.0 - LEAST((CASE WHEN n_chars = 0 THEN 0.0
+                            ELSE n_punct::DOUBLE / n_chars END) * 4,
+                           1.0) AS punct_score
+        FROM base
+    )
+    SELECT doc_id AS doc_id,
+           ROUND(((len_score + word_len_score) + punct_score) / 3.0, 6)
+               AS quality,
+           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess,
+           lang AS lang,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens
+    FROM scored
+    """,
+)
 def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition: single-file scan = one partition, and the quality/
     # lang-ID higher-order expressions are the interpreted slow path —
@@ -656,6 +713,84 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.join(F.broadcast(vocab_df), "term_idx")
         .select("term", "total_tfidf")
         .orderBy(F.col("total_tfidf").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+# X4 (TF-IDF, exact SQL twin of the MLlib surface above): the same
+# corpus statistic computed with pure DataFrame ops so DuckDB can replay
+# it — tf and df are exact integers, idf = ln((N+1)/(df+1)) + 1 on the
+# exact counts, vocabulary pinned by (corpus tf DESC, term ASC) instead
+# of CountVectorizer's engine-internal slot order. Total weight per term
+# factors to total_tf × idf (idf is constant within a term), so the only
+# float ops are one division, one ln, one multiply — ROUND(,6) both
+# sides per the cross-engine convention. ``tfidf_top_terms`` above stays
+# rows-only as the MLlib-fit surface exercise.
+_TFIDF_STOPS = TX._LANG_STOPWORDS["en"]
+
+
+@query(
+    "tfidf_top_terms_sql",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'), x -> x <> ''))
+               AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, COUNT(*) AS total_tf, COUNT(DISTINCT doc_id) AS df
+        FROM toks
+        WHERE term NOT IN ({", ".join("'" + s + "'" for s in _TFIDF_STOPS)})
+        GROUP BY term
+    ),
+    vocab AS (
+        SELECT term, total_tf, df FROM tf
+        ORDER BY total_tf DESC, term ASC LIMIT 1024
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term AS term,
+           ROUND(total_tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+               AS total_tfidf
+    FROM vocab, n
+    ORDER BY total_tfidf DESC, term ASC
+    LIMIT 20
+    """,
+)
+def tfidf_top_terms_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+            )
+        ).alias("term"),
+    ).filter(~F.col("term").isin(*_TFIDF_STOPS))
+    tf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    vocab = tf.orderBy(F.desc("total_tf"), F.asc("term")).limit(1024)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        # single-row broadcast cross (tpch_q11 pattern, allowlisted)
+        vocab.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.col("total_tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("total_tfidf"),
+        )
+        .orderBy(F.desc("total_tfidf"), F.asc("term"))
         .limit(20)
     )
 

@@ -76,6 +76,11 @@ ALLOWLIST = {
         "|event-types|-sized frame — the whole point is that the "
         "event-scale table was already reduced to 5 sketch rows"
     },
+    "tfidf_top_terms_sql": {
+        "bnlj": "global corpus size N for the idf: a broadcast "
+        "SINGLE-ROW count(documents) aggregate crossed into the "
+        "1024-term vocab frame — tpch_q11 shape, no data-sized side"
+    },
     "tpch_q11_important_stock": {
         "bnlj": "Q11's global threshold: a broadcast SINGLE-ROW "
         "(total, n_parts) aggregate crossed into the per-part values "
