@@ -189,10 +189,13 @@ QZ_DICT_V7 = QZ_DICT_V6 + (
 )
 
 # v8 (round 10): substring-level dedup + tfidf SQL twin + quantized ANN.
-QZ_DICT = QZ_DICT_V7 + (
+QZ_DICT_V8 = QZ_DICT_V7 + (
     b"|substring_dup_spans|tfidf_top_terms_sql|quantized_ann_recall"
     b"|substring|quantized|recall"
 )
+
+# v9 (round 10, second batch): IVF multi-probe tuning curve.
+QZ_DICT = QZ_DICT_V8 + b"|ann_multiprobe_curve|multiprobe|curve"
 
 
 def decode_qz(qz: str) -> dict[str, float]:
@@ -208,8 +211,8 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V7, QZ_DICT_V6, QZ_DICT_V5, QZ_DICT_V4,
-        QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1,
+        QZ_DICT, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6, QZ_DICT_V5,
+        QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1,
     ):
         try:
             dec = zlib.decompressobj(zdict=zd)

@@ -679,6 +679,140 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X66 (embedding storage for 100 TB ANN): symmetric per-vector int8
+# quantization — 4× smaller than float32 — with recall@10 measured
+# against the float truth, both for brute-force over the tinyint arrays
+# and for the IVF path composed ON the quantized vectors (quantize once
+# at ingest, index and probe the int8 corpus). Scales cancel for cosine,
+# so the recall loss is rounding-only. Engine-side KMeans seed →
+# rows-only; the report asserts its own target (recall ≥ 0.95) in
+# tests/test_similarity.py.
+@query("quantized_ann_recall")
+def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = similarity.brute_force_topk(emb, queries, 10).select(
+        "query_id", "cand_id"
+    )
+    qc = similarity.quantize_int8(emb).select("vec_id", "q_vec")
+    qq = similarity.quantize_int8(queries).select("vec_id", "q_vec")
+    approx = (
+        similarity.quantized_topk(emb, queries, 10)
+        .select(F.lit("int8_brute").alias("method"), "query_id", "cand_id")
+        .unionByName(
+            similarity.ivf_topk(
+                qc, qq, 10, vec_col="q_vec", n_lists=8, n_probe=2
+            ).select(F.lit("int8_ivf").alias("method"), "query_id", "cand_id")
+        )
+    )
+    hits = truth.join(approx, ["query_id", "cand_id"]).groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    methods = spark.createDataFrame(
+        [("int8_brute",), ("int8_ivf",)], "method string"
+    )
+    truth_n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        methods.join(hits, "method", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            "method",
+            "n_hit",
+            "n_truth",
+            F.round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall_at_10"),
+        )
+        .orderBy("method")
+    )
+
+
+# X67 (IVF tuning observability): the recall-vs-cells-scanned trade-off
+# the operator's 100 TB user actually tunes — ONE index build (n_lists =
+# 16), queries' centroid ranking computed once, then every n_probe ∈
+# {1,2,4,8} materialized by EXPLODING each ranked cell into the probe
+# levels that include it (array explode, not a theta join — no BNLJ).
+# One equi-join on the cell id scores all four levels together;
+# n_scored counts the actual candidates reranked at each level.
+@query("ann_multiprobe_curve")
+def ann_multiprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 20)
+    probes = [1, 2, 4, 8]
+    n_lists = 16
+    k = 10
+    truth = similarity.brute_force_topk(emb, queries, k).select(
+        "query_id", "cand_id"
+    )
+    assigned, cent = similarity.build_ivf_index(emb, n_lists=n_lists)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double("embedding").alias("_qv"),
+    )
+    from spark_ml_showcase_spark.functions import vectors as V
+    from pyspark.sql.window import Window
+
+    ranked = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_d", V.l2_distance("_qv", "centroid"))
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_d").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= max(probes))
+        # a cell ranked _pr participates in every probe level >= _pr
+        .withColumn(
+            "n_probe",
+            F.explode(
+                F.filter(
+                    F.array(*[F.lit(p) for p in probes]),
+                    lambda p: p >= F.col("_pr"),
+                )
+            ),
+        )
+        .select("n_probe", "query_id", "_qv", F.col("cell").alias("_cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(ranked), "_cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(V.cosine("_qv", "_cv"), 6))
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("n_probe", "query_id", "cand_id")
+    )
+    n_scored = scored.groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("n_scored")
+    )
+    hits = truth.join(topk, ["query_id", "cand_id"]).groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    truth_n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        n_scored.join(hits, "n_probe", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            "n_probe",
+            F.round(F.col("n_probe") / F.lit(float(n_lists)), 4).alias(
+                "frac_cells"
+            ),
+            "n_scored",
+            "n_hit",
+            "n_truth",
+            F.round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall_at_10"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 # X4 (MLlib text featurization): RegexTokenizer → StopWordsRemover →
 # CountVectorizer → IDF over documents, reported as the corpus's top-20
 # terms by total TF-IDF weight. Fits are engine-side → rows-only.

@@ -263,3 +263,77 @@ def test_ivf_index_persist_probe_parity(spark, tmp_path):
     ]
     assert len(cell_dirs) >= 2
     assert spark.read.parquet(os.path.join(idx, "centroids")).count() == 4
+
+
+def test_quantize_int8_bounds_and_scale(spark):
+    """q ∈ [−127, 127] tinyint, scale = max|x|/127, zero vector safe."""
+    rows = [(0, [0.5, -1.0, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.quantize_int8(df).collect()}
+    assert out[0].q_scale == 1.0 / 127.0
+    assert out[0].q_vec == [64, -127, 32, 0]  # round(0.5*127)=63.5→64
+    assert out[1].q_scale == 1.0  # zero vector: guard, not div-by-zero
+    assert out[1].q_vec == [0, 0, 0, 0]
+    assert dict(similarity.quantize_int8(df).dtypes)["q_vec"] == "array<tinyint>"
+
+
+def test_quantized_topk_recall_vs_float_truth(spark):
+    """The quantized_ann_recall query's target as a hard assert: int8
+    brute-force recall@10 ≥ 0.95 against the float32 truth (cosine is
+    scale-invariant, so only rounding error can cost recall)."""
+    _, _, df = _vecs(spark, n=200, dim=16, seed=13)
+    queries = df.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in similarity.brute_force_topk(df, queries, 10).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id)
+        for r in similarity.quantized_topk(df, queries, 10).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.95, recall
+
+
+def test_multiprobe_curve_monotone(spark):
+    """Registered multi-probe query: recall and n_scored are
+    non-decreasing in n_probe, and the full-probe level dominates."""
+    from spark_ml_showcase_spark.plans import registry
+
+    rows = (
+        registry()["ann_multiprobe_curve"](spark, "/root/testdata/sf0.001")
+        .orderBy("n_probe")
+        .collect()
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8]
+    scanned = [r.n_scored for r in rows]
+    recall = [r.recall_at_10 for r in rows]
+    assert scanned == sorted(scanned)
+    assert recall == sorted(recall)
+    assert all(r.n_truth > 0 for r in rows)
+
+
+def test_quantize_int8_np_parity(spark):
+    """The Arrow ingest path is bit-identical to the column-math
+    reference, including HALF_UP rounding, zero vectors, and empty
+    arrays (numpy rint half-even would diverge on exact .5 boundaries,
+    e.g. 62.5 → 62 vs Spark's 63)."""
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, []),
+        # 62.5/127 boundary: x = 0.4921875 exactly representable
+        (3, [62.5 / 127.0, 1.0, -62.5 / 127.0, 0.3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    ref = {r.vec_id: (r.q_vec, r.q_scale)
+           for r in similarity.quantize_int8(df).collect()}
+    got = {r.vec_id: (r.q_vec, r.q_scale)
+           for r in similarity.quantize_int8_np(df).collect()}
+    assert ref == got
+    _, _, big = _vecs(spark, n=300, dim=16, seed=5)
+    ref = {r.vec_id: (r.q_vec, r.q_scale)
+           for r in similarity.quantize_int8(big).collect()}
+    got = {r.vec_id: (r.q_vec, r.q_scale)
+           for r in similarity.quantize_int8_np(big).collect()}
+    assert ref == got

@@ -51,6 +51,16 @@ ALLOWLIST = {
         "bnlj": "crossJoin against a broadcast 1-row scalar (truth size) "
         "plus the brute-force truth computation itself"
     },
+    "quantized_ann_recall": {
+        "bnlj": "same shape as ann_recall_report: brute-force truth and "
+        "quantized rerank are broadcast(queries) crosses, plus the "
+        "1-row truth-size scalar"
+    },
+    "ann_multiprobe_curve": {
+        "bnlj": "brute-force truth + query×centroid ranking (broadcast "
+        "16-row centroid table) + the 1-row truth-size scalar; the "
+        "per-probe-level scoring itself is an equi-join on cell id"
+    },
     "cached_two_branch_report": {
         "bnlj": "two single-row global aggregates joined to the report "
         "rows — both sides broadcast-tiny"

@@ -598,6 +598,122 @@ def probe_skyline_20m(spark):
     return n
 
 
+def probe_quantize_search_10m(spark):
+    """int8 embedding quantization + cosine top-10 at 10M×16-dim: the
+    100 TB ANN storage path (quantize once at ingest, search the 4×
+    smaller int8 corpus). Vectors from independent xxhash64 streams per
+    dimension; quantize_int8 is pure codegen'd column math, the search
+    is one broadcast query reranked with TakeOrdered — no shuffle."""
+    from spark_ml_showcase_spark.functions import similarity
+
+    n = 10_000_000
+    dim = 16
+    # 4 dims per 64-bit hash (16-bit slices) — the generator must not
+    # out-cost the operator under test
+    def _dim(j):
+        h = F.xxhash64("id", F.lit(j // 4))
+        sliced = F.shiftright(h, (j % 4) * 16).bitwiseAND(F.lit(0xFFFF))
+        return (sliced - F.lit(32768)).cast("double") / 32768.0
+
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[_dim(j) for j in range(dim)]).alias("embedding"),
+    )
+    q = similarity.quantize_int8_np(vecs)  # Arrow ingest path, 6× HOF
+    query = [float((j * 37 % 2001) - 1000) / 1000.0 for j in range(dim)]
+    qnorm = sum(x * x for x in query) ** 0.5
+    qarr = F.array(*[F.lit(x) for x in query])
+    scored = q.select(
+        "vec_id",
+        (
+            F.aggregate(
+                F.zip_with(
+                    "q_vec", qarr, lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            "q_vec",
+                            lambda a: a.cast("double") * a.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                * F.lit(qnorm)
+                + F.lit(1e-12)
+            )
+        ).alias("cos"),
+    )
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10).collect()
+    assert len(top) == 10 and top[0].cos >= top[9].cos
+    return n
+
+
+def probe_triangle_hubskew_20m(spark):
+    """Exact triangle count on a 20M-edge graph with a ZIPF-2 hub
+    (P(endpoint = rank k) ∝ 1/k² — the top node touches ~half the raw
+    edges): demonstrates the degree-orientation bound empirically. The
+    naive wedge count at the hub would be Σdeg² ≈ 10¹² pairs; the
+    oriented plan closes the whole graph's wedges in seconds because
+    the hub's OUT-degree after (degree, id) orientation is ~0. Returns
+    the wedges-closed count so rows/sec IS wedge throughput."""
+    from spark_ml_showcase_spark.operators.graph import triangle_count
+
+    m = 20_000_000
+    n_nodes = 2_000_000
+    raw = spark.range(m).select(
+        (
+            F.lit(n_nodes)
+            / (F.pmod(F.xxhash64("id"), F.lit(n_nodes)) + 1)
+        )
+        .cast("long")
+        .alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("b"),
+    ).filter("a <> b")
+    edges = raw.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    edges = edges.localCheckpoint()  # generator excluded from the timing
+    t0 = time.perf_counter()
+    row = triangle_count(edges).collect()[0]
+    dt = time.perf_counter() - t0
+    assert row.n_triangles > 0, row
+    # work unit = wedges enumerated by the oriented join, Σ C(out_deg, 2)
+    # (the O(m^1.5)-bounded quantity the orientation exists to control) —
+    # re-derive orientation probe-side so the operator's schema stays put
+    u, v = F.col("u"), F.col("v")
+    deg = (
+        edges.select(F.explode(F.array(u, v)).alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    key = F.struct(F.col("d").alias("d"), F.col("x").alias("x")).alias("k")
+    dk = deg.select("x", key)
+    e = (
+        edges.join(F.broadcast(dk.withColumnRenamed("x", "u")
+                               .withColumnRenamed("k", "ku")), "u")
+        .join(F.broadcast(dk.withColumnRenamed("x", "v")
+                          .withColumnRenamed("k", "kv")), "v")
+    )
+    out_deg = (
+        e.select(
+            F.when(F.col("ku") < F.col("kv"), u).otherwise(v).alias("src")
+        )
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+    )
+    n_wedges = out_deg.agg(
+        F.sum(F.col("od") * (F.col("od") - 1) / 2).cast("bigint").alias("w")
+    ).collect()[0].w
+    assert n_wedges > 0
+    return int(n_wedges), dt
+
+
 def probe_bpe_1m_words(spark):
     """BPE merge learning over a 1M-distinct-word vocabulary (base-36
     xxhash64 words, ~12 chars -> ~11M exploded pairs per round), 2
@@ -702,6 +818,8 @@ PROBES = {
     "interval_join_10m": probe_interval_join_10m,
     "geo_radius_10m": probe_geo_radius_10m,
     "skyline_20m": probe_skyline_20m,
+    "quantize_search_10m": probe_quantize_search_10m,
+    "triangle_hubskew_20m": probe_triangle_hubskew_20m,
     "bpe_1m_words": probe_bpe_1m_words,
     "kmv_50m": probe_kmv_50m,
     "hypertable_refresh_20m": probe_hypertable_refresh_20m,
