@@ -134,6 +134,40 @@ def lang_id(col: str | Column) -> Column:
     return best
 
 
+def syllable_count(col: str | Column) -> Column:
+    """Heuristic syllable count: vowel-group runs (``[aeiouy]+``) in the
+    lowercased text — the standard cheap proxy readability formulas are
+    defined over. Java∩RE2 regex subset, so a SQL oracle replays it."""
+    return F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(r"[aeiouy]+"), 0))
+
+
+def sentence_count(col: str | Column) -> Column:
+    """Sentence-terminator runs (``[.!?]+``), floored at 1 for any
+    non-empty text (a fragment with no terminal punctuation is one
+    sentence, not a division by zero)."""
+    c = _c(col)
+    n = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0))
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.greatest(n, F.lit(1)))
+
+
+def flesch_reading_ease(col: str | Column) -> Column:
+    """Flesch reading-ease score: ``206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)``, NULL for token-less text. Rounded to 4 —
+    the division/multiply chain is written in one fixed order so a SQL
+    twin reproduces it bit-for-bit."""
+    c = _c(col)
+    words = whitespace_token_count(c).cast("double")
+    sents = sentence_count(c).cast("double")
+    syls = syllable_count(c).cast("double")
+    return F.when(words == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * (words / sents)
+            - F.lit(84.6) * (syls / words),
+            4,
+        )
+    )
+
+
 def fingerprint(col: str | Column, *, normalize: bool = True) -> Column:
     """64-bit document fingerprint (xxhash64 of normalized text) for exact
     dedup at scale: grouping on a fixed-width long beats grouping on the

@@ -1,0 +1,154 @@
+"""Sparse-vector IR operators over token features: TF-IDF weighted
+document-document cosine top-k via an inverted index with rare-feature
+blocking — the classic "more like this" / near-neighbor text search
+shape, complementing the set-overlap operators (PPJoin Jaccard in
+``dedup.set_similarity_join``) with WEIGHTED similarity.
+
+Scale posture: never all-pairs. Candidates come from an equi-join on
+each document's R RAREST features (global df ranks them — the same
+prefix-filtering insight as PPJoin: rare features prune candidates
+hardest), so the join fan-out per feature is bounded by that feature's
+df, and corpus-wide features never generate pairs. The exact cosine is
+then computed only on candidates, from exact INTEGER quantized weights
+(w × 1000 as BIGINT) so partial dot products are sum-order-free and a
+DuckDB oracle reproduces them bit-for-bit; the only floats are the two
+norms' square roots and one division, in a fixed order, rounded.
+
+No reference twin (the reference has no IR surface); this is the
+100 TB training-data retrieval shape the brief's similarity-search
+family calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _bigram_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram, tf): whitespace-token bigrams with per-doc term
+    frequency. Bigrams, not unigrams: on small vocabularies unigrams are
+    corpus-wide (every doc shares them) and block nothing."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        # 0-based lambda index; partner is toks[i+1] (0-based subscript)
+        lambda s, i: F.concat_ws(" ", s, toks[i + 1]),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("gram"))
+        .groupBy("_id", "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def sparse_cosine_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    rare_features: int = 5,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """TF-IDF bigram cosine top-k per query document.
+
+    Pipeline (each stage one shuffle, keyed as noted):
+    1. bigram tf per (doc, gram)                       [shuffle: id+gram]
+    2. global df per gram; idf = ln((N+1)/(df+1)) + 1  [shuffle: gram]
+    3. integer weights wi = CAST(ROUND(tf·idf × 1000) AS BIGINT) and
+       per-doc norm n = Σ wi² (exact BIGINT)           [shuffle: id]
+    4. blocking: each doc's ``rare_features`` grams by (df ASC, gram
+       ASC); candidate pair ⇔ shared rare gram          [shuffle: gram]
+    5. exact rerank on candidates: dot = Σ wi_a·wi_b over shared grams,
+       cosine = ROUND(dot / (√n_a · √n_b), 4)          [shuffle: pair]
+    6. top-``k`` per query doc by (cosine DESC, id ASC).
+
+    ``query_filter`` restricts which docs get a result row (rank side
+    only — candidates still come from the whole corpus). Weights are
+    quantized to 1e-3 so every sum is exact integer arithmetic —
+    sum-order-free, overflow-safe (wi ≤ ~1e6, pairwise products ≤ 1e12,
+    well under 2^63), and replayable in ANSI SQL.
+
+    Recall note: blocking by rare features is the documented trade —
+    a pair sharing only corpus-common grams is not a candidate. That is
+    the behavior you want at 100 TB (common-gram pairs are the noise).
+    """
+    tf = _bigram_tf(df, id_col, text_col)
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    weighted = (
+        tf.join(dfreq, "gram")
+        # single-row broadcast cross (tpch_q11 pattern, allowlisted)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "wi",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+                * F.lit(1000.0)
+            ).cast("bigint"),
+        )
+        .select("_id", "gram", "df", "wi")
+    )
+    norms = weighted.groupBy("_id").agg(
+        F.sum(F.col("wi") * F.col("wi")).alias("n2")
+    )
+    wrare = Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("gram"))
+    rare = (
+        weighted.withColumn("_r", F.row_number().over(wrare))
+        .filter(F.col("_r") <= rare_features)
+        .select("_id", "gram")
+    )
+    cands = (
+        rare.select(F.col("_id").alias("id_a"), "gram")
+        .join(rare.select(F.col("_id").alias("id_b"), "gram"), "gram")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if query_filter is not None:
+        qids = df.filter(query_filter).select(F.col(id_col).alias("id_a"))
+        cands = cands.join(qids, "id_a", "left_semi")
+    wa = weighted.select(F.col("_id").alias("id_a"), "gram", F.col("wi").alias("wa"))
+    wb = weighted.select(F.col("_id").alias("id_b"), "gram", F.col("wi").alias("wb"))
+    dots = (
+        cands.join(wa, "id_a")
+        .join(wb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("_id").alias("id_a"), F.col("n2").alias("na")), "id_a")
+        .join(norms.select(F.col("_id").alias("id_b"), F.col("n2").alias("nb")), "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                4,
+            ),
+        )
+    )
+    wk = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("cand_id"),
+            "cosine",
+            "rank",
+        )
+    )

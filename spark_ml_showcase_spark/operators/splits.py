@@ -148,6 +148,43 @@ def portable_sample_by(
     return df.filter(u < thresh)
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    key_col: str,
+    priority_decimals: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis/
+    Spirakis A-ES): each row gets priority ``ln(u) / w`` for a uniform
+    ``u`` ∈ (0, 1); the ``k`` LARGEST priorities are the sample, and the
+    inclusion probabilities are exactly those of sequential weighted
+    draws without replacement. Rows with ``w <= 0`` are excluded.
+
+    Engine-portable like :func:`portable_sample_by`: ``u`` derives from
+    the first 8 hex chars of ``md5(key)`` (+0.5 to dodge u = 0), so any
+    engine with md5 reproduces the sample bit-for-bit — no RNG streams,
+    no partitioning sensitivity. Priorities are ROUNDed (ties broken by
+    key) so a 1-ulp ``ln`` divergence between engines cannot flip the
+    cut. Plan: narrow projection + global top-k (TakeOrdered — no sort
+    of the full table), the same shape at any scale.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    w = F.col(weight_col).cast("double")
+    pri = F.round(F.log(u) / w, priority_decimals)
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     strata_col: str,

@@ -166,5 +166,6 @@ def _load_all() -> None:
         spatial_queries,
         tpch_queries,
         extensions,
+        text_ir_queries,
         ml_queries,
     )

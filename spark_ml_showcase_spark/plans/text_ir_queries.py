@@ -1,0 +1,337 @@
+"""Text-IR and corpus-curation analytics (round 10, X68–X72): weighted
+sampling, readability scoring, sparse TF-IDF cosine retrieval, NPMI
+collocations, and the cross-source n-gram overlap matrix — the
+retrieval/curation shelf of a training-data pipeline, each with a DuckDB
+oracle that replays the exact arithmetic (integer counts, fixed-order
+float chains, ROUND per the cross-engine conventions).
+
+No reference twin (the reference has no IR surface; SURVEY §2.12 grows
+the training-data family per the brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_ml_showcase_spark.functions import text as TX
+from spark_ml_showcase_spark.operators import ir, splits
+from spark_ml_showcase_spark.plans import query
+from spark_ml_showcase_spark.sources.catalog import Catalog
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+# X68: deterministic weighted sampling without replacement (Efraimidis/
+# Spirakis A-ES, md5-uniform keys — operators/splits.weighted_sample_topk).
+# Engine-portable by construction, so the oracle IS the definition; the
+# priority is ROUNDed with a doc_id tie-break so a 1-ulp ln divergence
+# cannot flip the top-k cut.
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 0.5) / 4294967296.0)
+                     / n_chars, 6) AS priority
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id AS doc_id, CAST(n_chars AS BIGINT) AS weight, priority
+    FROM s ORDER BY priority DESC, doc_id ASC LIMIT 25
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return splits.weighted_sample_topk(
+        docs, "n_chars", 25, key_col="doc_id"
+    ).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("weight"), "priority"
+    )
+
+
+# X69: readability scoring (Flesch reading ease over regex-counted
+# words / sentence runs / vowel-group syllables — functions/text.py).
+# All three counts are exact integers; the score is one fixed-order
+# float chain, ROUND(4) both sides.
+@query(
+    "readability_scores",
+    oracle=rf"""
+    WITH c AS (
+        SELECT doc_id,
+               len({_TOKS}) AS words,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               END AS sents,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syls
+        FROM documents
+    )
+    SELECT doc_id AS doc_id,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(sents AS BIGINT) AS n_sentences,
+           CAST(syls AS BIGINT) AS n_syllables,
+           CASE WHEN words = 0 THEN NULL
+                ELSE ROUND(206.835 - 1.015 * (words::DOUBLE / sents)
+                           - 84.6 * (syls::DOUBLE / words), 4)
+           END AS flesch
+    FROM c
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        TX.whitespace_token_count("text").cast("bigint").alias("n_words"),
+        TX.sentence_count("text").cast("bigint").alias("n_sentences"),
+        TX.syllable_count("text").cast("bigint").alias("n_syllables"),
+        TX.flesch_reading_ease("text").alias("flesch"),
+    )
+
+
+# X70: sparse TF-IDF bigram cosine top-3 per query doc (doc_id % 25 = 0
+# — scale-relative slice) with rare-feature blocking; operators/ir.py.
+# Weights are integer-quantized (×1000) so the dot products and norms
+# are exact BIGINT sums (< 2^53, so the oracle's HUGEINT→DOUBLE cast is
+# exact too); the only floats are two sqrts and one division in a fixed
+# order, ROUND(4). The Spark side joins gram STRINGS here as well — the
+# blocking is df-based, no hashing — so the replay is exact.
+@query(
+    "sparse_cosine_topk_docs",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1]
+                       for i in generate_series(1, len(t) - 1)]) AS gram
+        FROM t WHERE len(t) >= 2
+    ),
+    tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+    dfreq AS (SELECT gram, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.gram, dfreq.df,
+               CAST(ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                                   + 1.0) * 1000.0) AS BIGINT) AS wi
+        FROM tf JOIN dfreq USING (gram), n
+    ),
+    norms AS (SELECT doc_id, SUM(wi * wi) AS n2 FROM w GROUP BY 1),
+    rare AS (
+        SELECT doc_id, gram FROM (
+            SELECT doc_id, gram,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY df ASC, gram ASC) AS r
+            FROM w
+        ) WHERE r <= 5
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b USING (gram)
+        WHERE a.doc_id <> b.doc_id AND a.doc_id % 25 = 0
+    ),
+    dots AS (
+        SELECT c.id_a, c.id_b, SUM(wa.wi * wb.wi) AS dot
+        FROM cands c
+        JOIN w wa ON wa.doc_id = c.id_a
+        JOIN w wb ON wb.doc_id = c.id_b AND wb.gram = wa.gram
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.id_a, d.id_b,
+               ROUND(d.dot::DOUBLE
+                     / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 4)
+                   AS cosine
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.id_a
+        JOIN norms nb ON nb.doc_id = d.id_b
+    )
+    SELECT id_a AS query_id, id_b AS cand_id, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY id_a
+                                     ORDER BY cosine DESC, id_b ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        ir.sparse_cosine_topk(
+            docs,
+            k=3,
+            rare_features=5,
+            query_filter=F.col("doc_id") % 25 == 0,
+        )
+        .withColumn("rank", F.col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# X71: NPMI collocations — normalized pointwise mutual information of
+# adjacent token pairs, the standard collocation-mining statistic. All
+# probabilities come from exact integer counts; npmi is two ln's in one
+# fixed-order expression, ROUND(6), top-20 with a gram tie-break.
+@query(
+    "npmi_collocations",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    uni AS (
+        SELECT u.tok, COUNT(*) AS c
+        FROM t, unnest(t.t) AS u(tok) GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c) AS n_tok FROM uni),
+    big AS (
+        SELECT x, y, COUNT(*) AS cxy FROM (
+            SELECT unnest([{{'x': t[i], 'y': t[i+1]}}
+                           for i in generate_series(1, len(t) - 1)]) AS p
+            FROM t WHERE len(t) >= 2
+        ) q
+        CROSS JOIN LATERAL (SELECT q.p.x AS x, q.p.y AS y) s
+        GROUP BY 1, 2
+    ),
+    nb AS (SELECT SUM(cxy) AS n_big FROM big)
+    SELECT x || ' ' || y AS collocation,
+           CAST(cxy AS BIGINT) AS n_pair,
+           ROUND(ln((cxy::DOUBLE / n_big)
+                    / ((cx.c::DOUBLE / n_tok) * (cy.c::DOUBLE / n_tok)))
+                 / (-ln(cxy::DOUBLE / n_big)), 6) AS npmi
+    FROM big
+    JOIN uni cx ON cx.tok = big.x
+    JOIN uni cy ON cy.tok = big.y
+    CROSS JOIN tot CROSS JOIN nb
+    WHERE cxy >= 20
+    ORDER BY npmi DESC, collocation ASC
+    LIMIT 20
+    """,
+)
+def npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    t = docs.select(toks.alias("t"))
+    uni = t.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = F.transform(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda s, i: F.struct(s.alias("x"), F.col("t")[i + 1].alias("y")),
+    )
+    big = (
+        t.filter(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    n_big = big.agg(F.sum("cxy").alias("n_big"))
+    cx = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    cy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    p_xy = F.col("cxy").cast("double") / F.col("n_big")
+    return (
+        big.filter(F.col("cxy") >= 20)
+        .join(cx, "x")
+        .join(cy, "y")
+        # single-row broadcast crosses (tpch_q11 pattern, allowlisted)
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("collocation"),
+            F.col("cxy").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log(
+                    p_xy
+                    / (
+                        (F.col("cx").cast("double") / F.col("n_tok"))
+                        * (F.col("cy").cast("double") / F.col("n_tok"))
+                    )
+                )
+                / -F.log(p_xy),
+                6,
+            ).alias("npmi"),
+        )
+        .orderBy(F.desc("npmi"), F.asc("collocation"))
+        .limit(20)
+    )
+
+
+# X72: cross-source 5-gram overlap matrix — the leakage/contamination
+# view of a multi-source corpus ("how much of src_a's content also
+# appears in src_b?"). Distinct (source, gram) pairs self-join on the
+# gram; fan-out per gram is bounded by the source count (20), never by
+# corpus size. Exact integers + one division per side, ROUND(6).
+@query(
+    "source_overlap_matrix",
+    oracle=rf"""
+    WITH t AS (SELECT source, {_TOKS} AS t FROM documents),
+    g AS (
+        SELECT DISTINCT source,
+               unnest([array_to_string(t[i:i+4], ' ')
+                       for i in generate_series(1, len(t) - 4)]) AS gram
+        FROM t WHERE len(t) >= 5
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+    p AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common::DOUBLE / sa.n, 6) AS contain_a,
+           ROUND(n_common::DOUBLE / sb.n, 6) AS contain_b
+    FROM p
+    JOIN sz sa ON sa.source = p.src_a
+    JOIN sz sb ON sb.source = p.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    t = docs.select("source", toks.alias("t")).filter(F.size("t") >= 5)
+    grams = F.transform(
+        F.slice(F.col("t"), 1, F.size("t") - F.lit(4)),
+        lambda s, i: F.concat_ws(
+            " ", s, F.col("t")[i + 1], F.col("t")[i + 2],
+            F.col("t")[i + 3], F.col("t")[i + 4],
+        ),
+    )
+    g = (
+        t.select("source", F.explode(grams).alias("gram"))
+        # hash the gram for the shuffle/join key (fixed-width longs, no
+        # giant strings through the exchange); output never shows it —
+        # identical to the oracle's string join unless xxhash64 collides
+        .select("source", F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    p = (
+        g.select(F.col("source").alias("src_a"), "gh")
+        .join(g.select(F.col("source").alias("src_b"), "gh"), "gh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        p.join(
+            F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("na"), 6).alias(
+                "contain_a"
+            ),
+            F.round(F.col("n_common").cast("double") / F.col("nb"), 6).alias(
+                "contain_b"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -1,0 +1,97 @@
+"""Unit tests for the round-10 text-IR shelf: weighted sampling
+(A-ES md5 keys), readability scoring, sparse TF-IDF cosine retrieval."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions import text as TX
+from spark_ml_showcase_spark.operators import ir, splits
+
+
+def _expected_priority(key: int, w: float) -> float:
+    h = hashlib.md5(str(key).encode()).hexdigest()[:8]
+    u = (int(h, 16) + 0.5) / 2**32
+    return round(math.log(u) / w, 6)
+
+
+def test_weighted_sample_topk_matches_reference(spark):
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w int")
+    got = splits.weighted_sample_topk(df, "w", 10, key_col="doc_id").collect()
+    ranked = sorted(
+        rows, key=lambda r: (-_expected_priority(r[0], r[1]), r[0])
+    )[:10]
+    assert [r.doc_id for r in got] == [r[0] for r in ranked]
+    for r in got:
+        assert r.priority == pytest.approx(
+            _expected_priority(r.doc_id, r.w), abs=1e-9
+        )
+
+
+def test_weighted_sample_topk_excludes_nonpositive_and_favors_heavy(spark):
+    # one huge weight among ones: ln(u)/w → ~0 for the heavy row, which
+    # is the MAX priority (ln u < 0) — it must be sampled first
+    rows = [(0, 10**9)] + [(i, 1) for i in range(1, 50)] + [(99, 0), (98, -3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w long")
+    got = splits.weighted_sample_topk(df, "w", 5, key_col="doc_id").collect()
+    assert got[0].doc_id == 0
+    ids = {r.doc_id for r in got}
+    assert 99 not in ids and 98 not in ids
+
+
+def test_flesch_reading_ease_known_text(spark):
+    df = spark.createDataFrame(
+        [(0, "The cat sat. It ran!"), (1, ""), (2, "no terminal punct here")],
+        "id bigint, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            TX.whitespace_token_count("text").alias("w"),
+            TX.sentence_count("text").alias("s"),
+            TX.syllable_count("text").alias("sy"),
+            TX.flesch_reading_ease("text").alias("f"),
+        ).collect()
+    }
+    # "The cat sat. It ran!": 5 words, 2 sentence runs, vowel groups:
+    # e,a,a,I,a → 5 syllables
+    assert (out[0].w, out[0].s, out[0].sy) == (5, 2, 5)
+    assert out[0].f == pytest.approx(
+        round(206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 4)
+    )
+    assert out[1].f is None and out[1].s == 0
+    assert out[2].s == 1  # floored for non-empty text
+
+
+def test_sparse_cosine_topk_identical_docs_rank_first(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base + " iota kappa"),  # near-duplicate
+        (3, "completely different words entirely other tokens here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = ir.sparse_cosine_topk(df, k=2, rare_features=5)
+    got = {(r.query_id, r.rank): (r.cand_id, r.cosine) for r in out.collect()}
+    assert got[(0, 1)] == (1, 1.0)
+    assert got[(1, 1)] == (0, 1.0)
+    assert got[(2, 1)][0] in (0, 1) and got[(2, 1)][1] > 0.7
+    # doc 3 shares no bigram with the others → no candidate rows at all
+    assert (3, 1) not in got
+
+
+def test_sparse_cosine_query_filter_restricts_rank_side(spark):
+    rows = [(i, f"common pair common pair word{i} tail{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = ir.sparse_cosine_topk(
+        df, k=3, rare_features=5, query_filter=F.col("doc_id") % 2 == 0
+    )
+    qids = {r.query_id for r in out.collect()}
+    assert qids and all(q % 2 == 0 for q in qids)

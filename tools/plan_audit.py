@@ -86,6 +86,17 @@ ALLOWLIST = {
         "|event-types|-sized frame — the whole point is that the "
         "event-scale table was already reduced to 5 sketch rows"
     },
+    "sparse_cosine_topk_docs": {
+        "bnlj": "idf's global corpus size: broadcast SINGLE-ROW "
+        "count(documents) crossed into the per-gram weight frame "
+        "(tfidf_top_terms_sql shape); candidates themselves come from "
+        "a gram equi-join"
+    },
+    "npmi_collocations": {
+        "bnlj": "two broadcast SINGLE-ROW totals (token count, bigram "
+        "count) crossed into the filtered collocation frame — no "
+        "data-sized side exists"
+    },
     "tfidf_top_terms_sql": {
         "bnlj": "global corpus size N for the idf: a broadcast "
         "SINGLE-ROW count(documents) aggregate crossed into the "
