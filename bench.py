@@ -198,9 +198,15 @@ QZ_DICT_V8 = QZ_DICT_V7 + (
 QZ_DICT_V9 = QZ_DICT_V8 + b"|ann_multiprobe_curve|multiprobe|curve"
 
 # v10 (round 10, text-IR batch).
-QZ_DICT = QZ_DICT_V9 + (
+QZ_DICT_V10 = QZ_DICT_V9 + (
     b"|weighted_sample_docs|readability_scores|sparse_cosine_topk_docs"
     b"|npmi_collocations|source_overlap_matrix|colloc|overlap_matrix"
+)
+
+# v11 (round 10, curation batch): novelty / containment / hybrid fusion.
+QZ_DICT = QZ_DICT_V10 + (
+    b"|novelty_scores_docs|containment_dedup_docs|rrf_fusion_docs"
+    b"|novelty|containment|fusion"
 )
 
 
@@ -217,8 +223,9 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6,
-        QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1,
+        QZ_DICT, QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7,
+        QZ_DICT_V6, QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2,
+        QZ_DICT_V1,
     ):
         try:
             dec = zlib.decompressobj(zdict=zd)

@@ -1119,6 +1119,167 @@ def set_similarity_join(
     )
 
 
+def _distinct_gram_sets(
+    docs: DataFrame, id_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    """(id, _grams): DISTINCT word-``ngram`` xxhash64 sets per doc (docs
+    with fewer than ``ngram`` tokens drop out). Longs, not strings —
+    set arithmetic and shuffles carry fixed-width keys; callers' oracles
+    join the gram STRINGS (identical unless xxhash64 collides)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - F.lit(ngram - 1), F.lit(0))),
+        lambda s, i: F.xxhash64(
+            F.concat_ws(
+                " ", s, *[toks[i + j] for j in range(1, ngram)]
+            )
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("_id"), F.array_distinct(grams).alias("_grams")
+    ).filter(F.size("_grams") > 0)
+
+
+def containment_join(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    threshold: float = 0.9,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """EXACT containment self-join on word-``ngram`` shingle sets: all
+    pairs where the SMALLER set's shingles are ≥ ``threshold`` contained
+    in the other's (overlap coefficient |A∩B| / min(|A|,|B|)) — the
+    asymmetric dedup family Jaccard misses: a short document quoted
+    wholesale inside a long one has low Jaccard (union is big) but
+    containment ≈ 1.
+
+    Prefix filtering adapts from :func:`set_similarity_join`: the
+    overlap requirement q = ceil(t·|A|) binds only the SMALLER side, so
+    A's first |A| − q + 1 rarity-ordered shingles must hit the PARTNER'S
+    FULL shingle list — the candidate join probes an inverted index with
+    the small side's (rare-first) prefix instead of joining two
+    prefixes. Fan-out per probe token = that shingle's df; rare-first
+    ordering makes real corpora's prefixes their rarest shingles. The
+    exact verify runs on candidates only. Complete: every qualifying
+    pair is found (prefix theorem on the smaller set).
+
+    Output: ``(id_small, id_big, containment)``; ``id_small`` is the
+    smaller set (ties broken toward the lower id).
+    """
+    sets = _distinct_gram_sets(docs, id_col, text_col, ngram)
+    rarity = (
+        sets.select(F.explode("_grams").alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    ranked = (
+        sets.select("_id", F.explode("_grams").alias("_g"))
+        .join(F.broadcast(rarity), "_g")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "_g"))),
+                lambda s: s["_g"],
+            ).alias("_grams")
+        )
+        # consumed three times (prefix probe + two payload joins)
+        .localCheckpoint()
+    )
+    s = F.size("_grams")
+    p = (
+        s - F.ceil(F.lit(float(threshold)) * s - F.lit(1e-9)) + F.lit(1)
+    ).cast("int")
+    prefixed = ranked.select(
+        "_id", s.alias("_sz"), F.explode(F.slice("_grams", 1, p)).alias("_g")
+    )
+    index = ranked.select(
+        "_id", s.alias("_sz"), F.explode("_grams").alias("_g")
+    )
+    a, b = prefixed.alias("a"), index.alias("b")
+    cand_ids = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (
+                (F.col("a._sz") < F.col("b._sz"))
+                | (
+                    (F.col("a._sz") == F.col("b._sz"))
+                    & (F.col("a._id") < F.col("b._id"))
+                )
+            ),
+        )
+        .select(F.col("a._id").alias("id_small"), F.col("b._id").alias("id_big"))
+        .dropDuplicates(["id_small", "id_big"])
+    )
+    cand = cand_ids.join(
+        ranked.select(F.col("_id").alias("id_small"), F.col("_grams").alias("_ga")),
+        "id_small",
+    ).join(
+        ranked.select(F.col("_id").alias("id_big"), F.col("_grams").alias("_gb")),
+        "id_big",
+    )
+    contain = F.round(
+        F.size(F.array_intersect("_ga", "_gb")).cast("double")
+        / F.size("_ga"),
+        round_decimals,
+    )
+    return (
+        cand.withColumn("containment", contain)
+        .filter(F.col("containment") >= threshold)
+        .select("id_small", "id_big", "containment")
+    )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Incremental novelty per document: the fraction of its DISTINCT
+    word-``ngram`` shingles seen in NO lower-id document — "how much of
+    this doc is new to the corpus so far", the streaming-ingest view of
+    dedup (ids are the arrival order). A fresh document scores 1.0, an
+    exact re-post 0.0, a quote-heavy digest somewhere between.
+
+    One gram explode → global ``min(id)`` per gram (the first sighting)
+    → per-doc counts. Two hash-keyed aggregations, no joins against the
+    corpus, no pair enumeration — at 100 TB this is strictly cheaper
+    than any pairwise dedup and is the right first-pass triage.
+
+    Output: ``(id, n_grams, n_novel, novelty)``.
+    """
+    grams = _distinct_gram_sets(docs, id_col, text_col, ngram).select(
+        "_id", F.explode("_grams").alias("_g")
+    )
+    first = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
+    per_doc = (
+        grams.join(first, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_id") == F.col("_first"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams"), round_decimals
+        ).alias("novelty"),
+    )
+
+
 def _gram_hash_seq_fn(n: int):
     """Arrow-batched text → array of n-gram hashes IN OFFSET ORDER
     (int64 blake2b-8 of the space-joined gram) — the positional sibling

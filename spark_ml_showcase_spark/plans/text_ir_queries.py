@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_ml_showcase_spark.functions import text as TX
-from spark_ml_showcase_spark.operators import ir, splits
+from spark_ml_showcase_spark.functions import similarity
+from spark_ml_showcase_spark.operators import dedup, ir, splits
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
@@ -89,17 +90,13 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# X70: sparse TF-IDF bigram cosine top-3 per query doc (doc_id % 25 = 0
-# — scale-relative slice) with rare-feature blocking; operators/ir.py.
-# Weights are integer-quantized (×1000) so the dot products and norms
-# are exact BIGINT sums (< 2^53, so the oracle's HUGEINT→DOUBLE cast is
-# exact too); the only floats are two sqrts and one division in a fixed
-# order, ROUND(4). The Spark side joins gram STRINGS here as well — the
-# blocking is df-based, no hashing — so the replay is exact.
-@query(
-    "sparse_cosine_topk_docs",
-    oracle=rf"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+def _sparse_ranked_sql(k: int) -> str:
+    """WITH-fragment computing ``sparse_topk(id_a, id_b, cosine, rank)``
+    — the TF-IDF bigram cosine retrieval pipeline, shared by the
+    ``sparse_cosine_topk_docs`` oracle (k=3) and the RRF fusion oracle
+    (k=10). Must stay in lockstep with ``operators/ir.sparse_cosine_topk``."""
+    return rf"""
+    t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     grams AS (
         SELECT doc_id,
                unnest([t[i] || ' ' || t[i+1]
@@ -136,7 +133,7 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN w wb ON wb.doc_id = c.id_b AND wb.gram = wa.gram
         GROUP BY 1, 2
     ),
-    scored AS (
+    sparse_scored AS (
         SELECT d.id_a, d.id_b,
                ROUND(d.dot::DOUBLE
                      / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 4)
@@ -144,14 +141,31 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dots d
         JOIN norms na ON na.doc_id = d.id_a
         JOIN norms nb ON nb.doc_id = d.id_b
-    )
+    ),
+    sparse_topk AS (
+        SELECT id_a, id_b, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY id_a
+                                         ORDER BY cosine DESC, id_b ASC)
+                       AS rank
+            FROM sparse_scored
+        ) WHERE rank <= {k}
+    )"""
+
+
+# X70: sparse TF-IDF bigram cosine top-3 per query doc (doc_id % 25 = 0
+# — scale-relative slice) with rare-feature blocking; operators/ir.py.
+# Weights are integer-quantized (×1000) so the dot products and norms
+# are exact BIGINT sums (< 2^53, so the oracle's HUGEINT→DOUBLE cast is
+# exact too); the only floats are two sqrts and one division in a fixed
+# order, ROUND(4). The Spark side joins gram STRINGS here as well — the
+# blocking is df-based, no hashing — so the replay is exact.
+@query(
+    "sparse_cosine_topk_docs",
+    oracle=rf"""
+    WITH {_sparse_ranked_sql(3)}
     SELECT id_a AS query_id, id_b AS cand_id, cosine,
            CAST(rank AS BIGINT) AS rank
-    FROM (
-        SELECT *, row_number() OVER (PARTITION BY id_a
-                                     ORDER BY cosine DESC, id_b ASC) AS rank
-        FROM scored
-    ) WHERE rank <= 3
+    FROM sparse_topk
     ORDER BY query_id, rank
     """,
 )
@@ -167,6 +181,7 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.col("rank").cast("bigint"))
         .orderBy("query_id", "rank")
     )
+
 
 
 # X71: NPMI collocations — normalized pointwise mutual information of
@@ -334,4 +349,143 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+# X73: incremental novelty scores — the fraction of each doc's distinct
+# 5-gram shingles first seen at THAT doc (ids = arrival order); the
+# cheap streaming-ingest triage before any pairwise dedup. Spark groups
+# on xxhash64 gram keys; the oracle groups on gram strings (identical
+# unless xxhash64 collides). Exact integers + one division, ROUND(6).
+@query(
+    "novelty_scores_docs",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id,
+               unnest([array_to_string(t[i:i+4], ' ')
+                       for i in generate_series(1, len(t) - 4)]) AS gram
+        FROM t WHERE len(t) >= 5
+    ),
+    f AS (SELECT gram, MIN(doc_id) AS first FROM g GROUP BY 1)
+    SELECT doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN doc_id = first THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           ROUND(SUM(CASE WHEN doc_id = first THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS novelty
+    FROM g JOIN f USING (gram)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def novelty_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.novelty_scores(docs, ngram=5).orderBy("doc_id")
+
+
+# X74: exact containment dedup (overlap coefficient of 5-gram shingle
+# sets ≥ 0.9) — the asymmetric family Jaccard misses: a short doc quoted
+# wholesale inside a long one. Prefix filter binds the SMALLER side and
+# probes the full inverted index (operators/dedup.containment_join);
+# the oracle is the O(n²) list_intersect replay on gram strings.
+@query(
+    "containment_dedup_docs",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    s AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+4], ' ')
+                              for i in generate_series(1, len(t) - 4)]) AS g
+        FROM t WHERE len(t) >= 5
+    ),
+    z AS (SELECT doc_id, g, len(g) AS sz FROM s WHERE len(g) > 0)
+    SELECT id_small, id_big, containment FROM (
+        SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+               ROUND(len(list_intersect(a.g, b.g))::DOUBLE / a.sz, 6)
+                   AS containment
+        FROM z a JOIN z b
+          ON (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+    ) WHERE containment >= 0.9
+    ORDER BY id_small, id_big
+    """,
+)
+def containment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.containment_join(docs, ngram=5, threshold=0.9).orderBy(
+        "id_small", "id_big"
+    )
+
+
+# X75: reciprocal rank fusion of the two retrieval modalities — sparse
+# TF-IDF bigram cosine (text) and dense embedding cosine — the standard
+# hybrid-search combiner: rrf = Σ 1/(60 + rank) over the lists that
+# returned the candidate. Both input rank lists are themselves oracle-
+# checked shapes; the fusion arithmetic is two fixed-order divisions
+# and one addition, ROUND(6), top-5 with a cand tie-break.
+@query(
+    "rrf_fusion_docs",
+    oracle=rf"""
+    WITH {_sparse_ranked_sql(10)},
+    dense AS (
+        SELECT query_id, cand_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.qv, c.cv)
+                                      / (sqrt(list_dot_product(q.qv, q.qv))
+                                         * sqrt(list_dot_product(c.cv, c.cv))),
+                                      6) DESC,
+                                c.vec_id ASC) AS rank
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id % 25 = 0) q,
+                 (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
+            WHERE c.vec_id <> q.vec_id
+        ) WHERE rank <= 10
+    ),
+    fused AS (
+        SELECT COALESCE(s.id_a, d.query_id) AS query_id,
+               COALESCE(s.id_b, d.cand_id) AS cand_id,
+               ROUND(COALESCE(1.0::DOUBLE / (60 + s.rank), 0.0)
+                     + COALESCE(1.0::DOUBLE / (60 + d.rank), 0.0), 6) AS rrf
+        FROM sparse_topk s
+        FULL JOIN dense d ON s.id_a = d.query_id AND s.id_b = d.cand_id
+    )
+    SELECT query_id, cand_id, rrf, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, cand_id ASC) AS rank
+        FROM fused
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def rrf_fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    sparse = ir.sparse_cosine_topk(
+        cat.documents,
+        k=10,
+        rare_features=5,
+        query_filter=F.col("doc_id") % 25 == 0,
+    ).select("query_id", "cand_id", F.col("rank").alias("_ra"))
+    emb = cat.embeddings
+    dense = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % 25 == 0), 10
+    ).select("query_id", "cand_id", F.col("rank").alias("_rb"))
+    fused = sparse.join(dense, ["query_id", "cand_id"], "full").select(
+        "query_id",
+        "cand_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("_ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("_rb")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("cand_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "rrf", "rank")
+        .orderBy("query_id", "rank")
     )

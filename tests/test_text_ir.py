@@ -95,3 +95,60 @@ def test_sparse_cosine_query_filter_restricts_rank_side(spark):
     )
     qids = {r.query_id for r in out.collect()}
     assert qids and all(q % 2 == 0 for q in qids)
+
+
+def test_novelty_scores_planted(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (0, base),                      # everything novel (first)
+        (1, base),                      # exact repeat → novelty 0
+        (2, base + " x1 x2 x3 x4 x5"),  # half-ish novel tail
+        (3, "only four tokens here"),   # < 5 tokens → no grams, no row
+    ]
+    from spark_ml_showcase_spark.operators import dedup
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in dedup.novelty_scores(df, ngram=5).collect()}
+    assert got[0].novelty == 1.0 and got[0].n_grams == 6
+    assert got[1].novelty == 0.0
+    # doc2: 11 grams, the 6 from base already seen → 5 novel
+    assert (got[2].n_grams, got[2].n_novel) == (11, 5)
+    assert 3 not in got
+
+
+def test_containment_join_asymmetric_quote(spark):
+    from spark_ml_showcase_spark.operators import dedup
+
+    quoted = "q1 q2 q3 q4 q5 q6 q7 q8"
+    rows = [
+        (0, quoted),  # short doc
+        (1, "pre1 pre2 pre3 pre4 pre5 " + quoted + " post1 post2 post3 post4 post5"),
+        (2, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = dedup.containment_join(df, ngram=5, threshold=0.9).collect()
+    pairs = {(r.id_small, r.id_big): r.containment for r in got}
+    # all 4 of doc0's 5-grams appear inside doc1 → containment 1.0
+    assert pairs == {(0, 1): 1.0}
+    # completeness vs brute force on a random-ish corpus
+    import itertools
+
+    rows2 = [
+        (i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(12))) for i in range(30)
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, text string")
+    got2 = {
+        (r.id_small, r.id_big) for r in
+        dedup.containment_join(df2, ngram=3, threshold=0.8).collect()
+    }
+    def grams(t, n=3):
+        tk = t.split()
+        return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+    brute = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows2, 2):
+        ga, gb = grams(ta), grams(tb)
+        small, big = (ia, ib) if (len(ga), ia) <= (len(gb), ib) else (ib, ia)
+        gs, gl = (ga, gb) if small == ia else (gb, ga)
+        if round(len(gs & gl) / len(gs), 6) >= 0.8:
+            brute.add((small, big))
+    assert got2 == brute

@@ -86,6 +86,12 @@ ALLOWLIST = {
         "|event-types|-sized frame — the whole point is that the "
         "event-scale table was already reduced to 5 sketch rows"
     },
+    "rrf_fusion_docs": {
+        "bnlj": "inherits its two inputs' allowlisted crosses: the dense "
+        "list's broadcast(queries) brute-force baseline and the sparse "
+        "list's single-row corpus-size scalar; the fusion itself is a "
+        "full equi-join on (query, cand)"
+    },
     "sparse_cosine_topk_docs": {
         "bnlj": "idf's global corpus size: broadcast SINGLE-ROW "
         "count(documents) crossed into the per-gram weight frame "
