@@ -204,9 +204,15 @@ QZ_DICT_V10 = QZ_DICT_V9 + (
 )
 
 # v11 (round 10, curation batch): novelty / containment / hybrid fusion.
-QZ_DICT = QZ_DICT_V10 + (
+QZ_DICT_V11 = QZ_DICT_V10 + (
     b"|novelty_scores_docs|containment_dedup_docs|rrf_fusion_docs"
     b"|novelty|containment|fusion"
+)
+
+# v12 (round 10, analytics batch): k-core / seasonal / attribution.
+QZ_DICT = QZ_DICT_V11 + (
+    b"|kcore_supplier_graph|seasonal_hourly_anomalies"
+    b"|first_touch_attribution|anomal|attribution"
 )
 
 
@@ -223,9 +229,9 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7,
-        QZ_DICT_V6, QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2,
-        QZ_DICT_V1,
+        QZ_DICT, QZ_DICT_V11, QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8,
+        QZ_DICT_V7, QZ_DICT_V6, QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3,
+        QZ_DICT_V2, QZ_DICT_V1,
     ):
         try:
             dec = zlib.decompressobj(zdict=zd)

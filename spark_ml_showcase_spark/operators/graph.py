@@ -99,6 +99,52 @@ def pagerank(
     return ranks
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    rounds: int = 8,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """k-core peeling: repeatedly remove nodes of degree < ``k`` (and
+    their edges) for a FIXED ``rounds`` iterations — fixed, not
+    until-fixpoint, so the computation is replayable verbatim by an
+    unrolled SQL oracle (and deterministic cost: each round is one
+    degree aggregation + two semi-joins). Most graphs reach the true
+    k-core in far fewer peels; callers wanting certainty compare round
+    ``r`` and ``r+1`` (tests do). Returns ``(id, degree)`` for surviving
+    nodes with their degree INSIDE the surviving subgraph.
+
+    Scale: per round the edge set only shrinks; degrees shuffle on node
+    id, the semi-joins on the endpoint — no broadcast of anything
+    node-sized is required (the survivor set can be large). Lineage is
+    cut every ``checkpoint_every`` rounds (pointer-doubling precedent in
+    operators/hierarchy.py) so the plan stays round-sized.
+    """
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    for r in range(rounds):
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("x"))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("x")
+        e = (
+            e.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        if (r + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint(eager=False)
+    return (
+        e.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
 def triangle_count(
     edges: DataFrame, *, u_col: str = "u", v_col: str = "v"
 ) -> DataFrame:

@@ -1043,3 +1043,218 @@ def robust_zscore_outliers_by_type(
         .cast("bigint")
         .alias("outliers"),
     )
+
+
+# X76: k-core decomposition of the supplier co-supply graph — fixed
+# 8-round peel (operators/graph.k_core) with k derived FROM the data
+# (ceil of the average degree, exact integer arithmetic: (E + V − 1)
+# div V — half the average degree) so the peel is meaningful — a real
+# multi-round cascade, non-empty core — at every SF. The oracle UNROLLS the
+# same 8 rounds as a generated CTE chain — iteration replayed verbatim,
+# no recursion needed; tests pin that round 8 equals round 9 (fixpoint)
+# on the fixtures.
+def _kcore_oracle(rounds: int = 8) -> str:
+    chain = ["""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey
+        FROM lineitem WHERE l_partkey % 100 = 0
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM ps a JOIN ps b
+          ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    kv AS MATERIALIZED (
+        SELECT ((SELECT count(*) FROM e0)
+                + (SELECT count(DISTINCT x) FROM
+                   (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)) - 1)
+               // (SELECT count(DISTINCT x) FROM
+                   (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0))
+               AS kk
+    )"""]
+    for r in range(rounds):
+        chain.append(f""",
+    d{r} AS MATERIALIZED (
+        SELECT x, count(*) AS d FROM
+            (SELECT u AS x FROM e{r} UNION ALL SELECT v FROM e{r})
+        GROUP BY x
+    ),
+    keep{r} AS MATERIALIZED (SELECT x FROM d{r} WHERE d >= (SELECT kk FROM kv)),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{r} e
+        JOIN keep{r} a ON e.u = a.x
+        JOIN keep{r} b ON e.v = b.x
+    )""")
+    chain.append(f"""
+    SELECT x AS id, CAST(count(*) AS BIGINT) AS degree FROM
+        (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY x ORDER BY id""")
+    return "".join(chain)
+
+
+@query("kcore_supplier_graph", oracle=_kcore_oracle(8))
+def kcore_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators.graph import k_core
+
+    li = Catalog(spark, sf_dir).lineitem
+    ps = (
+        li.filter(F.col("l_partkey") % 100 == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by E/V counts + 8 peels
+    )
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select(F.explode(F.array("u", "v")).alias("x"))
+        .agg(F.count_distinct("x"))
+        .collect()[0][0]
+    )
+    k = (n_edges + n_nodes - 1) // n_nodes
+    return k_core(edges, k, rounds=8).orderBy("id")
+
+
+# X77: seasonal-baseline anomaly detection on the event stream: the
+# hour-of-day profile per type is the baseline (mean of EXACT integer
+# hourly counts — one division, order-free); residual dispersion per
+# type follows the round-9 convention (per-row ROUND(resid², 6) →
+# exact DECIMAL sum → one division) so the z-scores are identical
+# cross-engine. Emits hours where |z| > 2.
+@query(
+    "seasonal_hourly_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hod,
+               count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+        SELECT event_type, hod,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu
+        FROM hourly GROUP BY 1, 2
+    ),
+    resid AS (
+        SELECT h.event_type, h.day, h.hod, h.n, b.mu,
+               ROUND((h.n - b.mu) * (h.n - b.mu), 6) AS r2
+        FROM hourly h JOIN base b USING (event_type, hod)
+    ),
+    disp AS (
+        SELECT event_type,
+               sqrt(CAST(SUM(CAST(r2 AS DECIMAL(20,6))) AS DOUBLE)
+                    / COUNT(*)) AS sigma
+        FROM resid GROUP BY 1
+    )
+    SELECT r.event_type AS event_type,
+           CAST(r.day AS VARCHAR) AS day,
+           CAST(r.hod AS BIGINT) AS hod,
+           CAST(r.n AS BIGINT) AS n,
+           ROUND(r.mu, 6) AS mu,
+           ROUND((r.n - r.mu) / d.sigma, 6) AS z
+    FROM resid r JOIN disp d USING (event_type)
+    WHERE abs(ROUND((r.n - r.mu) / d.sigma, 6)) > 2
+    ORDER BY event_type, day, hod
+    """,
+)
+def seasonal_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hourly.groupBy("event_type", "hod").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    resid = hourly.join(base, ["event_type", "hod"]).withColumn(
+        "r2",
+        F.round((F.col("n") - F.col("mu")) * (F.col("n") - F.col("mu")), 6),
+    )
+    disp = resid.groupBy("event_type").agg(
+        F.sqrt(
+            F.sum(F.col("r2").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("sigma")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        resid.join(F.broadcast(disp), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("hod").cast("bigint").alias("hod"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mu", 6).alias("mu"),
+            "z",
+        )
+        .orderBy("event_type", "day", "hod")
+    )
+
+
+# X78: first-touch attribution — for every purchase, the user's EARLIEST
+# view in the trailing 7 days (RANGE window over event-time seconds; the
+# frame spec is identical in Spark and DuckDB), rolled up to a per-day
+# attribution-rate report. Exact counts + one division, ROUND(6).
+@query(
+    "first_touch_attribution",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               min(CASE WHEN event_type = 'view'
+                        THEN floor(epoch(ts)) END)
+                   OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))
+                         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                   AS first_view_sec
+        FROM events
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(first_view_sec) AS BIGINT) AS n_attributed,
+           ROUND(count(first_view_sec)::DOUBLE / count(*), 6)
+               AS attribution_rate
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY day ORDER BY day
+    """,
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    w = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.min(F.when(F.col("event_type") == "view", sec)).over(win).alias(
+            "first_view_sec"
+        ),
+    )
+    return (
+        w.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.count("first_view_sec").cast("bigint").alias("n_attributed"),
+            F.round(
+                F.count("first_view_sec").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("attribution_rate"),
+        )
+        .orderBy("day")
+    )
