@@ -210,10 +210,97 @@ QZ_DICT_V11 = QZ_DICT_V10 + (
 )
 
 # v12 (round 10, analytics batch): k-core / seasonal / attribution.
-QZ_DICT = QZ_DICT_V11 + (
+QZ_DICT_V12 = QZ_DICT_V11 + (
     b"|kcore_supplier_graph|seasonal_hourly_anomalies"
     b"|first_touch_attribution|anomal|attribution"
 )
+
+# v13 (round 10, product-analytics batch): basket / cohorts / deciles.
+QZ_DICT_V13 = QZ_DICT_V12 + (
+    b"|market_basket_pairs|retention_cohorts"
+    b"|spend_concentration_deciles|cohort|decile|basket"
+)
+
+# v14 (round 10, capacity overhaul): the FULL sorted comma-joined
+# registry as one dict run — the encoder's name stream becomes a few
+# long back-references instead of one short match per name (qz at 207
+# names: 1904 chars with v13 — over budget, silently dropped — vs 435
+# with v14). Future batches keep appending vNN fragments; names that
+# sort between existing ones just break one long match into two.
+QZ_DICT = QZ_DICT_V13 + b"," + (
+    b"ab_test_purchase_conversion,above_priority_avg_orders,agg_extras_by_"
+    b"status,ann_multiprobe_curve,ann_recall_report,ann_topk_lsh,approx_di"
+    b"stinct_suppliers,asof_join_purchase_click,avg_price_having,bigram_lm"
+    b"_scores,blocklist_filter_docs,bm25_rank_docs,boilerplate_ngram_repor"
+    b"t,bpe_learn_merges_docs,bpe_pair_counts_top20,bpe_token_budget_by_so"
+    b"urce,bucketed_join_priority_volume,cached_two_branch_report,chi2_eve"
+    b"nt_type_isodow,chunk_documents_64_8,class_balance_cap_docs,clean_cor"
+    b"pus_funnel,clf_country_report,clf_day_hour_counts,clf_png_artifacts,"
+    b"clf_report_txt_sink,clf_top_hosts_de,clustered_scan_value_band,cohor"
+    b"t_retention_daily,conditional_derive_log,containment_dedup_docs,corr"
+    b"_qty_price_by_flag,cosine_topk_bruteforce,csv_scan_header,csv_scan_n"
+    b"oheader,cube_qty,customer_tree_closure,customers_without_orders,cusu"
+    b"m_changepoint_by_type,decontaminate_embedding,decontaminate_ngram,de"
+    b"nse_hourly_event_counts,distinct_flags,domain_mix_sample,dpp_events_"
+    b"mondays,embedding_near_dup_survivors,event_type_share,event_value_la"
+    b"g,ewma_hourly_counts_by_type,exact_dedup_docs,except_nations,first_t"
+    b"ouch_attribution,frame_sample_stats,funnel_view_click_purchase,fuzzy"
+    b"_name_pairs,gapfill_interpolate_hourly,geo_radius_join_cust_supp,gin"
+    b"i_user_spend,global_revenue,gopher_repetition_flags,grouping_sets_qt"
+    b"y,heavy_hitter_tokens,hypertable_distinct_users_hourly,hypertable_ho"
+    b"urly_rollup,impute_median_by_type,intersect_nations,interval_overlap"
+    b"_view_purchase,iqr_outliers_by_type,ivf_topk,ivm_orders_customer_vie"
+    b"w,json_get_props,json_scan_agg,kcore_supplier_graph,kmv_distinct_use"
+    b"rs_by_type,kmv_user_overlap_types,last_token,latest_event_per_user_t"
+    b"ype,latest_value_per_user_maxby,learned_quality_terciles,local_suppl"
+    b"ier_volume_asia,market_basket_pairs,markov_event_transitions,mi_even"
+    b"t_type_isodow,minhash_near_dup_pairs,minhash_skew_stress,ml_als_defa"
+    b"ult_vs_custom,ml_als_metrics,ml_claims_models,ml_claims_regparam_cur"
+    b"ve,ml_confusion_matrix_rf,ml_feature_importances_rf,ml_gbt_higgs,ml_"
+    b"kmeans_cluster_genres,ml_rf_cv_higgs,multimodal_features,multimodal_"
+    b"features_decoded,multimodal_resize_roundtrip,near_dup_components,nea"
+    b"r_dup_components_star,near_dup_keep_best,ngram_jaccard_pairs,novelty"
+    b"_scores_docs,npmi_collocations,orc_sink_roundtrip,orders_per_month,o"
+    b"uter_join_nation_customers,pack_sequences_256,pagerank_near_dup_grap"
+    b"h,parquet_sink_roundtrip,pivot_event_hours,price_stats_per_flag,prof"
+    b"ile_drift_orders,profile_orders_table,project_cast_rename,purchase_w"
+    b"ith_user_type_asof,pyds_gen_docs_stats,quantile_sketch_prices,quanti"
+    b"zed_ann_recall,random_split_sizes,range_join_value_bands,readability"
+    b"_scores,regex_extract_props,retention_cohorts,revenue_by_region,robu"
+    b"st_zscore_outliers_by_type,rolling_hour_user_spend,rollup_qty,rrf_fu"
+    b"sion_docs,running_spend_per_user,salted_join_event_types,scd2_user_t"
+    b"ype_history,scrub_pii_docs,seasonal_hourly_anomalies,semantic_dedup,"
+    b"semi_join_urgent_customers,session_windows_30m,sessionize_events_30m"
+    b",set_similarity_join_docs,shipping_priority_top10,shrunken_value_sco"
+    b"re_by_type,simhash_near_dup_pairs,skyline_parts_price_size,sliding_q"
+    b"uarter_hour_counts,snapshot_diff_docs,snapshot_merge_docs,sorted_pre"
+    b"fix_orders,source_overlap_matrix,sparse_cosine_topk_docs,spend_conce"
+    b"ntration_deciles,sql_api_priority_revenue,statuses_per_customer,stra"
+    b"tified_k_per_type,stratified_split_summary,stream_exact_dedup,stream"
+    b"_interval_join_click_purchase,stream_lsh_dedup_docs,stream_parquet_s"
+    b"ink_hourly,stream_pyds_docs_drain,stream_session_windows_30m,stream_"
+    b"tumbling_hourly_counts,stream_upsert_latest_per_user,stream_user_run"
+    b"ning_totals,substring_dup_spans,subtree_rollup_customers,suffix_filt"
+    b"er,suppliers_per_part,temporal_split_cutoff,temporal_split_train,tex"
+    b"t_quality_lang,text_stats,tfidf_top_terms,tfidf_top_terms_sql,token_"
+    b"budget_sample_docs,token_cooccurrence_support,top1_order,top3_suppli"
+    b"ers_per_flag,top_customers_by_orders,top_event_paths_3step,topk_supp"
+    b"liers_by_qty,tpch_q10_returned_items,tpch_q11_important_stock,tpch_q"
+    b"12_late_priority,tpch_q13_customer_distribution,tpch_q14_promo_effec"
+    b"t,tpch_q15_top_supplier,tpch_q16_part_supplier_cnt,tpch_q17_small_qu"
+    b"antity,tpch_q18_large_volume_orders,tpch_q19_disjunctive_revenue,tpc"
+    b"h_q1_pricing_summary,tpch_q20_excess_share_suppliers,tpch_q21_waitin"
+    b"g_orders,tpch_q22_global_sales_opportunity,tpch_q2_min_cost_supplier"
+    b",tpch_q4_priority_check,tpch_q6_forecast_revenue,tpch_q7_volume_ship"
+    b"ping,tpch_q8_market_share,tpch_q9_product_profit,trend_value_by_type"
+    b",triangle_count_suppliers,tumbling_hourly_counts,udtf_lateral_chunk_"
+    b"docs,union_all_orders,unpivot_event_value_stats,user_spend_percentil"
+    b"es,validate_orders_expectations,value_quartiles_by_event_type,value_"
+    b"quartiles_by_type,weighted_sample_docs,winnow_overlap_pairs,winsoriz"
+    b"e_value_by_type,word_count_top20,xcorr_view_purchase_lags,zscore_val"
+    b"ue_by_type"
+)
+
 
 
 def decode_qz(qz: str) -> dict[str, float]:
@@ -229,9 +316,9 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V11, QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8,
-        QZ_DICT_V7, QZ_DICT_V6, QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3,
-        QZ_DICT_V2, QZ_DICT_V1,
+        QZ_DICT, QZ_DICT_V13, QZ_DICT_V12, QZ_DICT_V11, QZ_DICT_V10,
+        QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6, QZ_DICT_V5,
+        QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1,
     ):
         try:
             dec = zlib.decompressobj(zdict=zd)

@@ -1258,3 +1258,216 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# X79: market-basket co-purchase pairs — support and LIFT of part pairs
+# within orders, top-20 by (support DESC, pair ASC). Pair generation is
+# a per-order self-join bounded by the order's line count (≤ 7 in
+# TPC-H-shaped data — never corpus-sized); lift = support·N /
+# (c_a·c_b) on exact integers, one division, ROUND(6).
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    pc AS (SELECT l_partkey, COUNT(*) AS c FROM op GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           ROUND(support::DOUBLE * n.n_orders / (ca.c * cb.c), 6) AS lift
+    FROM pairs
+    JOIN pc ca ON ca.l_partkey = pairs.part_a
+    JOIN pc cb ON cb.l_partkey = pairs.part_b
+    CROSS JOIN n
+    ORDER BY support DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))),
+            "part_b",
+        )
+        # single-row broadcast cross (tpch_q11 pattern, allowlisted)
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+# X80: weekly retention cohort matrix — users grouped by first-activity
+# week, the classic (cohort_week, week_offset) retention grid. The
+# fixture's event stream is DENSE (every user active every week, which
+# collapses the matrix to one cohort at 100% — degenerate), so activity
+# is first thinned by a deterministic md5 1/16 event sample
+# (portable_sample_by convention: engine-portable, partitioning-free)
+# to ~4 events/user — a realistic sparse-activity grid with real decay.
+# Weeks are Monday-truncated in both engines; offsets are exact integer
+# day arithmetic / 7; rates one division on exact counts, ROUND(6).
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cw FROM uw GROUP BY 1),
+    sz AS (SELECT cw, COUNT(*) AS n_cohort FROM cohort GROUP BY 1),
+    grid AS (
+        SELECT c.cw, (u.week - c.cw) // 7 AS week_offset,
+               COUNT(*) AS n_active
+        FROM uw u JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(g.cw AS VARCHAR) AS cohort_week,
+           CAST(g.week_offset AS BIGINT) AS week_offset,
+           CAST(g.n_active AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           ROUND(g.n_active::DOUBLE / s.n_cohort, 6) AS retention
+    FROM grid g JOIN sz s USING (cw)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0"
+    )
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cw"))
+    sz = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    grid = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff(F.col("week"), F.col("cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        grid.join(F.broadcast(sz), "cw")
+        .select(
+            F.col("cw").cast("string").alias("cohort_week"),
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# X81: spend-concentration deciles (the Lorenz-curve companion of the
+# r9 Gini query): users ntile(10)-bucketed by exact-decimal total spend
+# with a user_id tie-break (fully deterministic ordering, and both
+# engines give earlier buckets the remainder rows per the SQL standard);
+# per-decile share + cumulative share, exact sums, ROUND(6).
+@query(
+    "spend_concentration_deciles",
+    oracle="""
+    WITH us AS (
+        SELECT user_id,
+               SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS spend
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT spend,
+               ntile(10) OVER (ORDER BY spend ASC, user_id ASC) AS decile
+        FROM us
+    ),
+    agg AS (
+        SELECT decile, COUNT(*) AS n_users, SUM(spend) AS s
+        FROM d GROUP BY 1
+    ),
+    tot AS (SELECT SUM(s) AS t FROM agg)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(s AS DOUBLE) AS decile_spend,
+           ROUND(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+           ROUND(CAST(SUM(s) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(t AS DOUBLE), 6) AS cum_share
+    FROM agg CROSS JOIN tot
+    ORDER BY decile
+    """,
+)
+def spend_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    us = ev.groupBy("user_id").agg(
+        F.sum(F.round("value", 6).cast("decimal(20,6)")).alias("spend")
+    )
+    d = us.withColumn(
+        "decile",
+        F.ntile(10).over(
+            W.orderBy(F.asc("spend"), F.asc("user_id"))
+        ),
+    )
+    agg = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("spend").alias("s")
+    )
+    tot = agg.agg(F.sum("s").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("s").cast("double").alias("decile_spend"),
+            F.round(F.col("s").cast("double") / F.col("t").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.sum("s").over(W.orderBy("decile")).cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

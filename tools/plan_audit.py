@@ -86,6 +86,14 @@ ALLOWLIST = {
         "|event-types|-sized frame — the whole point is that the "
         "event-scale table was already reduced to 5 sketch rows"
     },
+    "market_basket_pairs": {
+        "bnlj": "lift's denominator: broadcast SINGLE-ROW order count "
+        "crossed into the top pair frame — tpch_q11 shape"
+    },
+    "spend_concentration_deciles": {
+        "bnlj": "share-of-total: broadcast SINGLE-ROW grand total "
+        "crossed into the 10 decile rows — event_type_share shape"
+    },
     "rrf_fusion_docs": {
         "bnlj": "inherits its two inputs' allowlisted crosses: the dense "
         "list's broadcast(queries) brute-force baseline and the sparse "
