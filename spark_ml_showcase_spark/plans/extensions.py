@@ -644,16 +644,17 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < 20)
-    truth = similarity.brute_force_topk(emb, queries, 10).select(
-        "query_id", "cand_id"
-    )
+    # rows-only query: Arrow-vectorized scoring (no oracle rank parity)
+    truth = similarity.brute_force_topk(
+        emb, queries, 10, vectorized=True
+    ).select("query_id", "cand_id")
     approx = (
         similarity.ann_topk_lsh(emb, queries, 10, n_planes=4)
         .select(F.lit("lsh").alias("method"), "query_id", "cand_id")
         .unionByName(
-            similarity.ivf_topk(emb, queries, 10, n_lists=8, n_probe=2).select(
-                F.lit("ivf").alias("method"), "query_id", "cand_id"
-            )
+            similarity.ivf_topk(
+                emb, queries, 10, n_lists=8, n_probe=2, vectorized=True
+            ).select(F.lit("ivf").alias("method"), "query_id", "cand_id")
         )
     )
     hits = truth.join(approx, ["query_id", "cand_id"]).groupBy("method").agg(
@@ -691,17 +692,18 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < 20)
-    truth = similarity.brute_force_topk(emb, queries, 10).select(
-        "query_id", "cand_id"
-    )
-    qc = similarity.quantize_int8(emb).select("vec_id", "q_vec")
-    qq = similarity.quantize_int8(queries).select("vec_id", "q_vec")
+    truth = similarity.brute_force_topk(
+        emb, queries, 10, vectorized=True
+    ).select("query_id", "cand_id")
+    qc = similarity.quantize_int8_np(emb).select("vec_id", "q_vec")
+    qq = similarity.quantize_int8_np(queries).select("vec_id", "q_vec")
     approx = (
-        similarity.quantized_topk(emb, queries, 10)
+        similarity.quantized_topk(emb, queries, 10, vectorized=True)
         .select(F.lit("int8_brute").alias("method"), "query_id", "cand_id")
         .unionByName(
             similarity.ivf_topk(
-                qc, qq, 10, vec_col="q_vec", n_lists=8, n_probe=2
+                qc, qq, 10, vec_col="q_vec", n_lists=8, n_probe=2,
+                vectorized=True,
             ).select(F.lit("int8_ivf").alias("method"), "query_id", "cand_id")
         )
     )
@@ -740,9 +742,9 @@ def ann_multiprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = [1, 2, 4, 8]
     n_lists = 16
     k = 10
-    truth = similarity.brute_force_topk(emb, queries, k).select(
-        "query_id", "cand_id"
-    )
+    truth = similarity.brute_force_topk(
+        emb, queries, k, vectorized=True
+    ).select("query_id", "cand_id")
     assigned, cent = similarity.build_ivf_index(emb, n_lists=n_lists)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -778,7 +780,10 @@ def ann_multiprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         assigned.join(F.broadcast(ranked), "_cell")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(V.cosine("_qv", "_cv"), 6))
+        .withColumn(
+            "cosine",
+            F.round(similarity.cosine_pandas_udf()("_qv", "_cv"), 6),
+        )
     )
     w = Window.partitionBy("n_probe", "query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
