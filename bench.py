@@ -227,7 +227,7 @@ QZ_DICT_V13 = QZ_DICT_V12 + (
 # names: 1904 chars with v13 — over budget, silently dropped — vs 435
 # with v14). Future batches keep appending vNN fragments; names that
 # sort between existing ones just break one long match into two.
-QZ_DICT = QZ_DICT_V13 + b"," + (
+QZ_DICT_V14 = QZ_DICT_V13 + b"," + (
     b"ab_test_purchase_conversion,above_priority_avg_orders,agg_extras_by_"
     b"status,ann_multiprobe_curve,ann_recall_report,ann_topk_lsh,approx_di"
     b"stinct_suppliers,asof_join_purchase_click,avg_price_having,bigram_lm"
@@ -301,6 +301,9 @@ QZ_DICT = QZ_DICT_V13 + b"," + (
     b"ue_by_type"
 )
 
+# v15 (round 10, last batch).
+QZ_DICT = QZ_DICT_V14 + b"|conversion_lag_quantiles"
+
 
 
 def decode_qz(qz: str) -> dict[str, float]:
@@ -316,9 +319,9 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V13, QZ_DICT_V12, QZ_DICT_V11, QZ_DICT_V10,
-        QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6, QZ_DICT_V5,
-        QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1,
+        QZ_DICT, QZ_DICT_V14, QZ_DICT_V13, QZ_DICT_V12, QZ_DICT_V11,
+        QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6,
+        QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1,
     ):
         try:
             dec = zlib.decompressobj(zdict=zd)

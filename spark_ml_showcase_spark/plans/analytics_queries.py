@@ -1471,3 +1471,71 @@ def spend_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# X82: view→purchase conversion-lag quantiles — for each purchase, the
+# gap to the user's MOST RECENT prior view (running max over a window,
+# NULL-skipping), then exact interpolated quartiles of the lag per
+# urgency band (the pinned percentile ≡ percentile_cont equivalence).
+# Lags are exact integer seconds.
+@query(
+    "conversion_lag_quantiles",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               floor(epoch(ts)) AS sec,
+               max(CASE WHEN event_type = 'view'
+                        THEN floor(epoch(ts)) END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY floor(epoch(ts)), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_view_sec
+        FROM events
+    ),
+    lags AS (
+        SELECT sec - last_view_sec AS lag_sec FROM w
+        WHERE event_type = 'purchase' AND last_view_sec IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY lag_sec), 6)
+               AS p25_sec,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_sec), 6)
+               AS p50_sec,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_sec), 6)
+               AS p90_sec
+    FROM lags
+    """,
+)
+def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    # (sec, event_id) ordering: ROWS frames are tie-order-dependent,
+    # and same-second (view, purchase) pairs exist — the unique
+    # event_id tiebreak makes the frame identical in both engines
+    win = (
+        W.partitionBy("user_id")
+        .orderBy(sec, "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w = ev.select(
+        "event_type",
+        sec.alias("sec"),
+        F.max(F.when(F.col("event_type") == "view", sec)).over(win).alias(
+            "last_view_sec"
+        ),
+    )
+    lags = w.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_view_sec").isNotNull()
+    ).select((F.col("sec") - F.col("last_view_sec")).alias("lag_sec"))
+    # ROUND(,6) DOUBLE, not a BIGINT cast: interpolated percentiles are
+    # fractional, and DuckDB's double->BIGINT cast ROUNDS where Spark's
+    # truncates (the pinned cross-engine hazard)
+    return lags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.round(F.percentile("lag_sec", F.lit(0.25)), 6).alias("p25_sec"),
+        F.round(F.percentile("lag_sec", F.lit(0.5)), 6).alias("p50_sec"),
+        F.round(F.percentile("lag_sec", F.lit(0.9)), 6).alias("p90_sec"),
+    )

@@ -598,6 +598,97 @@ def probe_skyline_20m(spark):
     return n
 
 
+def probe_substring_spans_200k(spark):
+    """Exact substring-level dedup at 40× the sf0.1 corpus: 200k docs ×
+    60 md5-word tokens, with 2 000 PAIRWISE-UNIQUE 40-token blocks
+    planted (doc i < 2000 shares block i with doc 100000+i — pairwise
+    so the hot-gram guard, correctly, never fires on the plants). At
+    span=30 each planted pair must merge to EXACTLY one maximal span of
+    40 tokens — asserted exactly, per the planted-pair convention."""
+    from spark_ml_showcase_spark.operators.dedup import substring_dup_spans
+
+    n = 200_000
+    plant = (F.col("id") < 2_000) | (
+        (F.col("id") >= 100_000) & (F.col("id") < 102_000)
+    )
+    prefix = [
+        F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"u{j}"))), 1, 6)
+        for j in range(20)
+    ]
+    blk = [
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("b"),
+                    (F.col("id") % 100_000).cast("string"),
+                    F.lit(str(j)),
+                )
+            ),
+            1,
+            6,
+        )
+        for j in range(40)
+    ]
+    uniq = [
+        F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"v{j}"))), 1, 6)
+        for j in range(40)
+    ]
+    tail = F.when(plant, F.concat_ws(" ", *blk)).otherwise(
+        F.concat_ws(" ", *uniq)
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.concat_ws(" ", *prefix), tail).alias("text"),
+    ).persist()
+    docs.count()
+    try:
+        t0 = time.perf_counter()
+        spans = substring_dup_spans(
+            docs, span_tokens=30, max_gram_occurrences=200
+        ).collect()
+        dt = time.perf_counter() - t0
+        assert len(spans) == 2_000, len(spans)
+        assert all(r.span_len == 40 for r in spans)
+    finally:
+        docs.unpersist()
+    return n, dt
+
+
+def probe_novelty_1m_docs(spark):
+    """Novelty triage at 1M docs × 30 md5-words (the minhash probe's
+    corpus shape: ids ≥ 995k repeat earlier docs verbatim, so exactly
+    the 5k wrap-around docs must score novelty 0.0)."""
+    from spark_ml_showcase_spark.operators.dedup import novelty_scores
+
+    n = 1_000_000
+    words = F.array(
+        *[
+            F.substring(
+                F.md5(F.concat((F.col("id") % 995_000).cast("string"), F.lit(i))),
+                1,
+                6,
+            )
+            for i in range(30)
+        ]
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    ).persist()
+    docs.count()
+    try:
+        t0 = time.perf_counter()
+        zero = (
+            novelty_scores(docs, ngram=5)
+            .filter(F.col("novelty") == 0.0)
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        assert zero == 5_000, zero  # exact: the wrap-around repeats
+    finally:
+        docs.unpersist()
+    return n, dt
+
+
 def probe_quantize_search_10m(spark):
     """int8 embedding quantization + cosine top-10 at 10M×16-dim: the
     100 TB ANN storage path (quantize once at ingest, search the 4×
@@ -818,6 +909,8 @@ PROBES = {
     "interval_join_10m": probe_interval_join_10m,
     "geo_radius_10m": probe_geo_radius_10m,
     "skyline_20m": probe_skyline_20m,
+    "substring_spans_200k": probe_substring_spans_200k,
+    "novelty_1m_docs": probe_novelty_1m_docs,
     "quantize_search_10m": probe_quantize_search_10m,
     "triangle_hubskew_20m": probe_triangle_hubskew_20m,
     "bpe_1m_words": probe_bpe_1m_words,
