@@ -301,8 +301,8 @@ QZ_DICT_V14 = QZ_DICT_V13 + b"," + (
     b"ue_by_type"
 )
 
-# v15 (round 10, last batch).
-QZ_DICT = QZ_DICT_V14 + b"|conversion_lag_quantiles"
+# v15 (round 10, last batches).
+QZ_DICT = QZ_DICT_V14 + b"|conversion_lag_quantiles|weighted_sample_per_source"
 
 
 

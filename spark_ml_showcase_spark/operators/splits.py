@@ -185,6 +185,39 @@ def weighted_sample_topk(
     )
 
 
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    key_col: str,
+    priority_decimals: int = 6,
+) -> DataFrame:
+    """Per-stratum A-ES weighted sampling without replacement: the same
+    md5-uniform priorities as :func:`weighted_sample_topk`, ranked
+    INSIDE each stratum with a window — the shape that scales when the
+    stratum count is large (a global TakeOrdered can't return k rows per
+    each of millions of domains; a partitioned window ranks them all in
+    one shuffle on the stratum key). Rows with ``w <= 0`` are excluded.
+    Adds ``priority`` and ``sample_rank`` (1-based within stratum)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(strata_col).orderBy(
+        F.desc("priority"), F.col(key_col).asc()
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", F.round(F.log(u) / w, priority_decimals))
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     strata_col: str,

@@ -489,3 +489,47 @@ def rrf_fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "rrf", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# X83: per-stratum weighted sampling — top-3 docs per source by A-ES
+# priority (the windowed sibling of X68: a global TakeOrdered cannot
+# return k per each of millions of domains; the partitioned window
+# ranks every stratum in one shuffle). Same md5-uniform priorities,
+# ROUNDed with an id tie-break.
+@query(
+    "weighted_sample_per_source",
+    oracle="""
+    WITH s AS (
+        SELECT source, doc_id, n_chars,
+               ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 0.5) / 4294967296.0)
+                     / n_chars, 6) AS priority
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id,
+           CAST(n_chars AS BIGINT) AS weight, priority,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY priority DESC, doc_id ASC)
+                   AS sample_rank
+        FROM s
+    ) WHERE sample_rank <= 3
+    ORDER BY source, sample_rank
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        splits.weighted_sample_per_stratum(
+            docs, "source", "n_chars", 3, key_col="doc_id"
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            "priority",
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
+        .orderBy("source", "sample_rank")
+    )
