@@ -83,7 +83,7 @@ def _record_green(rec) -> bool:
     )
 
 
-def latest_correctness_rounds(root=None) -> dict[str, int]:
+def latest_correctness_rounds(root=None, oracle_checked_only=False) -> dict[str, int]:
     """Latest GREEN driver record per query name, as an ARTIFACT ORDINAL:
     the 1-based position of the record's round among the committed
     CORRECTNESS_r*.json files, NOT the raw round number. The driver can
@@ -93,7 +93,16 @@ def latest_correctness_rounds(root=None) -> dict[str, int]:
     exactly one driver run stale. Ordinals measure driver RUNS, which is
     the staleness the rotation contract actually means. Queries absent
     from every artifact (registered this round) — or never recorded
-    green — simply don't appear."""
+    green — simply don't appear.
+
+    With ``oracle_checked_only=True``, only records that were actually
+    oracle-compared (``err is None``) count as evidence; rows-only records
+    (``err='no_oracle'``) don't. ``front_order`` uses this view for
+    queries that HAVE an oracle registered: a query oracled after its last
+    driver run (rows-only→✓SQL conversion) has never had its strongest
+    check driver-recorded, so it sorts with the unrecorded bucket (r10
+    verdict: ``text_quality_lang`` gained an oracle but sat at registry
+    position 137, outside the window)."""
     import json
     import re
     from pathlib import Path
@@ -114,6 +123,10 @@ def latest_correctness_rounds(root=None) -> dict[str, int]:
     for ordinal, rnd in enumerate(sorted(by_round), start=1):
         for q, rec in by_round[rnd].items():
             if _record_green(rec):
+                if oracle_checked_only and (
+                    not isinstance(rec, dict) or rec.get("err") is not None
+                ):
+                    continue
                 latest[q] = max(latest.get(q, 0), ordinal)
     return latest
 
@@ -128,11 +141,20 @@ def front_order(names) -> list[str]:
     overflows the driver window (registry > 2×window): the overflow
     lands on rows-only queries — the weaker check whose deferral loses
     the least evidence — and never on an oracle-checked query.
-    tests/test_rotation.py bounds that overflow loudly."""
+    tests/test_rotation.py bounds that overflow loudly.
+
+    For a query with a registered oracle, only oracle-compared driver
+    records count as freshness evidence: a rows-only→✓SQL conversion
+    sorts into the unrecorded bucket until the driver has actually run
+    its oracle once (see latest_correctness_rounds docstring)."""
     latest = latest_correctness_rounds()
-    return sorted(
-        names, key=lambda q: (latest.get(q, -1), 0 if q in _ORACLES else 1, q)
-    )
+    latest_oracle = latest_correctness_rounds(oracle_checked_only=True)
+
+    def rank(q):
+        effective = latest_oracle if q in _ORACLES else latest
+        return (effective.get(q, -1), 0 if q in _ORACLES else 1, q)
+
+    return sorted(names, key=rank)
 
 
 def _ordered(d: dict) -> dict:

@@ -86,15 +86,40 @@ def test_every_stale_query_fits_in_window_or_defers_loudly():
 
 
 def test_order_is_new_first_then_oldest_record():
+    """Registry order = effective-evidence age. For oracle-checked
+    queries only oracle-compared records count (a rows-only→✓SQL
+    conversion sorts with the unrecorded bucket until the driver has
+    run its oracle once — r10 verdict: text_quality_lang)."""
     names = _registry_names()
     latest = plans.latest_correctness_rounds()
-    ranks = [latest.get(q, -1) for q in names]
-    assert ranks == sorted(ranks), "registry not ordered by record age"
-    # within an age group: oracle-checked first, then name => overflow
-    # falls on rows-only queries, and the order is fully deterministic
+    latest_oracle = plans.latest_correctness_rounds(oracle_checked_only=True)
     oracles = set(plans.oracles())
-    keyed = [(latest.get(q, -1), 0 if q in oracles else 1, q) for q in names]
-    assert keyed == sorted(keyed), "registry order not deterministic"
+
+    def rank(q):
+        effective = latest_oracle if q in oracles else latest
+        return (effective.get(q, -1), 0 if q in oracles else 1, q)
+
+    keyed = [rank(q) for q in names]
+    assert keyed == sorted(keyed), "registry not ordered by effective evidence age"
+
+
+def test_oracle_conversion_sorts_to_front():
+    """A query whose every green record is rows-only but which now has a
+    registered oracle must sit inside the driver window — its strongest
+    check has never been driver-recorded."""
+    names = _registry_names()
+    latest = plans.latest_correctness_rounds()
+    latest_oracle = plans.latest_correctness_rounds(oracle_checked_only=True)
+    oracles = set(plans.oracles())
+    window = set(names[: plans._WINDOW])
+    converted = [
+        q for q in names
+        if q in oracles and q in latest and q not in latest_oracle
+    ]
+    for q in converted:
+        assert q in window, (
+            f"rows-only→oracle conversion {q!r} outside the driver window"
+        )
 
 
 def test_red_record_is_not_evidence():
