@@ -372,35 +372,47 @@ def quantize_int8_np(
 
     @F.pandas_udf("struct<q: array<tinyint>, s: double>")
     def qz(emb: pd.Series) -> pd.DataFrame:
-        lens = emb.str.len().to_numpy()
-        if len(lens) == 0:
+        n = len(emb)
+        if n == 0:
             return pd.DataFrame({"q": [], "s": []})
-        flat = (
-            np.concatenate(emb.to_numpy()).astype(np.float64)
-            if lens.sum()
-            else np.zeros(0)
-        )
-        if not flat.size:
-            return pd.DataFrame(
-                {
-                    "q": [np.zeros(0, dtype=np.int8)] * len(lens),
-                    "s": np.ones(len(lens)),
-                }
+        # NULL embedding rows: parity with the column path, which emits
+        # q=NULL, scale=1.0 (transform over NULL is NULL; the coalesced
+        # amax takes the scale-1.0 guard). np.concatenate over a batch
+        # containing None would raise in the Arrow worker (r10 ADVICE).
+        null_mask = emb.isna().to_numpy()
+        q_out = np.empty(n, dtype=object)
+        s_out = np.ones(n)
+        sub = emb[~null_mask]
+        lens = sub.str.len().to_numpy().astype(np.int64)
+        if lens.size:
+            flat = (
+                np.concatenate(sub.to_numpy()).astype(np.float64)
+                if lens.sum()
+                else np.zeros(0)
             )
-        starts = np.zeros(len(lens), dtype=np.int64)
-        starts[1:] = np.cumsum(lens[:-1])
-        # clip: a trailing empty vector would index reduceat at len(flat)
-        amax = np.maximum.reduceat(
-            np.abs(flat), np.minimum(starts, flat.size - 1)
-        )
-        amax[lens == 0] = 0.0  # reduceat on empty slice reads neighbors
-        scale = np.where(amax == 0.0, 1.0, amax / 127.0)
-        rep = np.repeat(scale, lens)
-        x = flat / rep
-        q = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int8)
-        return pd.DataFrame(
-            {"q": pd.Series(np.split(q, starts[1:])), "s": scale}
-        )
+            if not flat.size:
+                qs = [np.zeros(0, dtype=np.int8)] * len(lens)
+                scale = np.ones(len(lens))
+            else:
+                starts = np.zeros(len(lens), dtype=np.int64)
+                starts[1:] = np.cumsum(lens[:-1])
+                # clip: a trailing empty vector would index reduceat at
+                # len(flat)
+                amax = np.maximum.reduceat(
+                    np.abs(flat), np.minimum(starts, flat.size - 1)
+                )
+                amax[lens == 0] = 0.0  # reduceat empty slice reads neighbors
+                scale = np.where(amax == 0.0, 1.0, amax / 127.0)
+                rep = np.repeat(scale, lens)
+                x = flat / rep
+                q = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int8)
+                qs = np.split(q, starts[1:])
+            packed = np.empty(len(qs), dtype=object)
+            for i, a in enumerate(qs):
+                packed[i] = a
+            q_out[~null_mask] = packed
+            s_out[~null_mask] = scale
+        return pd.DataFrame({"q": pd.Series(q_out), "s": s_out})
 
     out = df.withColumn("_qz", qz(as_double(vec_col)))
     return out.select(

@@ -324,6 +324,10 @@ def test_quantize_int8_np_parity(spark):
         (2, []),
         # 62.5/127 boundary: x = 0.4921875 exactly representable
         (3, [62.5 / 127.0, 1.0, -62.5 / 127.0, 0.3]),
+        # NULL embedding: both paths must emit q=NULL, scale=1.0
+        # (np.concatenate over a None batch raised in the Arrow
+        # worker before r11 — r10 ADVICE)
+        (4, None),
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     ref = {r.vec_id: (r.q_vec, r.q_scale)
