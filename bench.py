@@ -302,7 +302,10 @@ QZ_DICT_V14 = QZ_DICT_V13 + b"," + (
 )
 
 # v15 (round 10, last batches).
-QZ_DICT = QZ_DICT_V14 + b"|conversion_lag_quantiles|weighted_sample_per_source"
+QZ_DICT_V15 = QZ_DICT_V14 + b"|conversion_lag_quantiles|weighted_sample_per_source"
+
+# v16 (round 11 additions).
+QZ_DICT = QZ_DICT_V15 + b"|ivf_index_upsert"
 
 
 
@@ -319,7 +322,7 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V14, QZ_DICT_V13, QZ_DICT_V12, QZ_DICT_V11,
+        QZ_DICT, QZ_DICT_V15, QZ_DICT_V14, QZ_DICT_V13, QZ_DICT_V12, QZ_DICT_V11,
         QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6,
         QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1,
     ):

@@ -56,6 +56,12 @@ ALLOWLIST = {
         "quantized rerank are broadcast(queries) crosses, plus the "
         "1-row truth-size scalar"
     },
+    "ivf_index_upsert": {
+        "bnlj": "same family as ann_recall_report: brute-force truth "
+        "(broadcast 20-query cross) + each probe leg's query×centroid "
+        "assignment against the broadcast 8-row centroid table + the "
+        "1-row truth-size scalar; the cell scoring is an equi-join"
+    },
     "ann_multiprobe_curve": {
         "bnlj": "brute-force truth + query×centroid ranking (broadcast "
         "16-row centroid table) + the 1-row truth-size scalar; the "

@@ -696,6 +696,53 @@ def probe_novelty_1m_docs(spark):
     return n, best
 
 
+def probe_ivf_upsert_1m(spark):
+    """Incremental IVF maintenance at 1M+1M×16-dim (r11, X84): build the
+    cell-partitioned index on the first million vectors, then MERGE a
+    second million in via ivf_index_upsert — nearest-existing-centroid
+    assignment, dynamic partition overwrite of touched cells only, local
+    2-means splits. Measures the UPSERT pass (rows/s = vectors merged
+    per second); the one-off build is excluded like every probe excludes
+    its fixture generator. Disabled splits would be the common daily
+    case, but the 2× growth here deliberately trips the split path so
+    the probe covers the worst case (every cell re-trains)."""
+    import shutil
+
+    from spark_ml_showcase_spark.functions import similarity
+
+    n = 1_000_000
+    dim = 16
+
+    def _dim(j, salt):
+        h = F.xxhash64("id", F.lit(salt * 16 + j // 4))
+        sliced = F.shiftright(h, (j % 4) * 16).bitwiseAND(F.lit(0xFFFF))
+        return (sliced - F.lit(32768)).cast("double") / 32768.0
+
+    def _vecs(salt, base):
+        return spark.range(n).select(
+            (F.col("id") + F.lit(base)).alias("vec_id"),
+            F.array(*[_dim(j, salt) for j in range(dim)]).alias("embedding"),
+        )
+
+    idx = "/tmp/smss_probe_ivf_upsert"
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.build_ivf_index(
+        _vecs(0, 0), n_lists=16, seed=40, index_dir=idx
+    )
+    t0 = time.perf_counter()
+    report = similarity.ivf_index_upsert(
+        spark, idx, _vecs(1, n), split_threshold=2.0, seed=40
+    ).collect()
+    dt = time.perf_counter() - t0
+    merged = sum(r.n_added for r in report)
+    assert merged == n, merged
+    assigned, _ = similarity.load_ivf_index(spark, idx)
+    total = assigned.count()
+    assert total == 2 * n, total
+    shutil.rmtree(idx, ignore_errors=True)
+    return n, dt
+
+
 def probe_quantize_search_10m(spark):
     """int8 embedding quantization + cosine top-10 at 10M×16-dim: the
     100 TB ANN storage path (quantize once at ingest, search the 4×
@@ -919,6 +966,7 @@ PROBES = {
     "substring_spans_200k": probe_substring_spans_200k,
     "novelty_1m_docs": probe_novelty_1m_docs,
     "quantize_search_10m": probe_quantize_search_10m,
+    "ivf_upsert_1m": probe_ivf_upsert_1m,
     "triangle_hubskew_20m": probe_triangle_hubskew_20m,
     "bpe_1m_words": probe_bpe_1m_words,
     "kmv_50m": probe_kmv_50m,
