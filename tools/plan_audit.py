@@ -100,6 +100,12 @@ ALLOWLIST = {
         "bnlj": "share-of-total: broadcast SINGLE-ROW grand total "
         "crossed into the 10 decile rows — event_type_share shape"
     },
+    "rrf_fusion_ivf": {
+        "bnlj": "rrf_fusion_docs family: the exact-fusion baseline leg "
+        "keeps the broadcast(queries) brute-force cross and the sparse "
+        "leg's single-row corpus-size scalar; the IVF leg and the "
+        "overlap join are equi-joins on (cell) / (query, cand)"
+    },
     "rrf_fusion_docs": {
         "bnlj": "inherits its two inputs' allowlisted crosses: the dense "
         "list's broadcast(queries) brute-force baseline and the sparse "
