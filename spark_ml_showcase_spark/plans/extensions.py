@@ -351,6 +351,92 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b", "start_a", "start_b")
 
 
+# X86 (r10 judge item #6): the corpus-level consumer of X66 — per-doc
+# duplicated-token fraction + drop/trim policy, the step Lee et al.
+# actually apply. Coverage is the interval-union of a doc's spans from
+# BOTH pair sides (overlaps must not double-count), expressed as
+# gaps-and-islands over the span endpoints; the oracle replays the
+# identical sweep on the gram-string spans. Pure integer token counts →
+# hash-exact. Policy thresholds drop ≥ 0.5, trim ≥ 0.2.
+@query(
+    "substring_dup_doc_stats",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id,
+               unnest([{'off': i, 's': array_to_string(toks[i:i+29], ' ')}
+                       for i in generate_series(1, len(toks) - 29)]) AS u
+        FROM t WHERE len(toks) >= 30
+    ),
+    g AS (SELECT doc_id, u.off AS off, u.s AS s FROM g0),
+    gz AS (SELECT *, count(*) OVER (PARTITION BY s) AS gsz FROM g),
+    gg AS (SELECT doc_id, off, s FROM gz WHERE gsz <= 200),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.off AS off_a, b.off AS off_b, a.off - b.off AS diag
+        FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT *, off_a - row_number() OVER (
+            PARTITION BY id_a, id_b, diag ORDER BY off_a) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT id_a, id_b, min(off_a) AS start_a, min(off_b) AS start_b,
+               count(*) + 29 AS span_len
+        FROM runs GROUP BY id_a, id_b, diag, grp
+    ),
+    sides AS (
+        SELECT DISTINCT doc_id, s, e FROM (
+            SELECT id_a AS doc_id, start_a AS s,
+                   start_a + span_len - 1 AS e FROM spans
+            UNION ALL
+            SELECT id_b, start_b, start_b + span_len - 1 FROM spans
+        )
+    ),
+    ord_s AS (
+        SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_e
+        FROM sides
+    ),
+    isl AS (
+        SELECT *, sum(CASE WHEN prev_e IS NULL OR s > prev_e
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+        FROM ord_s
+    ),
+    cov AS (
+        SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens FROM (
+            SELECT doc_id, island, max(e) - min(s) + 1 AS len
+            FROM isl GROUP BY doc_id, island
+        ) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           dup_tokens,
+           ROUND(dup_tokens::DOUBLE / len(t.toks), 6) AS dup_frac,
+           CASE WHEN ROUND(dup_tokens::DOUBLE / len(t.toks), 6) >= 0.5
+                THEN 'drop'
+                WHEN ROUND(dup_tokens::DOUBLE / len(t.toks), 6) >= 0.2
+                THEN 'trim'
+                ELSE 'keep' END AS policy
+    FROM cov c JOIN t ON c.doc_id = t.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def substring_dup_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.substring_dup_doc_stats(
+        docs, "doc_id", "text", span_tokens=30, max_gram_occurrences=200
+    ).orderBy("doc_id")
+
+
 # X3: exact cosine top-3 for 5 query vectors against the whole embeddings
 # table. Both sides rank by the ROUNDED score with a cand_id tie-break, so
 # float ulp drift between engines cannot flip the selection.

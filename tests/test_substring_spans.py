@@ -69,3 +69,71 @@ def test_self_repeat_within_one_doc_is_not_a_pair(spark):
     rep = _words("r", 10)
     docs = {1: " ".join(rep + _words("z", 5) + rep)}
     assert _run(spark, docs, span=6) == []
+
+
+def test_doc_stats_interval_union_no_double_count(spark):
+    """X86: a doc sharing OVERLAPPING spans with two partners counts
+    each covered token once (interval union, not span-length sum), and
+    the drop/trim policy fires on the union fraction."""
+    from spark_ml_showcase_spark.operators.dedup import (
+        substring_dup_doc_stats,
+    )
+
+    shared = _words("s", 20)
+    # doc 1: 5 unique + 20 shared + 15 unique = 40 tokens
+    # doc 2 shares tokens s0..s19 (doc-1 cover [6, 25])
+    # doc 3 shares tokens s5..s19 (doc-1 cover [11, 25] ⊂ previous!)
+    d1 = _words("a", 5) + shared + _words("z", 15)
+    d2 = _words("b", 3) + shared + _words("y", 3)
+    d3 = _words("c", 8) + shared[5:] + _words("x", 4)
+    df = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3))],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in substring_dup_doc_stats(
+            df, span_tokens=8, max_gram_occurrences=200
+        ).collect()
+    }
+    # doc 1: union of [6,25] (vs 2) and [11,25] (vs 3) = 20 tokens of 40
+    assert got[1].n_tokens == 40
+    assert got[1].dup_tokens == 20
+    assert got[1].dup_frac == 0.5
+    assert got[1].policy == "drop"
+    # doc 2: 20 of 26 covered (vs 1) ∪ 15 (vs 3) ⊂ the 20 → 20/26
+    assert got[2].dup_tokens == 20
+    assert got[2].policy == "drop"
+    # doc 3: 15 of 27 covered = 0.5556 ≥ 0.5 → drop
+    assert got[3].dup_tokens == 15
+    assert got[3].n_tokens == 27
+    assert got[3].policy == "drop"
+
+
+def test_doc_stats_disjoint_spans_sum(spark):
+    """Disjoint spans add up; a clean doc emits no row at all."""
+    from spark_ml_showcase_spark.operators.dedup import (
+        substring_dup_doc_stats,
+    )
+
+    s1, s2 = _words("p", 10), _words("q", 10)
+    a = s1 + _words("m", 10) + s2          # 30 tokens, 20 covered
+    b = s1 + _words("n", 15)               # 25 tokens, 10 covered
+    c = _words("o", 12) + s2               # 22 tokens, 10 covered
+    clean = _words("w", 30)
+    df = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(c)),
+         (4, " ".join(clean))],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in substring_dup_doc_stats(
+            df, span_tokens=6, max_gram_occurrences=200
+        ).collect()
+    }
+    assert 4 not in got
+    assert (got[1].dup_tokens, got[1].n_tokens) == (20, 30)
+    assert got[1].policy == "drop"
+    assert (got[2].dup_tokens, got[2].policy) == (10, "trim")
+    assert (got[3].dup_tokens, got[3].policy) == (10, "trim")
