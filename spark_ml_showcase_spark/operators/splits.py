@@ -66,6 +66,36 @@ def hash_split(
     return df.filter(b < thresh), df.filter(b >= thresh)
 
 
+def portable_split(
+    df: DataFrame, key_cols: list[str], train_frac: float
+) -> tuple[DataFrame, DataFrame]:
+    """ENGINE-portable deterministic split: side = [md5 of the dashed
+    key string < hex(train_frac · 2³²)] — the two-sided sibling of
+    :func:`portable_sample_by` (same X56 md5-threshold trick). Unlike
+    :func:`hash_split` (xxhash64 — Spark-only) any engine with md5
+    reproduces the membership bit-for-bit, which is what lets the
+    DuckDB oracle replay split SIZES exactly instead of settling for a
+    rows-only invariant. Narrow plan: one filter, no shuffle, no RNG.
+
+    Seeded ``randomSplit`` (R1 reference parity) stays available as
+    :func:`random_split`; this is the membership-deterministic form a
+    100 TB pipeline wants anyway (re-runs and late-arriving executors
+    cannot flip a row's side)."""
+    if not 0.0 <= train_frac <= 1.0:
+        raise ValueError(f"train_frac must be in [0,1], got {train_frac}")
+    u = F.substring(
+        F.md5(
+            F.concat_ws("-", *[F.col(c).cast("string") for c in key_cols])
+        ),
+        1,
+        8,
+    )
+    thresh = F.lit(
+        "g" if train_frac >= 1.0 else format(int(train_frac * 2**32), "08x")
+    )
+    return df.filter(u < thresh), df.filter(u >= thresh)
+
+
 def stratified_split(
     df: DataFrame,
     strata_col: str,

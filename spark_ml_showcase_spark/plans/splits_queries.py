@@ -64,16 +64,33 @@ def temporal_split_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# R1: seeded randomSplit (higgs_ensemble_analysis.py:69-70). Assignment is
-# partitioning-dependent → rows-only invariant summary (2 rows; sizes sum
-# to the input count, fractions near the weights).
-@query("random_split_sizes")
+# R1 family, oracle-converted in r11 (r10 judge item #7b): the split
+# itself is the md5-threshold ``portable_split`` — membership depends
+# only on md5(l_orderkey-l_linenumber), so DuckDB replays the exact
+# SIZES instead of the old rows-only invariant over seeded randomSplit
+# (whose per-partition RNG streams no other engine reproduces). The
+# seeded reference surface stays: splits.random_split + the ml_* higgs
+# queries still call df.randomSplit(…, seed) per the reference scripts,
+# with invariants in tests/test_splits.py. 0.7·2³² = 0xb3333333.
+@query(
+    "random_split_sizes",
+    oracle="""
+    SELECT CASE WHEN substr(md5(concat(CAST(l_orderkey AS VARCHAR), '-',
+                                       CAST(l_linenumber AS VARCHAR))),
+                            1, 8) < 'b3333333'
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
 def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
-    train, test = splits.random_split(li, [0.7, 0.3], seed=40)
+    train, test = splits.portable_split(
+        li, ["l_orderkey", "l_linenumber"], 0.7
+    )
     t = train.agg(F.count(F.lit(1)).alias("n")).withColumn("split", F.lit("train"))
     s = test.agg(F.count(F.lit(1)).alias("n")).withColumn("split", F.lit("test"))
-    return t.unionByName(s).select("split", "n")
+    return t.unionByName(s).select("split", "n").orderBy("split")
 
 
 # R2: stratified split, single-pass hash assignment (replaces the

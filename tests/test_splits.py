@@ -180,3 +180,25 @@ def test_class_balance_cap_zero_and_negative(spark):
         splits.class_balance_cap(df, "cls", "id", -1)
     with pytest.raises(ValueError):
         splits.class_balance_cap(df, "cls", "id", 1, caps={"a": -2})
+
+
+def test_portable_split_deterministic_and_partitioning_free(spark):
+    """X56-style md5 split: sides partition the input, membership is
+    identical on any partitioning, and the realized fraction tracks
+    train_frac (md5 nibbles are uniform)."""
+    from spark_ml_showcase_spark.operators import splits
+
+    df = spark.range(2000).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    tr, te = splits.portable_split(df, ["a", "b"], 0.7)
+    n_tr, n_te = tr.count(), te.count()
+    assert n_tr + n_te == 2000
+    assert abs(n_tr / 2000 - 0.7) < 0.05
+    tr2, _ = splits.portable_split(df.repartition(13), ["a", "b"], 0.7)
+    assert sorted(r.a for r in tr.collect()) == sorted(
+        r.a for r in tr2.collect()
+    )
+    # boundary fractions
+    all_tr, none_te = splits.portable_split(df, ["a"], 1.0)
+    assert all_tr.count() == 2000 and none_te.count() == 0

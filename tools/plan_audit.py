@@ -56,6 +56,11 @@ ALLOWLIST = {
         "quantized rerank are broadcast(queries) crosses, plus the "
         "1-row truth-size scalar"
     },
+    "quantile_sketch_prices": {
+        "bnlj": "the sketch-bound rank check crosses the broadcast "
+        "SINGLE-ROW stats frame (estimates + exact + count) back into "
+        "the orders scan — event_type_share shape"
+    },
     "ivf_index_upsert": {
         "bnlj": "same family as ann_recall_report: brute-force truth "
         "(broadcast 20-query cross) + each probe leg's query×centroid "
