@@ -14,6 +14,28 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Hand-maintained notes, re-emitted on every render so regenerating the
+# markdown never loses them.
+NOTES = """\
+## Notes
+
+- **Plan-identical sub-second drifts are NOT regressions** (r10 verdict
+  watch item, profiled r11): `revenue_by_region` /
+  `bpe_pair_counts_top20` / `avg_price_having` were re-measured ISOLATED
+  (fresh session per query, min-of-5, idle box): 1.45 / 0.72 / 0.71 s vs
+  the r10 in-suite close min-of-3 of 1.53 / 0.96 / 0.87 s. Mechanism:
+  (a) `revenue_by_region`'s r9→r10 step (1.15 → 1.53 s) reproduces in
+  isolation with bit-identical plan metrics — environment/fixture level
+  (the driver regenerates the testdata parquet between rounds), not
+  suite-state and not a plan change; (b) the bpe/avg deltas are
+  ~0.15–0.25 s of 208-query-suite session state (JVM heap growth, GC,
+  codegen-cache pressure) on top of an unchanged isolated cost. Policy:
+  for deltas < 0.5 s on sub-2 s queries, compare `plan_metrics`
+  (shuffle MB / stages — deterministic) via `tools/bench_diff.py`, and
+  arbitrate with an isolated min-of-5 before flagging; wall-clock alone
+  re-flags this forever.
+"""
+
 
 def main() -> int:
     label = sys.argv[1] if len(sys.argv) > 1 else "current"
@@ -35,6 +57,7 @@ def main() -> int:
         " BENCH_LOCAL.json `plan_metrics` — shuffle bytes are deterministic"
         " per plan, the regression signal timing noise can't fake",
         "",
+        NOTES,
         "| query | sec | stages | shuffle W (MB) | input (MB) |",
         "|---|---|---|---|---|",
     ]
