@@ -1476,46 +1476,15 @@ def substring_dup_doc_stats(
     Output: ``(doc_id, n_tokens, dup_tokens, dup_frac, policy)`` for
     every document with at least one duplicated span.
     """
-    spans = substring_dup_spans(
+    merged = _dup_islands(
         docs,
         id_col,
         text_col,
         span_tokens=span_tokens,
         max_gram_occurrences=max_gram_occurrences,
     )
-    sides = (
-        spans.select(
-            F.col("id_a").alias("_id"),
-            F.col("start_a").alias("_s"),
-            (F.col("start_a") + F.col("span_len") - 1).alias("_e"),
-        )
-        .unionByName(
-            spans.select(
-                F.col("id_b").alias("_id"),
-                F.col("start_b").alias("_s"),
-                (F.col("start_b") + F.col("span_len") - 1).alias("_e"),
-            )
-        )
-        .distinct()
-    )
-    w_ord = Window.partitionBy("_id").orderBy("_s", "_e")
-    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
-    islands = (
-        sides.withColumn("_prev_e", F.max("_e").over(w_prev))
-        .withColumn(
-            "_new",
-            F.when(
-                F.col("_prev_e").isNull() | (F.col("_s") > F.col("_prev_e")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("_isl", F.sum("_new").over(w_ord))
-    )
-    covered = (
-        islands.groupBy("_id", "_isl")
-        .agg((F.max("_e") - F.min("_s") + 1).alias("_len"))
-        .groupBy("_id")
-        .agg(F.sum("_len").cast("bigint").alias("dup_tokens"))
+    covered = merged.groupBy("_id").agg(
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("bigint").alias("dup_tokens")
     )
     n_tokens = docs.select(
         F.col(id_col).alias("_id"),
@@ -1540,4 +1509,141 @@ def substring_dup_doc_stats(
         .when(frac >= trim_frac, F.lit("trim"))
         .otherwise(F.lit("keep"))
         .alias("policy"),
+    )
+
+
+def _dup_islands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span_tokens: int,
+    max_gram_occurrences: int,
+) -> DataFrame:
+    """Merged duplicated-token intervals per document: the interval
+    union (gaps-and-islands sweep) of :func:`substring_dup_spans`
+    output from BOTH pair sides. Returns ``(_id, _s, _e)`` — disjoint
+    maximal 1-based token intervals; shared by the stats rollup and the
+    trim application."""
+    spans = substring_dup_spans(
+        docs,
+        id_col,
+        text_col,
+        span_tokens=span_tokens,
+        max_gram_occurrences=max_gram_occurrences,
+    )
+    sides = (
+        spans.select(
+            F.col("id_a").alias("_id"),
+            F.col("start_a").alias("_s"),
+            (F.col("start_a") + F.col("span_len") - 1).alias("_e"),
+        )
+        .unionByName(
+            spans.select(
+                F.col("id_b").alias("_id"),
+                F.col("start_b").alias("_s"),
+                (F.col("start_b") + F.col("span_len") - 1).alias("_e"),
+            )
+        )
+        .distinct()
+    )
+    w_ord = Window.partitionBy("_id").orderBy("_s", "_e")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        sides.withColumn("_prev_e", F.max("_e").over(w_prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev_e").isNull() | (F.col("_s") > F.col("_prev_e")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_ord))
+        .groupBy("_id", "_isl")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .select("_id", "_s", "_e")
+    )
+
+
+def substring_dedup_apply(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    span_tokens: int = 50,
+    max_gram_occurrences: int = 1000,
+    drop_frac: float = 0.5,
+    trim_frac: float = 0.2,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """APPLY the Lee-et-al. policy — the final pipeline step after
+    :func:`substring_dup_doc_stats` measures it: documents whose
+    duplicated-token fraction ≥ ``drop_frac`` are dropped (``n_kept``
+    0, NULL text), fraction ≥ ``trim_frac`` have the covered intervals
+    cut out (tokens outside every island, rejoined with single spaces),
+    and lighter-touched docs pass through verbatim-normalized. One row
+    per document WITH at least one duplicated span; clean docs are
+    untouched and never enter the plan's window stage.
+
+    The positional cut is a per-token exists() over the doc's merged
+    islands — interpreted Catalyst HOF, bounded by (affected docs ×
+    tokens × islands), NOT a corpus-wide pass (the gram work upstream
+    is the Arrow fast path). Token arithmetic is exact and the rejoin
+    is whitespace-normal, so the DuckDB oracle replays the text
+    byte-for-byte with the same nested list_filter.
+
+    Output: ``(doc_id, policy, n_tokens, n_kept, text_out)``.
+    """
+    merged = _dup_islands(
+        docs,
+        id_col,
+        text_col,
+        span_tokens=span_tokens,
+        max_gram_occurrences=max_gram_occurrences,
+    )
+    islands = merged.groupBy("_id").agg(
+        F.array_sort(F.collect_list(F.struct("_s", "_e"))).alias("_isl"),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("bigint").alias("_dup"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks")).join(
+        islands, "_id"
+    )
+    frac = F.round(
+        F.col("_dup").cast("double") / F.size("_toks"), round_decimals
+    )
+    # (element, index) lambda: i is 0-based, islands carry 1-based offsets
+    kept = F.filter(
+        F.transform(
+            "_toks", lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))
+        ),
+        lambda s: ~F.exists(
+            "_isl",
+            lambda z: (z["_s"] <= s["i"]) & (s["i"] <= z["_e"]),
+        ),
+    )
+    policy = (
+        F.when(frac >= drop_frac, F.lit("drop"))
+        .when(frac >= trim_frac, F.lit("trim"))
+        .otherwise(F.lit("keep"))
+    )
+    return base.select(
+        F.col("_id").alias(id_col),
+        policy.alias("policy"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.when(policy == "drop", F.lit(0))
+        .when(policy == "trim", F.size(kept))
+        .otherwise(F.size("_toks"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.when(policy == "drop", F.lit(None).cast("string"))
+        .when(
+            policy == "trim",
+            F.array_join(F.transform(kept, lambda s: s["t"]), " "),
+        )
+        .otherwise(F.array_join("_toks", " "))
+        .alias("text_out"),
     )

@@ -437,6 +437,105 @@ def substring_dup_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# X87: the APPLY step — given X86's per-doc fractions, actually emit the
+# cleaned corpus rows: drop ≥ 0.5 (NULL text), trim ≥ 0.2 (tokens inside
+# every merged island cut out, single-space rejoin), else pass through
+# whitespace-normalized. Both engines cut by 1-based token position with
+# the same nested positional lambda, so the trimmed TEXT hash-matches
+# byte-for-byte — the strongest check a text transform can get.
+@query(
+    "substring_dedup_apply",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id,
+               unnest([{'off': i, 's': array_to_string(toks[i:i+29], ' ')}
+                       for i in generate_series(1, len(toks) - 29)]) AS u
+        FROM t WHERE len(toks) >= 30
+    ),
+    g AS (SELECT doc_id, u.off AS off, u.s AS s FROM g0),
+    gz AS (SELECT *, count(*) OVER (PARTITION BY s) AS gsz FROM g),
+    gg AS (SELECT doc_id, off, s FROM gz WHERE gsz <= 200),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.off AS off_a, b.off AS off_b, a.off - b.off AS diag
+        FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT *, off_a - row_number() OVER (
+            PARTITION BY id_a, id_b, diag ORDER BY off_a) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT id_a, id_b, min(off_a) AS start_a, min(off_b) AS start_b,
+               count(*) + 29 AS span_len
+        FROM runs GROUP BY id_a, id_b, diag, grp
+    ),
+    sides AS (
+        SELECT DISTINCT doc_id, s, e FROM (
+            SELECT id_a AS doc_id, start_a AS s,
+                   start_a + span_len - 1 AS e FROM spans
+            UNION ALL
+            SELECT id_b, start_b, start_b + span_len - 1 FROM spans
+        )
+    ),
+    ord_s AS (
+        SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_e
+        FROM sides
+    ),
+    isl0 AS (
+        SELECT *, sum(CASE WHEN prev_e IS NULL OR s > prev_e
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+        FROM ord_s
+    ),
+    merged AS (
+        SELECT doc_id, min(s) AS s, max(e) AS e
+        FROM isl0 GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               list({'s': s, 'e': e} ORDER BY s) AS isl,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup
+        FROM merged GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT p.doc_id, t.toks, p.isl,
+               CASE WHEN ROUND(p.dup::DOUBLE / len(t.toks), 6) >= 0.5
+                    THEN 'drop'
+                    WHEN ROUND(p.dup::DOUBLE / len(t.toks), 6) >= 0.2
+                    THEN 'trim'
+                    ELSE 'keep' END AS policy,
+               list_filter(t.toks, (x, i) ->
+                   len(list_filter(p.isl,
+                                   z -> z.s <= i AND i <= z.e)) = 0) AS kept
+        FROM per_doc p JOIN t ON p.doc_id = t.doc_id
+    )
+    SELECT doc_id, policy,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN policy = 'drop' THEN 0
+                     WHEN policy = 'trim' THEN len(kept)
+                     ELSE len(toks) END AS BIGINT) AS n_kept,
+           CASE WHEN policy = 'drop' THEN NULL
+                WHEN policy = 'trim' THEN array_to_string(kept, ' ')
+                ELSE array_to_string(toks, ' ') END AS text_out
+    FROM scored ORDER BY doc_id
+    """,
+)
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.substring_dedup_apply(
+        docs, "doc_id", "text", span_tokens=30, max_gram_occurrences=200
+    ).orderBy("doc_id")
+
+
 # X3: exact cosine top-3 for 5 query vectors against the whole embeddings
 # table. Both sides rank by the ROUNDED score with a cand_id tie-break, so
 # float ulp drift between engines cannot flip the selection.

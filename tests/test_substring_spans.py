@@ -137,3 +137,34 @@ def test_doc_stats_disjoint_spans_sum(spark):
     assert got[1].policy == "drop"
     assert (got[2].dup_tokens, got[2].policy) == (10, "trim")
     assert (got[3].dup_tokens, got[3].policy) == (10, "trim")
+
+
+def test_dedup_apply_trims_exact_tokens(spark):
+    """X87: trim cuts exactly the island tokens (1-based positions),
+    drop nulls the text, and light overlap passes through normalized."""
+    from spark_ml_showcase_spark.operators.dedup import (
+        substring_dedup_apply,
+    )
+
+    shared = _words("s", 10)
+    d1 = _words("a", 20) + shared + _words("z", 10)   # 40 toks, 10 cov = trim
+    d2 = _words("b", 2) + shared                      # 12 toks, 10 cov = drop
+    d3 = _words("c", 50) + shared                     # 60 toks, 10 cov < 0.2 = keep
+    df = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, "  " + "  ".join(d2)), (3, " ".join(d3))],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in substring_dedup_apply(
+            df, span_tokens=6, max_gram_occurrences=200, trim_frac=0.2
+        ).collect()
+    }
+    assert got[1].policy == "trim"
+    assert got[1].n_kept == 30
+    assert got[1].text_out == " ".join(_words("a", 20) + _words("z", 10))
+    assert got[2].policy == "drop"
+    assert got[2].n_kept == 0 and got[2].text_out is None
+    assert got[3].policy == "keep"
+    # keep passes through whitespace-NORMALIZED original tokens
+    assert got[3].text_out == " ".join(d3)
