@@ -317,3 +317,102 @@ def sessionize(
         F.max("_e").alias("end_epoch"),
         (F.max("_e") - F.min("_e")).alias("duration_sec"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    *,
+    value_col: str,
+    segment_col: str,
+    period_col: Column | str,
+    base_period,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Population Stability Index per segment and period — THE standard
+    production drift monitor for a feature feeding a trained model:
+    ``PSI = Σ_bins (p_cur − p_base) · ln(p_cur / p_base)`` with bin
+    edges frozen from the base period (interpolated
+    ``(n_bins − 1)``-quantiles per segment). Rule of thumb: < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 retrain.
+
+    Scale shape: ONE percentile agg over the base period (segments ×
+    (n_bins−1) doubles — broadcast-tiny), bin assignment is a
+    segment-keyed equi-join + a count-of-smaller-edges array expression
+    (no per-row UDF, no range join), then one (segment, period, bin)
+    count. The bin grid is exploded from the distinct (segment, period)
+    pairs so empty bins still contribute their ``(0 − p_base)·ln`` term
+    — dropping them understates drift exactly when it matters.
+
+    Cross-engine determinism: shares are exact count ratios; each
+    bin's term is ROUNDed then summed in DECIMAL (order-free — a plain
+    double SUM of transcendental terms is partition-order dependent);
+    ``eps`` clamps empty-bin shares the same way in both engines.
+
+    Output: ``(segment, period, n, psi)`` for every period except the
+    base, ordered.
+    """
+    pc = F.col(period_col) if isinstance(period_col, str) else period_col
+    seg, val = F.col(segment_col), F.col(value_col)
+    d = df.select(
+        seg.alias("_seg"), pc.alias("_per"), val.cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = d.filter(F.col("_per") == F.lit(base_period)).groupBy("_seg").agg(
+        F.percentile("_v", F.array(*[F.lit(q) for q in qs])).alias("_edges")
+    )
+    binned = d.join(edges, "_seg").select(
+        "_seg",
+        "_per",
+        F.size(F.filter("_edges", lambda e: F.col("_v") > e)).alias("_bin"),
+    )
+    counts = binned.groupBy("_seg", "_per", "_bin").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    totals = binned.groupBy("_seg", "_per").agg(
+        F.count(F.lit(1)).alias("_tot")
+    )
+    grid = totals.select(
+        "_seg",
+        "_per",
+        "_tot",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_bin"),
+    )
+    shares = grid.join(counts, ["_seg", "_per", "_bin"], "left").select(
+        "_seg",
+        "_per",
+        "_bin",
+        "_tot",
+        (F.coalesce("_n", F.lit(0)) / F.col("_tot")).alias("_p"),
+    )
+    base = shares.filter(F.col("_per") == F.lit(base_period)).select(
+        "_seg", "_bin", F.col("_p").alias("_pb")
+    )
+    cur = shares.filter(F.col("_per") != F.lit(base_period))
+    term = F.round(
+        (F.col("_p") - F.col("_pb"))
+        * F.log(
+            F.greatest(F.col("_p"), F.lit(eps))
+            / F.greatest(F.col("_pb"), F.lit(eps))
+        ),
+        round_decimals,
+    )
+    return (
+        cur.join(base, ["_seg", "_bin"])
+        .select(
+            "_seg", "_per", "_tot", term.cast("decimal(20,6)").alias("_t")
+        )
+        .groupBy("_seg", "_per")
+        .agg(
+            F.first("_tot").alias("n"),
+            F.sum("_t").cast("double").alias("psi"),
+        )
+        .select(
+            F.col("_seg").alias(segment_col),
+            F.col("_per").alias("period"),
+            F.col("n").cast("bigint").alias("n"),
+            "psi",
+        )
+        .orderBy(segment_col, "period")
+    )

@@ -1539,3 +1539,69 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lag_sec", F.lit(0.5)), 6).alias("p50_sec"),
         F.round(F.percentile("lag_sec", F.lit(0.9)), 6).alias("p90_sec"),
     )
+
+
+# X88: PSI drift monitoring — the standard production check that a
+# model-feeding feature's distribution still looks like training week.
+# Bin edges are the base week's interpolated deciles per event_type
+# (frozen — drift must be measured against a FIXED yardstick); empty
+# bins still contribute via the eps clamp. The fixture events span 5
+# ISO weeks (Jan 2024 starts on a Monday) at every SF. Per-bin terms
+# are ROUNDed then DECIMAL-summed — a plain double SUM of ln terms is
+# partition-order dependent (r9 gapfill lesson).
+@query(
+    "psi_value_drift_weekly",
+    oracle="""
+    WITH d AS (
+        SELECT event_type AS seg, date_part('week', ts) AS per, value AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    edges AS (
+        SELECT seg,
+               [quantile_cont(v, 0.1), quantile_cont(v, 0.2),
+                quantile_cont(v, 0.3), quantile_cont(v, 0.4),
+                quantile_cont(v, 0.5), quantile_cont(v, 0.6),
+                quantile_cont(v, 0.7), quantile_cont(v, 0.8),
+                quantile_cont(v, 0.9)] AS edges
+        FROM d WHERE per = 1 GROUP BY seg
+    ),
+    binned AS (
+        SELECT d.seg, d.per, len(list_filter(e.edges, x -> d.v > x)) AS bin
+        FROM d JOIN edges e ON d.seg = e.seg
+    ),
+    counts AS (SELECT seg, per, bin, count(*) AS n
+               FROM binned GROUP BY seg, per, bin),
+    totals AS (SELECT seg, per, count(*) AS tot FROM binned GROUP BY seg, per),
+    grid AS (SELECT seg, per, tot, unnest(generate_series(0, 9)) AS bin
+             FROM totals),
+    shares AS (
+        SELECT g.seg, g.per, g.bin, g.tot,
+               COALESCE(c.n, 0)::DOUBLE / g.tot AS p
+        FROM grid g LEFT JOIN counts c
+          ON g.seg = c.seg AND g.per = c.per AND g.bin = c.bin
+    ),
+    base AS (SELECT seg, bin, p AS pb FROM shares WHERE per = 1)
+    SELECT cur.seg AS event_type,
+           CAST(cur.per AS BIGINT) AS period,
+           CAST(max(cur.tot) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND((cur.p - base.pb)
+                               * ln(greatest(cur.p, 0.000001)
+                                    / greatest(base.pb, 0.000001)), 6)
+                         AS DECIMAL(20,6))) AS DOUBLE) AS psi
+    FROM shares cur JOIN base
+      ON cur.seg = base.seg AND cur.bin = base.bin
+    WHERE cur.per <> 1
+    GROUP BY cur.seg, cur.per
+    ORDER BY event_type, period
+    """,
+)
+def psi_value_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return analytics.psi_drift(
+        ev,
+        value_col="value",
+        segment_col="event_type",
+        period_col=F.weekofyear("ts").cast("bigint"),
+        base_period=1,
+        n_bins=10,
+    )

@@ -122,3 +122,37 @@ def test_cohort_multiple_events_same_day_count_once(spark):
     out = analytics.cohort_retention(_ev(spark, rows))
     rowz = out.collect()
     assert len(rowz) == 1 and rowz[0]["users"] == 1
+
+
+def test_psi_drift_identical_zero_shifted_high(spark):
+    """X88: an identical follow-up period scores PSI ≈ 0; a location-
+    shifted one scores past the 0.25 retrain threshold; empty bins
+    contribute through the eps clamp instead of vanishing."""
+    from spark_ml_showcase_spark.operators.analytics import psi_drift
+
+    base = [(float(i % 100), "s", 1) for i in range(1000)]
+    same = [(float(i % 100), "s", 2) for i in range(1000)]
+    shifted = [(float(i % 100) + 200.0, "s", 3) for i in range(1000)]
+    df = spark.createDataFrame(
+        base + same + shifted, "v double, seg string, per int"
+    )
+    got = {
+        r.period: r.psi
+        for r in psi_drift(
+            df,
+            value_col="v",
+            segment_col="seg",
+            period_col="per",
+            base_period=1,
+        ).collect()
+    }
+    assert got[2] == 0.0
+    # every shifted row lands in the top bin: 9 empty bins each add
+    # (0 - 0.1)·ln(eps/0.1) and the full bin adds (1 - 0.1)·ln(1/0.1)
+    assert got[3] > 0.25
+    import math
+
+    expected = 9 * round(-0.1 * math.log(1e-6 / 0.1), 6) + round(
+        0.9 * math.log(1.0 / 0.1), 6
+    )
+    assert abs(got[3] - expected) < 1e-9
