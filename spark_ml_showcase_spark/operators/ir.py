@@ -157,3 +157,74 @@ def sparse_cosine_topk(
             "rank",
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search with positional verification — the IR
+    primitive the weighted-cosine shelf lacks: which documents contain
+    this exact token sequence, where, and how often.
+
+    Scale shape: per DISTINCT phrase length L, ONE Arrow gram pass
+    (``dedup._gram_hash_seq_fn`` — blake2b-8 of the space-joined
+    L-gram, offset order preserved) posexplodes to (doc, pos, hash)
+    and equi-joins the broadcast (phrase, hash) list, so the corpus is
+    touched once per length bucket (queries share lengths, typically
+    2–4 buckets) and everything after the scan carries only matching
+    longs. No per-position string comparison, no substring scan, no
+    LIKE. The oracle joins the gram STRINGS — identical up to blake2b-8
+    collision (P ≈ G/2⁶⁴ per phrase).
+
+    Matching is token-exact on lowercased whitespace tokens (the repo
+    tokenizer), so "fast  Key scan" matches "fast key scan".
+
+    Output: ``(phrase, doc_id, n_matches, first_pos)`` — docs with ≥ 1
+    occurrence; positions are 1-based token offsets.
+    """
+    from hashlib import blake2b
+
+    from spark_ml_showcase_spark.operators.dedup import _gram_hash_seq_fn
+
+    spark = docs.sparkSession
+    by_len: dict[int, list[tuple[str, int]]] = {}
+    for p in phrases:
+        toks = [t for t in p.lower().split() if t]
+        if not toks:
+            raise ValueError(f"empty phrase: {p!r}")
+        gh = int.from_bytes(
+            blake2b(" ".join(toks).encode(), digest_size=8).digest(),
+            "big",
+            signed=True,
+        )
+        by_len.setdefault(len(toks), []).append((p, gh))
+    out = None
+    for length, plist in sorted(by_len.items()):
+        ph = F.broadcast(
+            spark.createDataFrame(plist, "phrase string, gh bigint")
+        )
+        udf = F.pandas_udf(
+            _gram_hash_seq_fn(length), "array<bigint>"
+        ).asNondeterministic()  # keep the posexplode filter above the scan
+        grams = docs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(udf(F.col(text_col))).alias("_off0", "gh"),
+        )
+        hits = (
+            grams.join(ph, "gh")
+            .groupBy("phrase", "_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+                (F.min("_off0") + 1).cast("bigint").alias("first_pos"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.select(
+        "phrase", F.col("_id").alias(id_col), "n_matches", "first_pos"
+    ).orderBy("phrase", id_col)

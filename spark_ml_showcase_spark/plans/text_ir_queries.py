@@ -613,3 +613,44 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "sample_rank")
     )
+
+
+# X89: exact phrase search with positional verification — one Arrow
+# gram pass per distinct phrase LENGTH (posexplode offset-ordered
+# blake2b-8 hashes), broadcast (phrase, hash) equi-join, so the corpus
+# is scanned once per length bucket and only matching longs shuffle.
+# The oracle joins the gram STRINGS via a positional list comprehension
+# — identical up to blake2b-8 collision. The 4-token phrase has zero
+# hits at some SFs, pinning the empty-result path on both engines.
+@query(
+    "phrase_search_docs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    probes(phrase, l) AS (
+        VALUES ('table table', 2), ('fast key scan', 3),
+               ('key agg row scan', 4)
+    ),
+    hits AS (
+        SELECT p.phrase, t.doc_id,
+               [i for i in generate_series(1, len(t.toks) - p.l + 1)
+                if array_to_string(t.toks[i:i+p.l-1], ' ') = p.phrase] AS pos
+        FROM t, probes p
+        WHERE len(t.toks) >= p.l
+    )
+    SELECT phrase, doc_id,
+           CAST(len(pos) AS BIGINT) AS n_matches,
+           CAST(pos[1] AS BIGINT) AS first_pos
+    FROM hits WHERE len(pos) > 0
+    ORDER BY phrase, doc_id
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return ir.phrase_search(
+        docs, ["table table", "fast key scan", "key agg row scan"]
+    )

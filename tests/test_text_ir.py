@@ -165,3 +165,30 @@ def test_rrf_fusion_ivf_overlap_vs_exact(spark):
     mean = sum(r.rank_overlap for r in rows) / len(rows)
     assert mean >= 0.8, mean
     assert all(r.n_exact > 0 for r in rows)
+
+
+def test_phrase_search_positions_and_counts(spark):
+    """X89: exact token-sequence matching with 1-based positions,
+    overlapping occurrences counted, case/whitespace-normalized, and
+    multi-length phrase batches resolved in per-length passes."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat mat"),
+            (2, "THE  Cat   sat here"),
+            (3, "cat cat cat"),
+            (4, "nothing here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.phrase, r.doc_id): (r.n_matches, r.first_pos)
+        for r in __import__(
+            "spark_ml_showcase_spark.operators.ir", fromlist=["ir"]
+        ).phrase_search(df, ["the cat sat", "cat cat", "mat"]).collect()
+    }
+    assert got[("the cat sat", 1)] == (2, 1)
+    assert got[("the cat sat", 2)] == (1, 1)  # normalized match
+    assert got[("cat cat", 3)] == (2, 1)      # overlapping occurrences
+    assert got[("mat", 1)] == (1, 8)
+    assert ("the cat sat", 4) not in got
+    assert ("cat cat", 1) not in got
