@@ -1024,3 +1024,75 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(dominated, df[id_col] == dominated["_dead"], "left_anti")
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    *,
+    vec_col: str = "embedding",
+    mode: str = "mean",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Pool row-level embeddings into one vector per group — the
+    chunk→document (or doc→domain) aggregation every embedding pipeline
+    runs after chunked encoding. ``mode``: 'mean' (centroid) or 'max'
+    (element-wise max-pool).
+
+    Shape: posexplode to (group, pos, x) → ONE hash agg keyed on
+    (group, pos) → re-collect in pos order. Rows explode by dim (64×),
+    but the agg is map-side combinable and the shuffle carries only
+    (group, pos, partial) — at 100 TB this beats any UDF that holds a
+    group's vectors in memory, and groups of ANY cardinality pool
+    without skew (a hot group's partials combine per partition first).
+
+    Mean determinism: element means are per-value ROUND → DECIMAL sum →
+    / n (order-free, the r9 gapfill convention), so the result is
+    bit-identical across partitionings and engines.
+
+    Output: ``(group_col, n_vecs, pooled)`` with ``pooled``
+    array<double> in element order.
+    """
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max', got {mode!r}")
+    exploded = df.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(as_double(vec_col)).alias("_p", "_x"),
+    )
+    if mode == "mean":
+        per_dim = exploded.groupBy("_g", "_p").agg(
+            (
+                F.sum(F.round("_x", round_decimals).cast("decimal(30,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("_v"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        # floor(q·10^d + 0.5)/10^d instead of ROUND: Spark rounds the
+        # EXACT binary value (BigDecimal HALF_UP), DuckDB rounds through
+        # float math — they disagree when the quotient sits one ulp off
+        # a .5 boundary (hit at sf0.1 dim 9 label 7). The floor chain is
+        # the same three IEEE ops in both engines → bit-identical.
+        scale = float(10**round_decimals)
+        per_dim = per_dim.select(
+            "_g",
+            "_p",
+            (F.floor(F.col("_v") * scale + F.lit(0.5)) / scale).alias("_v"),
+            "_n",
+        )
+    else:
+        per_dim = exploded.groupBy("_g", "_p").agg(
+            F.round(F.max("_x"), round_decimals).alias("_v"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    return (
+        per_dim.groupBy("_g")
+        .agg(
+            F.max("_n").cast("bigint").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_v"))),
+                lambda s: s["_v"],
+            ).alias("pooled"),
+        )
+        .select(F.col("_g").alias(group_col), "n_vecs", "pooled")
+    )

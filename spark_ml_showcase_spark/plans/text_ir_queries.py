@@ -654,3 +654,41 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir.phrase_search(
         docs, ["table table", "fast key scan", "key agg row scan"]
     )
+
+
+# X90: embedding pooling — the chunk→document aggregation every
+# embedding pipeline runs after chunked encoding, here pooling the
+# fixture vectors per class label (mean mode). Element means are
+# per-value ROUND → DECIMAL sum → /n (order-free); the query explodes
+# the pooled vectors to (label, dim) rows so the oracle hashes scalars.
+@query(
+    "pooled_embeddings_by_label",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               unnest(list_transform(embedding::DOUBLE[],
+                                     (x, i) -> {'i': i, 'x': x})) AS u
+        FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(u.i AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           floor(CAST(SUM(CAST(ROUND(u.x, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS v
+    FROM e GROUP BY label, u.i
+    ORDER BY label, dim
+    """,
+)
+def pooled_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    pooled = similarity.pool_embeddings(emb, "label", mode="mean")
+    return pooled.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("pooled").alias("_p", "v"),
+        F.col("n_vecs"),
+    ).select(
+        "label",
+        (F.col("_p") + 1).cast("bigint").alias("dim"),
+        "n_vecs",
+        "v",
+    ).orderBy("label", "dim")

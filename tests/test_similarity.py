@@ -461,3 +461,30 @@ def test_ivf_index_upsert_splits_overgrown_cell(spark, tmp_path):
     assert split.cell not in stats
     for c in split.new_cells:
         assert stats[c] > 0
+
+
+def test_pool_embeddings_mean_and_max(spark):
+    """X90: mean pooling is the exact per-dim centroid (order-free
+    decimal path) and max pooling the element-wise max; counts track
+    group sizes; result invariant to repartitioning."""
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (0, [3.0, 0.0, 5.0]),
+        (1, [10.0, -2.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "g int, embedding array<float>")
+    got = {r.g: r for r in similarity.pool_embeddings(df, "g").collect()}
+    assert got[0].n_vecs == 2 and got[0].pooled == [2.0, 1.0, 4.0]
+    assert got[1].n_vecs == 1 and got[1].pooled == [10.0, -2.0, 0.5]
+    mx = {
+        r.g: r.pooled
+        for r in similarity.pool_embeddings(df, "g", mode="max").collect()
+    }
+    assert mx[0] == [3.0, 2.0, 5.0]
+    re = {
+        r.g: r.pooled
+        for r in similarity.pool_embeddings(
+            df.repartition(7), "g"
+        ).collect()
+    }
+    assert re == {k: v.pooled for k, v in got.items()}
