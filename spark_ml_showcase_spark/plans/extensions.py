@@ -2433,3 +2433,79 @@ def bpe_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens") * F.lit(1.0) / F.sum("n_words"), 6
         ).alias("tokens_per_word"),
     )
+
+
+# X91 (PCA compression for the 100 TB embedding store): MLlib PCA —
+# the Spark-first fit (distributed Gramian + local eigendecomposition
+# inside RowMatrix; no hand-rolled covariance pass) — projects the
+# 64-dim corpus to 16 dims, optionally int8-quantized on top (16×
+# smaller than float64), and the report answers the question the
+# storage decision actually hinges on: recall@10 against the full-dim
+# float truth at each compression point, with the full-dim int8 leg as
+# the contrast. On the fixture the EXPECTED answer is negative for the
+# PCA legs: the embeddings are isotropic (var_retained ≈ 0.38 at
+# 16/64), so neighbors scramble (recall ≈ 0.27) while full-dim int8
+# holds ≈ 0.99 at 4× — "quantize, don't project, unless variance is
+# concentrated" is precisely the decision this report automates; the
+# low-rank case where PCA wins is pinned in tests/test_similarity.py.
+# Engine-side eigensolver → rows-only.
+@query("pca_quantized_recall")
+def pca_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries_filter = F.col("vec_id") < 20
+    k, n_comp = 10, 16
+    truth = similarity.brute_force_topk(
+        emb, emb.filter(queries_filter), k, vectorized=True
+    ).select("query_id", "cand_id")
+    feat = emb.select(
+        "vec_id",
+        array_to_vector(similarity.as_double("embedding")).alias("_f"),
+    )
+    model = PCA(k=n_comp, inputCol="_f", outputCol="_p").fit(feat)
+    cum_var = float(sum(model.explainedVariance))
+    proj = model.transform(feat).select(
+        "vec_id", vector_to_array("_p").alias("embedding")
+    ).localCheckpoint()  # feeds both compression points
+    legs = [
+        (
+            "full64_int8",
+            similarity.quantized_topk(
+                emb, emb.filter(queries_filter), k, vectorized=True
+            ),
+        ),
+        (
+            "pca16_float",
+            similarity.brute_force_topk(
+                proj, proj.filter(queries_filter), k, vectorized=True
+            ),
+        ),
+        (
+            "pca16_int8",
+            similarity.quantized_topk(
+                proj, proj.filter(queries_filter), k, vectorized=True
+            ),
+        ),
+    ]
+    truth_n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out = None
+    for method, leg in legs:
+        var = 1.0 if method.startswith("full") else cum_var
+        row = (
+            truth.join(leg.select("query_id", "cand_id"), ["query_id", "cand_id"])
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .crossJoin(F.broadcast(truth_n))
+            .select(
+                F.lit(method).alias("method"),
+                "n_hit",
+                "n_truth",
+                F.round(F.col("n_hit") / F.col("n_truth"), 4).alias(
+                    "recall_at_10"
+                ),
+                F.round(F.lit(var), 4).alias("var_retained"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method")

@@ -488,3 +488,40 @@ def test_pool_embeddings_mean_and_max(spark):
         ).collect()
     }
     assert re == {k: v.pooled for k, v in got.items()}
+
+
+def test_pca_compression_on_low_rank_data(spark):
+    """X91: on data whose variance IS concentrated (8-dim signal
+    embedded in 64 dims + small noise), PCA-16 keeps ≥ 0.99 of the
+    variance and ≥ 0.9 recall@10 vs the full-dim truth — the regime
+    where projection beats quantization; the fixture query documents
+    the isotropic opposite."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    rng = np.random.RandomState(7)
+    basis, _ = np.linalg.qr(rng.randn(64, 8))
+    z = rng.randn(300, 8)
+    raw = z @ basis.T + 0.01 * rng.randn(300, 64)
+    raw /= np.linalg.norm(raw, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in raw[i]]) for i in range(300)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 15)
+    truth = similarity.brute_force_topk(df, queries, 10).select(
+        "query_id", "cand_id"
+    )
+    feat = df.select(
+        "vec_id", array_to_vector(similarity.as_double("embedding")).alias("_f")
+    )
+    model = PCA(k=16, inputCol="_f", outputCol="_p").fit(feat)
+    assert sum(model.explainedVariance) >= 0.99
+    proj = model.transform(feat).select(
+        "vec_id", vector_to_array("_p").alias("embedding")
+    )
+    approx = similarity.brute_force_topk(
+        proj, proj.filter(F.col("vec_id") < 15), 10
+    ).select("query_id", "cand_id")
+    hits = truth.join(approx, ["query_id", "cand_id"]).count()
+    assert hits / truth.count() >= 0.9

@@ -56,6 +56,11 @@ ALLOWLIST = {
         "quantized rerank are broadcast(queries) crosses, plus the "
         "1-row truth-size scalar"
     },
+    "pca_quantized_recall": {
+        "bnlj": "quantized_ann_recall family ×3 legs: the truth and "
+        "each compression point's rerank are broadcast(20-query) "
+        "crosses, plus the 1-row truth-size scalar per leg"
+    },
     "quantile_sketch_prices": {
         "bnlj": "the sketch-bound rank check crosses the broadcast "
         "SINGLE-ROW stats frame (estimates + exact + count) back into "
