@@ -291,6 +291,46 @@ def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# U2+ (r11): the ALL variants — bag difference / bag intersection keep
+# MULTIPLICITY (a priority appearing 40× left and 25× right survives
+# EXCEPT ALL 15×), which the DISTINCT forms above erase; both engines
+# implement the identical multiset semantics and the driver's
+# sort-before-hash preserves duplicate rows, so the raw multiset output
+# hash-matches. One query exercises both operators with a marker column.
+@query(
+    "setops_all_priorities",
+    oracle="""
+    SELECT 'except_all' AS op, p FROM (
+        SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 1
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, p FROM (
+        SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 1
+    )
+    ORDER BY op, p
+    """,
+)
+def setops_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    left = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    right = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    ex = setops.except_all(left, right).select(
+        F.lit("except_all").alias("op"), "p"
+    )
+    ix = setops.intersect_all(left, right).select(
+        F.lit("intersect_all").alias("op"), "p"
+    )
+    return ex.unionByName(ix).orderBy("op", "p")
+
+
 # INTERSECT (engine surface beyond the reference, SURVEY §2.7).
 @query(
     "intersect_nations",
