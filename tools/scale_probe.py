@@ -743,6 +743,54 @@ def probe_ivf_upsert_1m(spark):
     return n, dt
 
 
+def probe_phrase_search_1m(spark):
+    """Exact phrase search at 1M docs × 30 md5-words (r11, X89): three
+    probes of two distinct lengths → two Arrow gram passes over the
+    corpus. Planted hits: every doc ends with the same 3-token tail
+    pattern at exactly one position for ids ≡ 0 (mod 1000), so the hit
+    count is an exact assert. Best-of-2 (Python-worker spawn)."""
+    from spark_ml_showcase_spark.operators import ir
+
+    n = 1_000_000
+    words = F.array(
+        *[
+            F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(i))), 1, 6
+            )
+            for i in range(27)
+        ]
+    )
+    tail = F.when(
+        F.col("id") % 1000 == 0, F.lit("alpha beta gamma")
+    ).otherwise(F.lit("alpha beta delta"))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.concat_ws(" ", words), tail).alias("text"),
+    ).persist()
+    docs.count()
+    try:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            hits = ir.phrase_search(
+                docs, ["alpha beta gamma", "beta delta", "gamma delta"]
+            )
+            counts = {
+                r.phrase: r.n
+                for r in hits.groupBy("phrase")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            dt = time.perf_counter() - t0
+            assert counts.get("alpha beta gamma", 0) == 1_000, counts
+            assert counts.get("beta delta", 0) == n - 1_000, counts
+            assert "gamma delta" not in counts, counts
+            best = dt if best is None else min(best, dt)
+    finally:
+        docs.unpersist()
+    return n, best
+
+
 def probe_quantize_search_10m(spark):
     """int8 embedding quantization + cosine top-10 at 10M×16-dim: the
     100 TB ANN storage path (quantize once at ingest, search the 4×
@@ -967,6 +1015,7 @@ PROBES = {
     "novelty_1m_docs": probe_novelty_1m_docs,
     "quantize_search_10m": probe_quantize_search_10m,
     "ivf_upsert_1m": probe_ivf_upsert_1m,
+    "phrase_search_1m": probe_phrase_search_1m,
     "triangle_hubskew_20m": probe_triangle_hubskew_20m,
     "bpe_1m_words": probe_bpe_1m_words,
     "kmv_50m": probe_kmv_50m,
