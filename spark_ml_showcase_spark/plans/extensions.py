@@ -2509,3 +2509,70 @@ def pca_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("method")
+
+
+# X92 (filtered vector search): top-k under a metadata predicate —
+# "nearest neighbors within the same class" — the constrained-ANN shape
+# every production vector store needs (filter selectivity breaks naive
+# post-filtering: k survivors of an unfiltered top-k can all fail the
+# predicate). Exact form: the filter joins INTO the candidate side
+# before scoring (pre-filter), so the rank window sees only eligible
+# candidates; fully SQL-replayable because cosine + rank live in both
+# engines. The IVF composition rides the same ivf_probe with the
+# predicate applied to the cell scan — covered rows-only via the X84/67
+# family; this query is the exact truth those variants compare against.
+@query(
+    "filtered_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS cand_id, label,
+                      embedding::DOUBLE[] AS cv
+               FROM embeddings)
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT q.query_id, c.cand_id,
+               ROUND(list_dot_product(q.qv, c.cv)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_dot_product(q.qv, c.cv)
+                                  / (sqrt(list_dot_product(q.qv, q.qv))
+                                     * sqrt(list_dot_product(c.cv, c.cv))),
+                            6) DESC,
+                            c.cand_id ASC) AS rank
+        FROM q JOIN c ON q.label = c.label AND q.query_id <> c.cand_id
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_ql"),
+        similarity.as_double("embedding").alias("_qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("_cl"),
+        similarity.as_double("embedding").alias("_cv"),
+    )
+    from spark_ml_showcase_spark.functions import vectors as V
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        c.join(F.broadcast(q), c["_cl"] == q["_ql"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(V.cosine("_qv", "_cv"), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
