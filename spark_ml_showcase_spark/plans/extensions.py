@@ -2576,3 +2576,82 @@ def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# X93 (late-interaction retrieval): ColBERT-style maxsim — documents
+# are BAGS of token vectors (here: embeddings grouped 4-per-doc) and
+# score(q, d) = Σ_{qt∈q} max_{dt∈d} cos(qt, dt). Captures term-level
+# matching that single-vector pooling blurs. Shape: token-level
+# broadcast(query tokens) hash-join on nothing fancy — per-pair cosine
+# ROUND(6), max per (q, d, qt) (max of rounded values is
+# order-free), then a DECIMAL sum of the ≤4 per-token maxima (a plain
+# double sum is partition-order dependent). At 100 TB the exact pass
+# runs on CANDIDATES from the pooled-vector IVF probe (X90 pooling +
+# X84 index — the standard two-stage ColBERT serving shape); this
+# query is the exact truth that rerank composes with.
+@query(
+    "maxsim_late_interaction",
+    oracle="""
+    WITH tok AS (
+        SELECT vec_id // 4 AS doc, vec_id AS t,
+               embedding::DOUBLE[] AS v
+        FROM embeddings
+    ),
+    q AS (SELECT doc AS qd, t AS qt, v AS qv FROM tok WHERE doc % 25 = 0),
+    pair AS (
+        SELECT q.qd, c.doc AS cd, q.qt,
+               max(ROUND(list_dot_product(q.qv, c.v)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(c.v, c.v))), 6)) AS m
+        FROM q JOIN tok c ON c.doc <> q.qd
+        GROUP BY q.qd, c.doc, q.qt
+    ),
+    scored AS (
+        SELECT qd AS query_doc, cd AS cand_doc,
+               CAST(SUM(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+        FROM pair GROUP BY qd, cd
+    )
+    SELECT query_doc, cand_doc, maxsim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_doc
+                                     ORDER BY maxsim DESC, cand_doc ASC)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_doc, rank
+    """,
+)
+def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.functions import vectors as V
+    from pyspark.sql.window import Window as W
+
+    emb = Catalog(spark, sf_dir).embeddings
+    tok = emb.select(
+        (F.col("vec_id") / 4).cast("bigint").alias("doc"),
+        F.col("vec_id").alias("t"),
+        similarity.as_double("embedding").alias("v"),
+    )
+    q = tok.filter(F.col("doc") % 25 == 0).select(
+        F.col("doc").alias("qd"), F.col("t").alias("qt"), F.col("v").alias("qv")
+    )
+    pair = (
+        tok.withColumnRenamed("doc", "cd")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cd") != F.col("qd"))
+        .groupBy("qd", "cd", "qt")
+        .agg(F.max(F.round(V.cosine("qv", "v"), 6)).alias("m"))
+    )
+    scored = pair.groupBy("qd", "cd").agg(
+        F.sum(F.col("m").cast("decimal(20,6)")).cast("double").alias("maxsim")
+    )
+    w = W.partitionBy("qd").orderBy(F.col("maxsim").desc(), F.col("cd").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("qd").alias("query_doc"),
+            F.col("cd").alias("cand_doc"),
+            "maxsim",
+            "rank",
+        )
+        .orderBy("query_doc", "rank")
+    )

@@ -56,6 +56,12 @@ ALLOWLIST = {
         "quantized rerank are broadcast(queries) crosses, plus the "
         "1-row truth-size scalar"
     },
+    "maxsim_late_interaction": {
+        "bnlj": "token-level broadcast(80 query token vectors) cross "
+        "against the candidate token scan — the brute_force_topk shape "
+        "at token granularity; at scale the exact pass runs on IVF "
+        "candidates only (docstring)"
+    },
     "pca_quantized_recall": {
         "bnlj": "quantized_ann_recall family ×3 legs: the truth and "
         "each compression point's rerank are broadcast(20-query) "
