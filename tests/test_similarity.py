@@ -525,3 +525,36 @@ def test_pca_compression_on_low_rank_data(spark):
     ).select("query_id", "cand_id")
     hits = truth.join(approx, ["query_id", "cand_id"]).count()
     assert hits / truth.count() >= 0.9
+
+
+def test_filtered_topk_prefilter_beats_postfilter(spark):
+    """X92 rationale made concrete: with a selective predicate,
+    post-filtering an unfiltered top-k returns FEWER than k eligible
+    neighbors, while the pre-filtered query returns the true top-k of
+    the eligible set."""
+    rng = np.random.RandomState(13)
+    raw = rng.randn(60, 8)
+    raw /= np.linalg.norm(raw, axis=1, keepdims=True)
+    # label 1 = 10 rows, the rest label 0: selectivity 1/6
+    rows = [
+        (i, 1 if i % 6 == 0 else 0, [float(x) for x in raw[i]])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    q = df.filter(F.col("vec_id") == 0)  # label 1
+    k = 5
+    unfiltered = similarity.brute_force_topk(df, q, k).collect()
+    post = [
+        r
+        for r in unfiltered
+        if (r.cand_id % 6 == 0)  # eligible survivors of the naive top-k
+    ]
+    same_label = df.filter(F.col("label") == 1)
+    pre = similarity.brute_force_topk(same_label, q, k).collect()
+    assert len(pre) == k
+    assert len(post) < k  # the failure mode pre-filtering exists to fix
+    # pre-filter result IS the true top-k of the eligible set
+    elig = {r.cand_id for r in pre}
+    assert all(c % 6 == 0 for c in elig) and 0 not in elig
