@@ -392,3 +392,110 @@ def temporal_split(
     cutoff = numeric.approxQuantile("_t", [train_frac], 0.001)[0]
     t = F.col(time_col).cast("double")
     return df.filter(t <= cutoff), df.filter(t > cutoff)
+
+
+def mixture_waterfill(
+    df: DataFrame,
+    strata_col: str,
+    size_col: str,
+    weights_bp: dict[object, int],
+    *,
+    default_bp: int = 0,
+    budget_num: int,
+    budget_den: int,
+    rounds: int = 3,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Domain-mixture solver for corpus assembly: given a token budget
+    B = total · budget_num/budget_den and target mixture weights (basis
+    points), compute each source's sampling fill-rate by WATERFILLING —
+    a source whose target share exceeds its supply saturates at 1.0 and
+    its unserved budget redistributes to the unsaturated sources in
+    weight proportion. ``rounds`` fixed redistribution rounds, unrolled
+    (deterministic plan, ANSI-SQL replayable — the oracle unrolls the
+    same rounds); each round is one global agg over the SOURCE-level
+    frame (already reduced from the corpus) + a single-row broadcast
+    cross, so the solver costs O(sources), never O(corpus).
+
+    Cross-engine determinism: weights are integer basis points and the
+    budget is an integer floor-division of the exact BIGINT total, so
+    every global sum is exact; per-source demand is one multiply + one
+    divide on exact integers (identical IEEE everywhere); saturation
+    compares that double against an exact integer.
+
+    Output: ``(strata, t_units, weight_bp, saturated_round, fill_rate,
+    alloc_units)`` — fill_rate = 1.0 for saturated sources, else the
+    final round's demand/supply ROUNDed; alloc = floor(demand) capped
+    at supply.
+    """
+    sizes = df.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.sum(size_col).cast("bigint").alias("t_units")
+    )
+    w = F.lit(int(default_bp))
+    for value, bp in sorted(weights_bp.items(), key=lambda kv: str(kv[0])):
+        w = F.when(F.col("_s") == F.lit(value), F.lit(int(bp))).otherwise(w)
+    sized = sizes.withColumn("w_bp", w.cast("bigint"))
+    total = sized.agg(F.sum("t_units").alias("_tot"))
+    cur = (
+        sized.crossJoin(F.broadcast(total))
+        # SQL DIV: exact BIGINT floor-division (a double `/` would lose
+        # exactness once total·num exceeds 2^53)
+        .withColumn(
+            "_B",
+            F.expr(
+                f"_tot * CAST({int(budget_num)} AS BIGINT) "
+                f"DIV CAST({int(budget_den)} AS BIGINT)"
+            ).cast("bigint"),
+        )
+        .drop("_tot")
+        .withColumn("_sat", F.lit(False))
+        .withColumn("saturated_round", F.lit(0))
+        .withColumn("_demand", F.lit(0.0))
+    )
+    for r in range(1, rounds + 1):
+        rem = cur.agg(
+            (
+                F.max("_B")
+                - F.coalesce(
+                    F.sum(F.when(F.col("_sat"), F.col("t_units"))), F.lit(0)
+                )
+            ).alias("_B_rem"),
+            F.coalesce(
+                F.sum(F.when(~F.col("_sat"), F.col("w_bp"))), F.lit(0)
+            ).alias("_W_rem"),
+        )
+        cur = cur.crossJoin(F.broadcast(rem))
+        demand = F.when(
+            F.col("_W_rem") > 0,
+            F.col("_B_rem").cast("double")
+            * F.col("w_bp")
+            / F.col("_W_rem"),
+        ).otherwise(F.lit(0.0))
+        newly = (
+            ~F.col("_sat")
+            & (demand >= F.col("t_units").cast("double"))
+            & (F.col("w_bp") > 0)
+        )
+        cur = (
+            cur.withColumn("_demand", F.when(F.col("_sat"), F.col("_demand")).otherwise(demand))
+            .withColumn(
+                "saturated_round",
+                F.when(newly, F.lit(r)).otherwise(F.col("saturated_round")),
+            )
+            .withColumn("_sat", F.col("_sat") | newly)
+            .drop("_B_rem", "_W_rem")
+        )
+    fill = F.when(F.col("_sat"), F.lit(1.0)).otherwise(
+        F.round(F.col("_demand") / F.col("t_units"), round_decimals)
+    )
+    alloc = F.when(F.col("_sat"), F.col("t_units")).otherwise(
+        F.least(F.col("t_units"), F.floor("_demand").cast("bigint"))
+    )
+    return cur.select(
+        F.col("_s").alias(strata_col),
+        "t_units",
+        "w_bp",
+        F.col("saturated_round").cast("bigint").alias("saturated_round"),
+        fill.alias("fill_rate"),
+        alloc.cast("bigint").alias("alloc_units"),
+    ).orderBy(strata_col)

@@ -152,3 +152,94 @@ def stratified_k_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 40)
         .select("event_type", "event_id")
     )
+
+
+# X94: corpus-mixture waterfilling — per-source sampling rates for a
+# token budget under target weights, with saturated sources (target
+# share > supply) redistributing their unserved budget. 3 unrolled
+# rounds; every global sum is exact BIGINT (weights in basis points,
+# budget = integer floor-division of the total), per-source demand is
+# one multiply + one divide on exact ints, and the final fill ratio is
+# rounded with the portable floor(q·1e6+0.5)/1e6 chain. src0/src1 carry
+# 30%/20% targets against ~5% supply each, so the saturation +
+# redistribution path is exercised at every SF.
+@query(
+    "mixture_waterfill_sources",
+    oracle="""
+    WITH sizes AS (
+        SELECT source AS s, CAST(SUM(n_chars) AS BIGINT) AS t
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT s, t,
+               CAST(CASE WHEN s = 'src0' THEN 3000
+                         WHEN s = 'src1' THEN 2000
+                         ELSE 250 END AS BIGINT) AS w_bp
+        FROM sizes
+    ),
+    tot AS (SELECT SUM(t) AS tot FROM w),
+    r0 AS (SELECT w.*, (tot.tot * 6) // 10 AS B FROM w, tot),
+    a1 AS (SELECT max(B) AS B1, SUM(w_bp) AS W1 FROM r0),
+    r1 AS (
+        SELECT r0.*,
+               CAST(a1.B1 AS DOUBLE) * w_bp / a1.W1 AS d,
+               (CAST(a1.B1 AS DOUBLE) * w_bp / a1.W1 >= CAST(t AS DOUBLE)
+                AND w_bp > 0) AS sat1
+        FROM r0, a1
+    ),
+    a2 AS (
+        SELECT max(B) - COALESCE(SUM(CASE WHEN sat1 THEN t END), 0) AS B2,
+               COALESCE(SUM(CASE WHEN NOT sat1 THEN w_bp END), 0) AS W2
+        FROM r1
+    ),
+    r2 AS (
+        SELECT r1.s, r1.t, r1.w_bp, r1.B, r1.sat1,
+               CASE WHEN r1.sat1 THEN r1.d
+                    ELSE CAST(a2.B2 AS DOUBLE) * r1.w_bp / a2.W2 END AS d,
+               (NOT r1.sat1
+                AND CAST(a2.B2 AS DOUBLE) * r1.w_bp / a2.W2
+                    >= CAST(r1.t AS DOUBLE)
+                AND r1.w_bp > 0) AS sat2
+        FROM r1, a2
+    ),
+    a3 AS (
+        SELECT max(B) - COALESCE(SUM(CASE WHEN sat1 OR sat2 THEN t END), 0)
+                   AS B3,
+               COALESCE(SUM(CASE WHEN NOT (sat1 OR sat2) THEN w_bp END), 0)
+                   AS W3
+        FROM r2
+    ),
+    r3 AS (
+        SELECT r2.s, r2.t, r2.w_bp, r2.sat1, r2.sat2,
+               CASE WHEN r2.sat1 OR r2.sat2 THEN r2.d
+                    ELSE CAST(a3.B3 AS DOUBLE) * r2.w_bp / a3.W3 END AS d,
+               (NOT (r2.sat1 OR r2.sat2)
+                AND CAST(a3.B3 AS DOUBLE) * r2.w_bp / a3.W3
+                    >= CAST(r2.t AS DOUBLE)
+                AND r2.w_bp > 0) AS sat3
+        FROM r2, a3
+    )
+    SELECT s AS source, t AS t_units, w_bp,
+           CAST(CASE WHEN sat1 THEN 1 WHEN sat2 THEN 2
+                     WHEN sat3 THEN 3 ELSE 0 END AS BIGINT)
+               AS saturated_round,
+           CASE WHEN sat1 OR sat2 OR sat3 THEN 1.0
+                ELSE floor(d / t * 1000000 + 0.5) / 1000000 END AS fill_rate,
+           CAST(CASE WHEN sat1 OR sat2 OR sat3 THEN t
+                     ELSE LEAST(t, CAST(floor(d) AS BIGINT)) END AS BIGINT)
+               AS alloc_units
+    FROM r3 ORDER BY source
+    """,
+)
+def mixture_waterfill_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return splits.mixture_waterfill(
+        docs,
+        "source",
+        "n_chars",
+        {"src0": 3000, "src1": 2000},
+        default_bp=250,
+        budget_num=6,
+        budget_den=10,
+        rounds=3,
+    )

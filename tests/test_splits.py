@@ -202,3 +202,33 @@ def test_portable_split_deterministic_and_partitioning_free(spark):
     # boundary fractions
     all_tr, none_te = splits.portable_split(df, ["a"], 1.0)
     assert all_tr.count() == 2000 and none_te.count() == 0
+
+
+def test_mixture_waterfill_invariants(spark):
+    """X94: saturated sources are fully taken, unsaturated fills are
+    proportional to weight, and the total allocation conserves the
+    budget up to per-source flooring."""
+    from spark_ml_showcase_spark.operators import splits
+
+    rows = [(f"s{i}", 1, 1000) for i in range(10) for _ in range(1)]
+    df = spark.createDataFrame(
+        [(s, 1000) for s, _, _ in rows], "src string, units int"
+    )
+    got = {
+        r.src: r
+        for r in splits.mixture_waterfill(
+            df, "src", "units",
+            {"s0": 5000},          # 50% target on a 10% supply
+            default_bp=500,
+            budget_num=8, budget_den=10,   # budget = 8000 of 10000
+        ).collect()
+    }
+    assert got["s0"].saturated_round == 1
+    assert got["s0"].alloc_units == 1000
+    # remaining 7000 over 9 equal-weight sources = 777.8 each
+    others = [got[f"s{i}"] for i in range(1, 10)]
+    assert all(o.saturated_round == 0 for o in others)
+    assert all(o.alloc_units == 777 for o in others)
+    assert all(abs(o.fill_rate - 0.777778) < 1e-6 for o in others)
+    total_alloc = sum(r.alloc_units for r in got.values())
+    assert 8000 - 9 <= total_alloc <= 8000  # flooring slack only

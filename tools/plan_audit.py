@@ -56,6 +56,12 @@ ALLOWLIST = {
         "quantized rerank are broadcast(queries) crosses, plus the "
         "1-row truth-size scalar"
     },
+    "mixture_waterfill_sources": {
+        "bnlj": "waterfilling rounds: each of the 3 unrolled rounds "
+        "crosses the broadcast SINGLE-ROW remaining-budget/weight "
+        "aggregate back into the source-level frame (plus the 1-row "
+        "total) — event_type_share shape × rounds"
+    },
     "maxsim_late_interaction": {
         "bnlj": "token-level broadcast(80 query token vectors) cross "
         "against the candidate token scan — the brute_force_topk shape "
