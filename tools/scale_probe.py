@@ -743,6 +743,43 @@ def probe_ivf_upsert_1m(spark):
     return n, dt
 
 
+def probe_psi_drift_50m(spark):
+    """PSI drift monitor at 50M rows × 8 segments × 5 periods (r11,
+    X88): period 1 is the frozen baseline; periods 4 and 5 carry a
+    planted +0.35/+0.8 location shift. Pure hash aggs + one decile
+    percentile over the base period — the shape is two corpus passes,
+    so expect full agg-throughput. Asserts: unshifted periods score
+    PSI < 0.05, the +0.8-shift period > 0.25 (the retrain threshold)
+    for every segment."""
+    from spark_ml_showcase_spark.operators.analytics import psi_drift
+
+    n = 50_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 8).cast("string").alias("seg"),
+        (F.col("id") % 5 + 1).cast("int").alias("per"),
+        (
+            (F.shiftright(F.xxhash64("id"), 20) % 100_000).cast("double")
+            / 100_000.0
+            + F.when(F.col("id") % 5 + 1 == 4, 0.35)
+            .when(F.col("id") % 5 + 1 == 5, 0.8)
+            .otherwise(0.0)
+        ).alias("v"),
+    )
+    t0 = time.perf_counter()
+    rows = psi_drift(
+        df, value_col="v", segment_col="seg", period_col="per",
+        base_period=1, exact_edges=False,  # GK edges: the 100 TB path
+    ).collect()
+    dt = time.perf_counter() - t0
+    psi = {(r.seg, r.period): r.psi for r in rows}
+    assert len(psi) == 8 * 4, len(psi)
+    for s in range(8):
+        assert psi[(str(s), 2)] < 0.05, psi[(str(s), 2)]
+        assert psi[(str(s), 3)] < 0.05, psi[(str(s), 3)]
+        assert psi[(str(s), 5)] > 0.25, psi[(str(s), 5)]
+    return n, dt
+
+
 def probe_phrase_search_1m(spark):
     """Exact phrase search at 1M docs × 30 md5-words (r11, X89): three
     probes of two distinct lengths → two Arrow gram passes over the
@@ -1016,6 +1053,7 @@ PROBES = {
     "quantize_search_10m": probe_quantize_search_10m,
     "ivf_upsert_1m": probe_ivf_upsert_1m,
     "phrase_search_1m": probe_phrase_search_1m,
+    "psi_drift_50m": probe_psi_drift_50m,
     "triangle_hubskew_20m": probe_triangle_hubskew_20m,
     "bpe_1m_words": probe_bpe_1m_words,
     "kmv_50m": probe_kmv_50m,
