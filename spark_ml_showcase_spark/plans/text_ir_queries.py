@@ -518,12 +518,17 @@ def rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = cat.embeddings
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    exact = similarity.brute_force_topk(emb, queries, k_leg).select(
-        "query_id", "cand_id", F.col("rank").alias("_rb")
-    )
+    # vectorized=True on BOTH dense legs: this query is rows-only (no
+    # oracle rank-parity to protect) and the interpreted HOF cosine was
+    # the measured cost at sf0.1 (probe leg 6.7 s → ~2 s Arrow); both
+    # fusions use the same scorer, so the overlap measurement is
+    # internally consistent.
+    exact = similarity.brute_force_topk(
+        emb, queries, k_leg, vectorized=True
+    ).select("query_id", "cand_id", F.col("rank").alias("_rb"))
     assigned, cent = similarity.build_ivf_index(emb, n_lists=8, seed=40)
     approx = similarity.ivf_probe(
-        assigned, cent, queries, k_leg, n_probe=4
+        assigned, cent, queries, k_leg, n_probe=4, vectorized=True
     ).select("query_id", "cand_id", F.col("rank").alias("_rb"))
 
     def fuse(dense: DataFrame) -> DataFrame:
