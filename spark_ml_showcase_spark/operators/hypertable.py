@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_ml_showcase_spark.functions import kmv
 from spark_ml_showcase_spark.sources import versioned
@@ -270,3 +271,72 @@ def stream_rollup_refresh(
             f"stream rollup did not drain within {timeout_sec}s"
         )
     return q
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket: str = "day",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) — the LOCF form every
+    time-series store ships (an irregular gauge sampled unevenly must
+    not let burst samples dominate a plain AVG): each observation's
+    value holds from its timestamp until the NEXT observation in the
+    bucket (or the bucket's end for the last one), and the average
+    weighs values by those holding durations.
+
+    ONE shuffle keyed (key, bucket): the next-timestamp lead and the
+    weighted rollup reuse the same partitioning. Weights are exact
+    epoch-second BIGINTs; each value×weight product is ROUNDed then
+    DECIMAL-summed (order-free); the final division uses the portable
+    floor-round chain. Zero-duration observations (same-second ties,
+    ordered by ``tiebreak_col``) get weight 0 — only the last of a
+    same-second run holds time, which is exactly LOCF semantics.
+
+    Output: ``(key, bucket_start_sec, n_obs, span_sec, twap)``.
+    """
+    e = F.floor(F.col(time_col).cast("double")).cast("bigint")
+    b = F.date_trunc(bucket, F.col(time_col))
+    bs = F.floor(b.cast("double")).cast("bigint")
+    # bucket end = start of the next bucket
+    be = F.floor(
+        (b + F.expr(f"INTERVAL 1 {bucket}")).cast("double")
+    ).cast("bigint")
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        bs.alias("_bs"),
+        be.alias("_be"),
+        e.alias("_e"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    w = Window.partitionBy("_k", "_bs").orderBy("_e", "_tb")
+    weighted = d.withColumn(
+        "_next", F.coalesce(F.lead("_e").over(w), F.col("_be"))
+    ).withColumn("_w", (F.col("_next") - F.col("_e")).cast("bigint"))
+    agg = weighted.groupBy("_k", "_bs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("_w").cast("bigint").alias("span_sec"),
+        F.sum(
+            F.round(F.col("_v") * F.col("_w"), round_decimals).cast(
+                "decimal(30,6)"
+            )
+        ).alias("_num"),
+    )
+    scale = float(10**round_decimals)
+    q = F.col("_num").cast("double") / F.col("span_sec")
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("_bs").alias("bucket_start_sec"),
+        "n_obs",
+        "span_sec",
+        F.when(
+            F.col("span_sec") > 0,
+            F.floor(q * scale + F.lit(0.5)) / scale,
+        ).alias("twap"),
+    ).orderBy(key_col, "bucket_start_sec")

@@ -1605,3 +1605,61 @@ def psi_value_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_period=1,
         n_bins=10,
     )
+
+
+# X95: time-weighted average per (event_type, day) — the LOCF
+# time_weight every time-series store ships: a value holds from its
+# timestamp to the next observation (bucket end for the last), so
+# burst samples can't dominate the mean the way they do a plain AVG.
+# Weights are exact epoch-second BIGINTs with an event_id tie-break
+# (same-second runs give all-but-the-last weight 0 — LOCF); v·w terms
+# are ROUND → DECIMAL-summed, the numerator's double cast routes
+# through VARCHAR in DuckDB (its direct wide-decimal→double cast
+# double-rounds once the 1e6-scaled sum passes 2^53 — the
+# corr_qty_price_by_flag convention), and the final division uses the
+# portable floor-round chain.
+@query(
+    "twap_value_daily",
+    oracle="""
+    WITH d AS (
+        SELECT event_type AS k,
+               CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bs,
+               CAST(floor(epoch(date_trunc('day', ts) + INTERVAL 1 DAY))
+                    AS BIGINT) AS be,
+               CAST(floor(epoch(ts)) AS BIGINT) AS e,
+               value AS v, event_id
+        FROM events
+    ),
+    w AS (
+        SELECT *,
+               COALESCE(lead(e) OVER (PARTITION BY k, bs
+                                      ORDER BY e, event_id), be) - e AS wt
+        FROM d
+    ),
+    agg AS (
+        SELECT k, bs,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(SUM(wt) AS BIGINT) AS span_sec,
+               CAST(CAST(SUM(CAST(ROUND(v * wt, 6) AS DECIMAL(30,6)))
+                         AS VARCHAR) AS DOUBLE) AS num
+        FROM w GROUP BY k, bs
+    )
+    SELECT k AS event_type, bs AS bucket_start_sec, n_obs, span_sec,
+           CASE WHEN span_sec > 0
+                THEN floor(num / span_sec * 1000000 + 0.5) / 1000000
+           END AS twap
+    FROM agg ORDER BY event_type, bucket_start_sec
+    """,
+)
+def twap_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators import hypertable
+
+    ev = Catalog(spark, sf_dir).events
+    return hypertable.time_weighted_avg(
+        ev,
+        key_col="event_type",
+        time_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        bucket="day",
+    )

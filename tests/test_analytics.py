@@ -156,3 +156,44 @@ def test_psi_drift_identical_zero_shifted_high(spark):
         0.9 * math.log(1.0 / 0.1), 6
     )
     assert abs(got[3] - expected) < 1e-9
+
+
+def test_time_weighted_avg_locf_semantics(spark):
+    """X95: TWAP weighs by holding duration (LOCF) — a burst of samples
+    can't dominate; same-second runs leave only the last holding time;
+    the final observation holds to the bucket end."""
+    from spark_ml_showcase_spark.operators.hypertable import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # key a: v=10 held 0:00→12:00 (43200s), v=50 held 12:00→24:00
+        ("a", "2024-01-01 00:00:00", 10.0, 1),
+        ("a", "2024-01-01 12:00:00", 50.0, 2),
+        # key b: burst of 3 same-second samples at 0:00 (w=0,0),
+        # then v=100 from 0:00:01 to day end — twap ≈ 100, not the
+        # plain AVG 28.75
+        ("b", "2024-01-01 00:00:00", 1.0, 3),
+        ("b", "2024-01-01 00:00:00", 2.0, 4),
+        ("b", "2024-01-01 00:00:00", 12.0, 5),
+        ("b", "2024-01-01 00:00:01", 100.0, 6),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "k string, ts string, value double, event_id bigint"
+    ).select(
+        "k", F.to_timestamp("ts").alias("ts"), "value", "event_id"
+    )
+    got = {
+        r.k: r
+        for r in time_weighted_avg(
+            df, key_col="k", time_col="ts", value_col="value",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got["a"].twap == 30.0
+    assert got["a"].span_sec == 86400
+    # b: (12*1 + 100*86399) / 86400
+    assert abs(got["b"].twap - (12 + 100 * 86399) / 86400) < 1e-6
+    assert got["b"].n_obs == 4
