@@ -558,3 +558,62 @@ def test_filtered_topk_prefilter_beats_postfilter(spark):
     # pre-filter result IS the true top-k of the eligible set
     elig = {r.cand_id for r in pre}
     assert all(c % 6 == 0 for c in elig) and 0 not in elig
+
+
+def test_maxsim_two_stage_rerank_recall(spark):
+    """X93's scale shape verified end-to-end: candidates from the
+    POOLED-vector cosine top-C (X90 mean pooling), exact maxsim rerank
+    on candidates only — recall@3 ≥ 0.8 of the full single-stage maxsim
+    on the fixture. This is the pooled-IVF + rerank pipeline the query
+    docstring pins for 100 TB, checked at candidate-generation level."""
+    from pyspark.sql.window import Window as W
+    from spark_ml_showcase_spark.functions import vectors as Vf
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    tok = emb.select(
+        (F.col("vec_id") / 4).cast("bigint").alias("doc"),
+        F.col("vec_id").alias("t"),
+        similarity.as_double("embedding").alias("v"),
+    )
+    q = tok.filter(F.col("doc") % 25 == 0).select(
+        F.col("doc").alias("qd"), F.col("t").alias("qt"),
+        F.col("v").alias("qv"),
+    )
+
+    def maxsim_top3(pairs_filter=None):
+        pair = (
+            tok.withColumnRenamed("doc", "cd")
+            .crossJoin(F.broadcast(q))
+            .filter(F.col("cd") != F.col("qd"))
+        )
+        if pairs_filter is not None:
+            pair = pair.join(pairs_filter, ["qd", "cd"], "semi")
+        scored = (
+            pair.groupBy("qd", "cd", "qt")
+            .agg(F.max(F.round(Vf.cosine("qv", "v"), 6)).alias("m"))
+            .groupBy("qd", "cd")
+            .agg(
+                F.sum(F.col("m").cast("decimal(20,6)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        w = W.partitionBy("qd").orderBy(F.col("s").desc(), F.col("cd").asc())
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 3)
+            .select("qd", "cd")
+        )
+
+    full = {(r.qd, r.cd) for r in maxsim_top3().collect()}
+    pooled = similarity.pool_embeddings(
+        tok.withColumnRenamed("doc", "vec_id").withColumnRenamed("v", "embedding"),
+        "vec_id",
+    ).select("vec_id", F.col("pooled").alias("embedding"))
+    cands = similarity.brute_force_topk(
+        pooled, pooled.filter(F.col("vec_id") % 25 == 0), 20
+    ).select(F.col("query_id").alias("qd"), F.col("cand_id").alias("cd"))
+    two_stage = {(r.qd, r.cd) for r in maxsim_top3(cands).collect()}
+    recall = len(full & two_stage) / len(full)
+    assert recall >= 0.8, recall
