@@ -101,3 +101,90 @@ def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("bigint").alias("p_size"),
     )
     return skyline(part, minimize="p_retailprice", maximize="p_size")
+
+
+# X96: spherical k-nearest-neighbors — haversine great-circle distance
+# on synthetic lat/lon (integer-derived, bit-identical points in both
+# engines), 3 nearest suppliers per sampled customer. The trig chain is
+# fixed-order and ROUNDed to millimeters before ranking with a supplier
+# tie-break, so a last-ulp sin/asin divergence between libms cannot
+# flip a rank (the cosine-rank convention). Scale shape: the sampled
+# query side broadcasts and suppliers stream once — no shuffle; a
+# corpus×corpus KNN would grid-bucket first (geo_radius_join pattern).
+@query(
+    "geo_knn_haversine",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey,
+               ((c_custkey * {_MX}) % 120000) / 1000.0 - 60.0 AS lat,
+               ((c_custkey * {_MY} + {_OY}) % 360000) / 1000.0 - 180.0 AS lon
+        FROM customer WHERE c_custkey % 100 = 0
+    ),
+    s AS (
+        SELECT s_suppkey,
+               ((s_suppkey * {_MX}) % 120000) / 1000.0 - 60.0 AS lat,
+               ((s_suppkey * {_MY} + {_OY}) % 360000) / 1000.0 - 180.0 AS lon
+        FROM supplier
+    ),
+    d AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               ROUND(2.0 * 6371000.0 * asin(sqrt(
+                   sin(radians(s.lat - c.lat) / 2)
+                     * sin(radians(s.lat - c.lat) / 2)
+                   + cos(radians(c.lat)) * cos(radians(s.lat))
+                     * sin(radians(s.lon - c.lon) / 2)
+                     * sin(radians(s.lon - c.lon) / 2))), 3) AS dist_m
+        FROM c, s
+    )
+    SELECT c_custkey, s_suppkey, dist_m, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY dist_m ASC, s_suppkey ASC)
+                   AS rank
+        FROM d
+    ) WHERE rank <= 3
+    ORDER BY c_custkey, rank
+    """,
+)
+def geo_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    cat = Catalog(spark, sf_dir)
+
+    def latlon(df: DataFrame, key: str):
+        k = F.col(key).cast("bigint")
+        return df.select(
+            key,
+            ((k * F.lit(_MX)) % 120000) / F.lit(1000.0) - F.lit(60.0),
+            ((k * F.lit(_MY) + F.lit(_OY)) % 360000) / F.lit(1000.0)
+            - F.lit(180.0),
+        ).toDF(key, "lat", "lon")
+
+    c = latlon(
+        cat.customer.filter(F.col("c_custkey") % 100 == 0), "c_custkey"
+    ).withColumnRenamed("lat", "clat").withColumnRenamed("lon", "clon")
+    s = latlon(cat.supplier, "s_suppkey")
+    dlat = F.radians(F.col("lat") - F.col("clat")) / 2
+    dlon = F.radians(F.col("lon") - F.col("clon")) / 2
+    hav = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians("clat"))
+        * F.cos(F.radians("lat"))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    d = s.crossJoin(F.broadcast(c)).select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(
+            F.lit(2.0) * F.lit(6371000.0) * F.asin(F.sqrt(hav)), 3
+        ).alias("dist_m"),
+    )
+    w = W.partitionBy("c_custkey").orderBy(
+        F.col("dist_m").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("c_custkey", "rank")
+    )

@@ -56,6 +56,11 @@ ALLOWLIST = {
         "quantized rerank are broadcast(queries) crosses, plus the "
         "1-row truth-size scalar"
     },
+    "geo_knn_haversine": {
+        "bnlj": "brute_force_topk shape on the sphere: suppliers stream "
+        "once against the broadcast sampled customer side (c_custkey % "
+        "100 — 1% at every SF); corpus×corpus would grid-bucket first"
+    },
     "mixture_waterfill_sources": {
         "bnlj": "waterfilling rounds: each of the 3 unrolled rounds "
         "crosses the broadcast SINGLE-ROW remaining-budget/weight "
