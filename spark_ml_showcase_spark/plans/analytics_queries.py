@@ -1663,3 +1663,107 @@ def twap_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
         bucket="day",
     )
+
+
+# X97: leave-one-out target encoding — the standard high-cardinality
+# categorical feature for tree/linear models, with the self-row
+# excluded so the encoding never leaks the row's own target:
+# enc = (sum(target over category) − y) / (n − 1). Sum is exact
+# DECIMAL (money), the division is one double op, final value through
+# the portable floor-round chain; singleton categories emit NULL (no
+# peers to encode from). Output restricted to a scale-relative order
+# sample so rows stay bounded at every SF.
+@query(
+    "loo_target_encode_priority",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey, o_orderpriority,
+               o_totalprice,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_orderpriority) AS tot,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(n AS BIGINT) AS n_category,
+           CASE WHEN n > 1 THEN
+               floor((CAST(tot - CAST(o_totalprice AS DECIMAL(18,2))
+                           AS DOUBLE) / (n - 1)) * 100 + 0.5) / 100
+           END AS loo_mean_price
+    FROM s WHERE o_orderkey % 50 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def loo_target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = Catalog(spark, sf_dir).orders
+    wp = W.partitionBy("o_orderpriority")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        dec.alias("_p"),
+        F.sum(dec).over(wp).alias("_tot"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
+    q = (F.col("_tot") - F.col("_p")).cast("double") / (F.col("_n") - 1)
+    return (
+        s.filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("_n").cast("bigint").alias("n_category"),
+            F.when(
+                F.col("_n") > 1,
+                F.floor(q * 100 + F.lit(0.5)) / 100,
+            ).alias("loo_mean_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# X98: per-segment quantile normalization — percent_rank of value
+# within its event_type, the rank-based feature transform that makes
+# heavy-tailed features comparable across segments. percent_rank =
+# (rank − 1)/(n − 1) with RANK ties (identical definition in both
+# engines); the only float op is that division, pushed through the
+# portable floor-round chain. Output on the md5 1/16 row sample
+# (engine-portable), full window computed over ALL rows first.
+@query(
+    "quantile_normalize_values",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, event_type, value,
+               percent_rank() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS pr
+        FROM events
+    )
+    SELECT event_id, event_type,
+           floor(pr * 1000000 + 0.5) / 1000000 AS value_qnorm
+    FROM r
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+    ORDER BY event_id
+    """,
+)
+def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("event_type").orderBy("value")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.percent_rank().over(w).alias("_pr"),
+        )
+        .filter(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0")
+        .select(
+            "event_id",
+            "event_type",
+            (F.floor(F.col("_pr") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "value_qnorm"
+            ),
+        )
+        .orderBy("event_id")
+    )
