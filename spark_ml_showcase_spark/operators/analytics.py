@@ -381,8 +381,32 @@ def psi_drift(
     counts = binned.groupBy("_seg", "_per", "_bin").agg(
         F.count(F.lit(1)).alias("_n")
     )
-    totals = binned.groupBy("_seg", "_per").agg(
-        F.count(F.lit(1)).alias("_tot")
+    return psi_from_bin_counts(
+        counts,
+        segment_col=segment_col,
+        base_period=base_period,
+        n_bins=n_bins,
+        eps=eps,
+        round_decimals=round_decimals,
+    )
+
+
+def psi_from_bin_counts(
+    counts: DataFrame,
+    *,
+    segment_col: str,
+    base_period,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """PSI from pre-binned counts ``(_seg, _per, _bin, _n)`` — the
+    share/grid/term stage of :func:`psi_drift`, split out so a
+    STREAMING ingest can produce the counts (a finite stream's final
+    complete-mode aggregate equals the batch aggregate, so the math —
+    and the oracle — are identical; see ``stream_psi_weekly``)."""
+    totals = counts.groupBy("_seg", "_per").agg(
+        F.sum("_n").alias("_tot")
     )
     grid = totals.select(
         "_seg",

@@ -373,3 +373,123 @@ def stream_pyds_docs_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "source string, n_rows bigint, expected bigint, ok boolean"
     )
+
+
+# X99: STREAMING drift monitor — the PSI math of psi_value_drift_weekly
+# with the bin counting done by the streaming engine: baseline decile
+# edges come from a batch pass over the fixture (frozen yardstick, as
+# in production where edges ship with the model), the event stream
+# joins the broadcast edges (stream-static join), and a complete-mode
+# groupBy counts (segment, week, bin). A finite stream's final
+# complete-mode aggregate equals the batch aggregate, so the share/term
+# stage (analytics.psi_from_bin_counts) and the ORACLE are identical to
+# the batch query — the streaming engine sits under a hard hash check.
+@query(
+    "stream_psi_weekly",
+    oracle="""
+    WITH d AS (
+        SELECT event_type AS seg, date_part('week', ts) AS per, value AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    edges AS (
+        SELECT seg,
+               [quantile_cont(v, 0.1), quantile_cont(v, 0.2),
+                quantile_cont(v, 0.3), quantile_cont(v, 0.4),
+                quantile_cont(v, 0.5), quantile_cont(v, 0.6),
+                quantile_cont(v, 0.7), quantile_cont(v, 0.8),
+                quantile_cont(v, 0.9)] AS edges
+        FROM d WHERE per = 1 GROUP BY seg
+    ),
+    binned AS (
+        SELECT d.seg, d.per, len(list_filter(e.edges, x -> d.v > x)) AS bin
+        FROM d JOIN edges e ON d.seg = e.seg
+    ),
+    counts AS (SELECT seg, per, bin, count(*) AS n
+               FROM binned GROUP BY seg, per, bin),
+    totals AS (SELECT seg, per, count(*) AS tot FROM binned GROUP BY seg, per),
+    grid AS (SELECT seg, per, tot, unnest(generate_series(0, 9)) AS bin
+             FROM totals),
+    shares AS (
+        SELECT g.seg, g.per, g.bin, g.tot,
+               COALESCE(c.n, 0)::DOUBLE / g.tot AS p
+        FROM grid g LEFT JOIN counts c
+          ON g.seg = c.seg AND g.per = c.per AND g.bin = c.bin
+    ),
+    base AS (SELECT seg, bin, p AS pb FROM shares WHERE per = 1)
+    SELECT cur.seg AS event_type,
+           CAST(cur.per AS BIGINT) AS period,
+           CAST(max(cur.tot) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND((cur.p - base.pb)
+                               * ln(greatest(cur.p, 0.000001)
+                                    / greatest(base.pb, 0.000001)), 6)
+                         AS DECIMAL(20,6))) AS DOUBLE) AS psi
+    FROM shares cur JOIN base
+      ON cur.seg = base.seg AND cur.bin = base.bin
+    WHERE cur.per <> 1
+    GROUP BY cur.seg, cur.per
+    ORDER BY event_type, period
+    """,
+)
+def stream_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators.analytics import (
+        psi_from_bin_counts,
+    )
+    from spark_ml_showcase_spark.sources.catalog import Catalog
+
+    # frozen baseline: batch decile edges per segment from week 1
+    ev = Catalog(spark, sf_dir).events
+    qs = [i / 10 for i in range(1, 10)]
+    edges = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.weekofyear("ts") == 1)
+        .groupBy(F.col("event_type").alias("_seg"))
+        .agg(
+            F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias(
+                "_edges"
+            )
+        )
+    )
+    # the edge table is (segments × 9 doubles) — collect and inline it
+    # as literals (the stream runs on an isolated session, and shipping
+    # frozen edges with the job is exactly how a production monitor
+    # deploys them; a same-session stream-static join works too)
+    edge_map = {r._seg: list(r._edges) for r in edges.collect()}
+    edge_lit = None
+    for seg, es in sorted(edge_map.items()):
+        arr = F.array(*[F.lit(float(x)) for x in es])
+        edge_lit = (
+            arr if edge_lit is None
+            else F.when(F.col("_seg") == F.lit(seg), arr).otherwise(edge_lit)
+        )
+    stream = se.stream_events(spark, f"{sf_dir}/events.parquet")
+    binned = (
+        stream.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isin(*edge_map.keys()))
+        .select(
+            F.col("event_type").alias("_seg"),
+            F.weekofyear("ts").cast("bigint").alias("_per"),
+            F.col("value").cast("double").alias("_v"),
+        )
+        .withColumn("_edges", edge_lit)
+        .select(
+            "_seg",
+            "_per",
+            F.size(F.filter("_edges", lambda e: F.col("_v") > e)).alias(
+                "_bin"
+            ),
+        )
+    )
+    agg = binned.groupBy("_seg", "_per", "_bin").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # localCheckpoint: psi_from_bin_counts self-joins the counts frame
+    # (totals grid ⋈ counts), and Catalyst cannot dedup attribute ids
+    # across two references to one MemorySink view — the checkpoint
+    # rebases the tiny frame (segments × periods × bins rows) onto a
+    # plain LocalRelation
+    counts = se.run_to_memory(
+        agg, spark, output_mode="complete"
+    ).localCheckpoint()
+    return psi_from_bin_counts(
+        counts, segment_col="event_type", base_period=1
+    )
