@@ -410,7 +410,16 @@ def ivf_index_upsert(
         .withColumn(
             "_keep",
             F.row_number().over(
-                Window.partitionBy("cand_id").orderBy(F.col("_prio").desc())
+                # full tie-break: a batch carrying the SAME id twice
+                # (different embeddings → possibly different cells) must
+                # pick the same survivor on every run, or the persisted
+                # index diverges across replays — _cell then a vector
+                # hash make the winner a pure function of the data
+                Window.partitionBy("cand_id").orderBy(
+                    F.col("_prio").desc(),
+                    F.col("_cell").asc(),
+                    F.xxhash64(F.col("_cv").cast("string")).asc(),
+                )
             ),
         )
         .filter(F.col("_keep") == 1)
@@ -428,6 +437,19 @@ def ivf_index_upsert(
     merged.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("_cell").parquet(cells_dir)
+    # dynamic overwrite only rewrites partitions PRESENT in `merged`: a
+    # touched cell can end up with zero merged rows (its entire
+    # population was re-ingested ids whose nearest cell changed), and
+    # its _cell=K dir would then survive untouched — the same id alive
+    # in two cells, breaking replay idempotence. Vacated dirs are
+    # removed explicitly, mirroring the split path's cleanup. Bounded:
+    # ≤ len(touched) rows collected from the checkpointed merge frame.
+    present = {int(r._cell) for r in merged.select("_cell").distinct().collect()}
+    for c in touched:
+        if c not in present:
+            shutil.rmtree(
+                os.path.join(cells_dir, f"_cell={c}"), ignore_errors=True
+            )
 
     # post-merge bookkeeping on the touched cells only
     assigned, cent_df = load_ivf_index(spark, index_dir)

@@ -191,6 +191,8 @@ def phrase_search(
     from spark_ml_showcase_spark.operators.dedup import _gram_hash_seq_fn
 
     spark = docs.sparkSession
+    if not phrases:
+        raise ValueError("no phrases: phrase_search requires >= 1 phrase")
     by_len: dict[int, list[tuple[str, int]]] = {}
     for p in phrases:
         toks = [t for t in p.lower().split() if t]

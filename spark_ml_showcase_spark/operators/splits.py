@@ -485,8 +485,14 @@ def mixture_waterfill(
             .withColumn("_sat", F.col("_sat") | newly)
             .drop("_B_rem", "_W_rem")
         )
+    # portable half-up rounding (floor(q·10^d + 0.5)/10^d), matching the
+    # oracle's chain exactly — F.round is HALF_UP on the exact binary
+    # value, which can land one ulp differently than DuckDB's round for
+    # a quotient sitting off a .5 boundary (the pool_embeddings lesson)
+    _scale = F.lit(float(10**round_decimals))
     fill = F.when(F.col("_sat"), F.lit(1.0)).otherwise(
-        F.round(F.col("_demand") / F.col("t_units"), round_decimals)
+        F.floor(F.col("_demand") / F.col("t_units") * _scale + F.lit(0.5))
+        / _scale
     )
     alloc = F.when(F.col("_sat"), F.col("t_units")).otherwise(
         F.least(F.col("t_units"), F.floor("_demand").cast("bigint"))

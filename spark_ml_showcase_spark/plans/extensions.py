@@ -1245,11 +1245,24 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"_rank{i}")
                 for i in range(len(pcts))
             ],
+            *[
+                F.sum(
+                    F.when(
+                        F.col("o_totalprice") == F.element_at("_est", i + 1),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"_ties{i}")
+                for i in range(len(pcts))
+            ],
             F.first("_exact").alias("_exact"),
             F.first("_n").alias("_n"),
         )
     )
-    eps = F.col("_n") / F.lit(acc) + F.lit(1.0)  # +1 row: tie slack
+    # tie slack = the estimate's MULTIPLICITY: the GK guarantee covers
+    # some rank in [rank_min, rank_max] of the returned element, and
+    # count(<= est) is rank_max — a value repeated m times near the band
+    # edge legitimately sits m-1 ranks past the bound (a fixed +1 could
+    # deterministically fail at a new SF; r11 advice item)
     return ranked.select(
         *[
             F.round(F.element_at("_exact", i + 1), 2).alias(
@@ -1259,7 +1272,9 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         *[
             (
-                F.abs(F.col(f"_rank{i}") - F.lit(p) * F.col("_n")) <= eps
+                F.abs(F.col(f"_rank{i}") - F.lit(p) * F.col("_n"))
+                <= F.col("_n") / F.lit(acc)
+                + F.greatest(F.col(f"_ties{i}"), F.lit(1)).cast("double")
             ).alias(f"p{int(p * 100)}_in_bound")
             for i, p in enumerate(pcts)
         ],

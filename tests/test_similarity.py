@@ -463,6 +463,75 @@ def test_ivf_index_upsert_splits_overgrown_cell(spark, tmp_path):
         assert stats[c] > 0
 
 
+def test_ivf_index_upsert_vacated_cell_leaves_no_stale_rows(spark, tmp_path):
+    """r11 advice (medium): dynamic partition overwrite only rewrites
+    partitions PRESENT in the merged frame — if a touched cell's entire
+    population is re-ingested ids whose nearest cell changed, the merge
+    holds zero rows for it and the stale _cell=K dir must be removed
+    explicitly, or the same id survives in two cells."""
+    import os
+
+    batch1 = _clustered(spark, 120, seed=17, id_base=0)
+    idx = os.path.join(str(tmp_path), "ivf_vacate")
+    similarity.build_ivf_index(batch1, n_lists=4, seed=40, index_dir=idx)
+    assigned, cent = similarity.load_ivf_index(spark, idx)
+    pops = {
+        int(r._cell): int(r.n)
+        for r in assigned.groupBy("_cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    victim = min(pops, key=lambda c: (pops[c], c))
+    cents = {int(r.cell): np.array(r.centroid) for r in cent.collect()}
+    target = next(c for c in sorted(cents) if c != victim)
+    moved = [
+        int(r.cand_id)
+        for r in assigned.filter(F.col("_cell") == victim)
+        .select("cand_id")
+        .collect()
+    ]
+    tvec = cents[target] / np.linalg.norm(cents[target])
+    batch2 = spark.createDataFrame(
+        [(i, [float(x) for x in tvec]) for i in moved],
+        "vec_id bigint, embedding array<float>",
+    )
+    similarity.ivf_index_upsert(
+        spark, idx, batch2, split_threshold=100.0, seed=40
+    )
+    assigned2, _ = similarity.load_ivf_index(spark, idx)
+    assert assigned2.count() == 120
+    assert assigned2.select("cand_id").distinct().count() == 120
+    assert assigned2.filter(F.col("_cell") == victim).count() == 0
+    assert not os.path.isdir(os.path.join(idx, "cells", f"_cell={victim}"))
+
+
+def test_ivf_index_upsert_duplicate_batch_ids_deterministic(spark, tmp_path):
+    """r11 advice (low): a batch carrying the SAME id twice (different
+    embeddings) keeps exactly one deterministic survivor — replaying the
+    batch leaves the index bit-identical instead of flip-flopping."""
+    import os
+
+    batch1 = _clustered(spark, 120, seed=17, id_base=0)
+    idx = os.path.join(str(tmp_path), "ivf_dup")
+    similarity.build_ivf_index(batch1, n_lists=4, seed=40, index_dir=idx)
+    rng = np.random.RandomState(7)
+    v1, v2 = rng.randn(8), rng.randn(8)
+    v1, v2 = v1 / np.linalg.norm(v1), v2 / np.linalg.norm(v2)
+    dup = spark.createDataFrame(
+        [(5000, [float(x) for x in v1]), (5000, [float(x) for x in v2])],
+        "vec_id bigint, embedding array<float>",
+    )
+    similarity.ivf_index_upsert(spark, idx, dup, split_threshold=100.0, seed=40)
+    a1, _ = similarity.load_ivf_index(spark, idx)
+    rows1 = a1.filter(F.col("cand_id") == 5000).collect()
+    assert len(rows1) == 1
+    # replay: still one survivor, same cell, same vector
+    similarity.ivf_index_upsert(spark, idx, dup, split_threshold=100.0, seed=40)
+    a2, _ = similarity.load_ivf_index(spark, idx)
+    rows2 = a2.filter(F.col("cand_id") == 5000).collect()
+    assert len(rows2) == 1
+    assert int(rows1[0]._cell) == int(rows2[0]._cell)
+    assert list(rows1[0]._cv) == list(rows2[0]._cv)
+
+
 def test_pool_embeddings_mean_and_max(spark):
     """X90: mean pooling is the exact per-dim centroid (order-free
     decimal path) and max pooling the element-wise max; counts track

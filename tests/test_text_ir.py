@@ -192,3 +192,15 @@ def test_phrase_search_positions_and_counts(spark):
     assert got[("mat", 1)] == (1, 8)
     assert ("the cat sat", 4) not in got
     assert ("cat cat", 1) not in got
+
+
+def test_phrase_search_empty_phrase_list_raises(spark):
+    """r11 advice (low): an empty phrases list must fail loudly instead
+    of AttributeError-ing on an unbuilt plan."""
+    import pytest
+
+    from spark_ml_showcase_spark.operators import ir
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="no phrases"):
+        ir.phrase_search(df, [])
