@@ -526,7 +526,18 @@ def rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.brute_force_topk(
         emb, queries, k_leg, vectorized=True
     ).select("query_id", "cand_id", F.col("rank").alias("_rb"))
-    assigned, cent = similarity.build_ivf_index(emb, n_lists=8, seed=40)
+    # suite-level index cache (r12): same (fixture, n_lists=8, seed=40)
+    # quantizer as ann_recall_report / ivf_topk — built once, probed here
+    import os as _os
+
+    assigned, cent = similarity.cached_ivf_index(
+        spark,
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        lambda: emb,
+        variant="emb",
+        n_lists=8,
+        seed=40,
+    )
     approx = similarity.ivf_probe(
         assigned, cent, queries, k_leg, n_probe=4, vectorized=True
     ).select("query_id", "cand_id", F.col("rank").alias("_rb"))

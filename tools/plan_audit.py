@@ -73,6 +73,12 @@ ALLOWLIST = {
         "at token granularity; at scale the exact pass runs on IVF "
         "candidates only (docstring)"
     },
+    "maxsim_ivf_rerank": {
+        "bnlj": "the TRUTH leg only: same bounded broadcast(query "
+        "tokens) cross as maxsim_late_interaction, present to measure "
+        "the served path's recall — the SERVED leg itself is equi-joins "
+        "(cells probe + candidate semi) with no cross"
+    },
     "pca_quantized_recall": {
         "bnlj": "quantized_ann_recall family ×3 legs: the truth and "
         "each compression point's rerank are broadcast(20-query) "
