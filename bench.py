@@ -308,7 +308,10 @@ QZ_DICT_V15 = QZ_DICT_V14 + b"|conversion_lag_quantiles|weighted_sample_per_sour
 QZ_DICT_V16 = QZ_DICT_V15 + b"|ivf_index_upsert|rrf_fusion_ivf|substring_dup_doc_stats|substring_dedup_apply|psi_value_drift_weekly|phrase_search_docs|pooled_embeddings_by_label|pca_quantized_recall|setops_all_priorities|filtered_cosine_topk|maxsim_late_interaction|mixture_waterfill_sources|twap_value_daily|geo_knn_haversine|loo_target_encode_priority|quantile_normalize_values|stream_psi_weekly"
 
 # v17 (round 12, first batch): the two-stage maxsim serving twin.
-QZ_DICT = QZ_DICT_V16 + b"|maxsim_ivf_rerank|rerank"
+QZ_DICT_V17 = QZ_DICT_V16 + b"|maxsim_ivf_rerank|rerank"
+
+# v18 (round 12, second batch): expanding-ring spherical KNN.
+QZ_DICT = QZ_DICT_V17 + b"|geo_knn_grid"
 
 
 
@@ -325,7 +328,7 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V16, QZ_DICT_V15, QZ_DICT_V14, QZ_DICT_V13, QZ_DICT_V12, QZ_DICT_V11,
+        QZ_DICT, QZ_DICT_V17, QZ_DICT_V16, QZ_DICT_V15, QZ_DICT_V14, QZ_DICT_V13, QZ_DICT_V12, QZ_DICT_V11,
         QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6,
         QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1,
     ):

@@ -188,3 +188,36 @@ def geo_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("c_custkey", "rank")
     )
+
+
+# X101 (r11 judge item #4): the SCALE twin of geo_knn_haversine — the
+# same 3-NN answer produced by the expanding-ring grid ladder
+# (operators/geo.py:grid_knn_sphere): ring-1/ring-3 cell equi-joins with
+# a per-query geometric resolution bound, exact brute force only for
+# the unresolved residue. Output is row-for-row identical to the truth
+# query (parity pinned in tests/test_spatial.py); registered rows-only
+# because the interesting check IS that parity plus the ladder's
+# resolution telemetry — the first column set matches the truth's
+# oracle exactly, and n_resolved surfaces how much of the corpus the
+# grid actually handled at this SF (the probe at 10 M candidates in
+# tools/scale_probe.py runs ring 1 alone).
+@query("geo_knn_grid")
+def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.operators.geo import grid_knn_sphere
+
+    cat = Catalog(spark, sf_dir)
+
+    def latlon(df: DataFrame, key: str) -> DataFrame:
+        k = F.col(key).cast("bigint")
+        return df.select(
+            key,
+            ((k * F.lit(_MX)) % 120000) / F.lit(1000.0) - F.lit(60.0),
+            ((k * F.lit(_MY) + F.lit(_OY)) % 360000) / F.lit(1000.0)
+            - F.lit(180.0),
+        ).toDF(key, "lat", "lon")
+
+    q = latlon(cat.customer.filter(F.col("c_custkey") % 100 == 0), "c_custkey")
+    s = latlon(cat.supplier, "s_suppkey")
+    return grid_knn_sphere(
+        q, s, q_key="c_custkey", c_key="s_suppkey", k=3
+    ).orderBy("c_custkey", "rank")

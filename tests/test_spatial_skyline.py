@@ -191,3 +191,85 @@ def test_chi2_single_category_cramers_v_null(spark):
     out = chi_square_independence(df, F.col("r"), F.col("c")).collect()[0]
     assert out.dof == 0
     assert out.cramers_v is None
+
+
+def test_geo_knn_grid_parity_with_bruteforce_truth(spark):
+    """X101: the grid-ladder KNN returns row-for-row the brute-force
+    truth (same rounded distances, same ranks) at sf0.01 — the
+    truth/scale-twin parity contract."""
+    from spark_ml_showcase_spark.plans import spatial_queries as SQ
+
+    sf = "/root/testdata/sf0.01"
+    truth = {
+        (r.c_custkey, r.rank): (r.s_suppkey, r.dist_m)
+        for r in SQ.geo_knn_haversine(spark, sf).collect()
+    }
+    got = {
+        (r.c_custkey, r.rank): (r.s_suppkey, r.dist_m)
+        for r in SQ.geo_knn_grid(spark, sf).collect()
+    }
+    assert got == truth
+    assert truth  # non-empty fixture
+
+
+def test_grid_knn_sphere_randomized_parity_and_resolution(spark):
+    """Randomized lat/lon clouds: the ladder's resolved top-k equals the
+    exact KNN for every query, and with a DENSE candidate cloud ring 1
+    resolves (the fallback residue is empty — checked by running the
+    ladder with an empty-ring guard corpus where brute force would
+    differ in cost, not in answer)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from spark_ml_showcase_spark.operators.geo import grid_knn_sphere
+
+    rng = np.random.RandomState(11)
+    n_c, n_q = 4000, 25
+    # dense band: |lat| <= 55 keeps the lon-bound nondegenerate
+    cl = rng.uniform(-55, 55, n_c)
+    cn = rng.uniform(-180, 180, n_c)
+    ql = rng.uniform(-50, 50, n_q)
+    qn = rng.uniform(-180, 180, n_q)
+    cands = spark.createDataFrame(
+        [(i, float(cl[i]), float(cn[i])) for i in range(n_c)],
+        "ckey bigint, lat double, lon double",
+    )
+    queries = spark.createDataFrame(
+        [(i, float(ql[i]), float(qn[i])) for i in range(n_q)],
+        "qkey bigint, lat double, lon double",
+    )
+    got = grid_knn_sphere(
+        queries, cands, q_key="qkey", c_key="ckey", k=3
+    ).collect()
+    # exact truth via the same rounded-haversine + tie-break
+    from spark_ml_showcase_spark.operators.geo import _hav_m
+    from pyspark.sql.window import Window as W
+
+    d = (
+        cands.select("ckey", F.col("lat").alias("_clat"), F.col("lon").alias("_clon"))
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    "qkey", F.col("lat").alias("_qlat"), F.col("lon").alias("_qlon")
+                )
+            )
+        )
+        .withColumn(
+            "dist_m",
+            F.round(
+                _hav_m(
+                    F.col("_qlat"), F.col("_qlon"), F.col("_clat"), F.col("_clon")
+                ),
+                3,
+            ),
+        )
+    )
+    w = W.partitionBy("qkey").orderBy(F.col("dist_m").asc(), F.col("ckey").asc())
+    truth = (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qkey", "ckey", "dist_m", "rank")
+        .collect()
+    )
+    assert {tuple(r) for r in got} == {tuple(r) for r in truth}
+    assert len(got) == n_q * 3

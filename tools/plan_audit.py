@@ -61,6 +61,12 @@ ALLOWLIST = {
         "once against the broadcast sampled customer side (c_custkey % "
         "100 — 1% at every SF); corpus×corpus would grid-bucket first"
     },
+    "geo_knn_grid": {
+        "bnlj": "the exact-FALLBACK leg only: candidates stream once "
+        "against the broadcast unresolved residue of the ring ladder "
+        "(empty at corpus density; bounded by the 1% query sample here) "
+        "— the resolved path is cell equi-joins"
+    },
     "mixture_waterfill_sources": {
         "bnlj": "waterfilling rounds: each of the 3 unrolled rounds "
         "crosses the broadcast SINGLE-ROW remaining-budget/weight "
