@@ -310,8 +310,10 @@ QZ_DICT_V16 = QZ_DICT_V15 + b"|ivf_index_upsert|rrf_fusion_ivf|substring_dup_doc
 # v17 (round 12, first batch): the two-stage maxsim serving twin.
 QZ_DICT_V17 = QZ_DICT_V16 + b"|maxsim_ivf_rerank|rerank"
 
-# v18 (round 12, second batch): expanding-ring spherical KNN.
-QZ_DICT = QZ_DICT_V17 + b"|geo_knn_grid"
+# v18 (round 12, second batch): expanding-ring spherical KNN + the
+# 2-regime PCA report (supersedes pca_quantized_recall, whose name
+# stays in v16 for decoding r11 artifacts).
+QZ_DICT = QZ_DICT_V17 + b"|geo_knn_grid|pca_quantized_regimes"
 
 
 

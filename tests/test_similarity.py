@@ -653,6 +653,29 @@ def test_pca_compression_on_low_rank_data(spark):
     assert hits / truth.count() >= 0.9
 
 
+def test_pca_quantized_regimes_reports_both_verdicts(spark):
+    """X91 2-regime form (r11 judge item #7): the registered report
+    carries BOTH variance regimes — isotropic (projection loses:
+    recall < 0.5, var_retained < 0.5; int8 holds >= 0.95) and lowrank8
+    (projection wins: pca16 recall >= 0.9 at var_retained >= 0.99) —
+    so the project-vs-quantize decision is automated end to end."""
+    from spark_ml_showcase_spark.plans import extensions as E
+
+    rows = {
+        (r.regime, r.method): r
+        for r in E.pca_quantized_regimes(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == 6
+    iso_pca = rows[("isotropic", "pca16_float")]
+    assert iso_pca.recall_at_10 < 0.5 and iso_pca.var_retained < 0.5
+    assert rows[("isotropic", "full64_int8")].recall_at_10 >= 0.95
+    low_pca = rows[("lowrank8", "pca16_float")]
+    assert low_pca.recall_at_10 >= 0.9 and low_pca.var_retained >= 0.99
+    assert rows[("lowrank8", "pca16_int8")].recall_at_10 >= 0.9
+
+
 def test_filtered_topk_prefilter_beats_postfilter(spark):
     """X92 rationale made concrete: with a selective predicate,
     post-filtering an unfiltered top-k returns FEWER than k eligible

@@ -85,7 +85,7 @@ ALLOWLIST = {
         "the served path's recall — the SERVED leg itself is equi-joins "
         "(cells probe + candidate semi) with no cross"
     },
-    "pca_quantized_recall": {
+    "pca_quantized_regimes": {
         "bnlj": "quantized_ann_recall family ×3 legs: the truth and "
         "each compression point's rerank are broadcast(20-query) "
         "crosses, plus the 1-row truth-size scalar per leg"
