@@ -1767,3 +1767,173 @@ def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# X102 (data-quality forensics): Benford first-digit conformance of
+# order totals — the standard screen for fabricated/corrupted numeric
+# feeds before they enter a training corpus. Per significant digit:
+# observed count (exact BIGINT), observed share (one double division of
+# exact integers), the Benford expectation log10(1+1/d) (single
+# transcendental, ROUND 6 — the conditional_derive_log convention), and
+# the signed deviation. The chi² statistic rides along as a constant
+# column: each digit's term is rounded to 9dp and DECIMAL-summed so the
+# 9-term sum is order-free and engine-identical (the exact-moment
+# recipe, applied to a tiny sum). One scan + one 9-row agg — nothing
+# here grows with SF beyond the first groupBy.
+@query(
+    "benford_order_totals",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+    terms AS (
+        SELECT c.digit, c.n, t.tot,
+               CAST(ROUND(
+                   (n * 1.0 / tot - log10(1 + 1.0 / digit))
+                   * (n * 1.0 / tot - log10(1 + 1.0 / digit))
+                   / log10(1 + 1.0 / digit), 9) AS DECIMAL(20,9)) AS term
+        FROM c, t
+    ),
+    chi AS (SELECT ROUND(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+                         * MAX(tot), 4) AS chi2 FROM terms)
+    SELECT digit, n,
+           ROUND(n * 1.0 / tot, 6) AS share,
+           ROUND(log10(1 + 1.0 / digit), 6) AS benford_p,
+           ROUND(n * 1.0 / tot - log10(1 + 1.0 / digit), 6) AS deviation,
+           chi2
+    FROM terms, chi
+    ORDER BY digit
+    """,
+)
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = (
+        orders.filter(F.col("o_totalprice") >= 1.0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    share = F.col("n") * F.lit(1.0) / F.col("tot")
+    p = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    terms = c.crossJoin(F.broadcast(t)).withColumn(
+        "term",
+        F.round((share - p) * (share - p) / p, 9).cast("decimal(20,9)"),
+    )
+    chi = terms.agg(
+        F.round(
+            F.sum("term").cast("double") * F.max("tot"), 4
+        ).alias("chi2")
+    )
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(p, 6).alias("benford_p"),
+            F.round(share - p, 6).alias("deviation"),
+            "chi2",
+        )
+        .orderBy("digit")
+    )
+
+
+# X103 (the 100 TB operational report): join-key skew diagnosis — the
+# report a capacity planner reads BEFORE a big shuffle lands: top-10
+# hottest keys with share and cumulative share, plus corpus-level
+# concentration stats (HHI, max/mean imbalance). Everything derives
+# from EXACT integer counts (sum of squared counts stays < 2^63 at any
+# plausible SF) with one double division at the end, so the report
+# hash-matches across engines with no float-sum ordering anywhere.
+# Shape: one count agg on the key, one 10-row window — the report costs
+# one shuffle on the key being diagnosed, which is the cheapest rehearsal
+# of the join it de-risks. The engine's own skew countermeasures
+# (salting, AQE skew split) are separate registered queries
+# (salted_join_event_types, aqe probes); this is the detector.
+@query(
+    "key_skew_diagnosis",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n * n) AS BIGINT) AS sum_n2,
+               CAST(MAX(n) AS BIGINT) AS max_n
+        FROM c
+    ),
+    top AS (
+        SELECT user_id, n,
+               row_number() OVER (ORDER BY n DESC, user_id ASC) AS rnk,
+               SUM(n) OVER (ORDER BY n DESC, user_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_n
+        FROM c QUALIFY rnk <= 10
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank, user_id, n,
+           ROUND(n * 1.0 / tot, 6) AS share,
+           ROUND(cum_n * 1.0 / tot, 6) AS cum_share,
+           tot AS n_rows, n_keys,
+           ROUND(sum_n2 * 1.0 / (tot * tot), 9) AS hhi,
+           ROUND(max_n * 1.0 * n_keys / tot, 6) AS max_over_mean
+    FROM top, s
+    ORDER BY rank
+    """,
+)
+def key_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s = c.agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_n2"),
+        F.max("n").cast("bigint").alias("max_n"),
+    )
+    # distributed top-k FIRST (TakeOrdered — per-partition heads, no
+    # global window over n_keys rows), then rank/cumulate inside the
+    # 10-row survivor frame where a single-partition window is free
+    w = W.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    top = (
+        c.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_n", F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(s))
+        .select(
+            F.col("rnk").cast("bigint").alias("rank"),
+            "user_id",
+            "n",
+            F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("share"),
+            F.round(F.col("cum_n") * F.lit(1.0) / F.col("tot"), 6).alias(
+                "cum_share"
+            ),
+            F.col("tot").alias("n_rows"),
+            "n_keys",
+            F.round(
+                F.col("sum_n2") * F.lit(1.0) / (F.col("tot") * F.col("tot")),
+                9,
+            ).alias("hhi"),
+            F.round(
+                F.col("max_n") * F.lit(1.0) * F.col("n_keys") / F.col("tot"),
+                6,
+            ).alias("max_over_mean"),
+        )
+        .orderBy("rank")
+    )

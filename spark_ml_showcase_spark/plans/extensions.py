@@ -2879,3 +2879,73 @@ def maxsim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_doc")
     )
+
+
+# X106 (contrastive-training data prep): hard-negative mining — for
+# each sampled anchor, the top-5 MOST-similar candidates with a
+# DIFFERENT label. These near-miss negatives are what a contrastive /
+# reranker fine-tune actually needs (random negatives are too easy;
+# same-label neighbors are positives — filtered_cosine_topk's job).
+# Exact form: the label-inequality predicate runs under the bounded
+# broadcast(1% anchors) cross — the cosine_topk_bruteforce shape — and
+# the rank window sees only eligible negatives, so the k returned are
+# genuinely the hardest. At 100 TB the candidate fetch rides the pooled
+# IVF probe (maxsim_ivf_rerank's stage 1) with the label filter applied
+# to the cell scan; this query is the exact truth that serving twin
+# composes with. Fully SQL-replayable (cosine + rank in both engines).
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (SELECT vec_id AS anchor_id, label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neg_id, label,
+                      embedding::DOUBLE[] AS cv
+               FROM embeddings)
+    SELECT anchor_id, neg_id, cosine, rank FROM (
+        SELECT q.anchor_id, c.neg_id,
+               ROUND(list_dot_product(q.qv, c.cv)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.anchor_id
+                   ORDER BY ROUND(list_dot_product(q.qv, c.cv)
+                                  / (sqrt(list_dot_product(q.qv, q.qv))
+                                     * sqrt(list_dot_product(c.cv, c.cv))),
+                            6) DESC,
+                            c.neg_id ASC) AS rank
+        FROM q JOIN c ON q.label <> c.label
+    ) WHERE rank <= 5
+    ORDER BY anchor_id, rank
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from spark_ml_showcase_spark.functions import vectors as V
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("_ql"),
+        similarity.as_double("embedding").alias("_qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("_cl"),
+        similarity.as_double("embedding").alias("_cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_cl") != F.col("_ql"))
+        .withColumn("cosine", F.round(V.cosine("_qv", "_cv"), 6))
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("anchor_id", "neg_id", "cosine", "rank")
+        .orderBy("anchor_id", "rank")
+    )

@@ -708,3 +708,225 @@ def pooled_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "v",
     ).orderBy("label", "dim")
+
+
+# X104 (tokenizer-budget planning): tokenizer fertility per (source,
+# lang) — BPE-ish tokens per whitespace word and chars per token, the
+# two ratios that turn a raw-bytes corpus estimate into a token budget
+# (and the per-language fairness check: high-fertility languages pay
+# more tokens for the same text). Pure column expressions (the
+# text_quality_lang regex conventions, Java∩RE2-safe) feeding exact
+# BIGINT sums; the only doubles are final single divisions. One scan,
+# one small agg — at 100 TB this is a map-side-combinable pass.
+@query(
+    "tokenizer_fertility",
+    oracle=r"""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           ROUND(SUM(len(regexp_extract_all(
+                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) * 1.0
+                 / SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> ''))), 6) AS fertility,
+           ROUND(SUM(length(text)) * 1.0
+                 / SUM(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 6)
+               AS chars_per_token
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TX.whitespace_token_count("text"))
+        .cast("bigint")
+        .alias("n_words"),
+        F.sum(TX.bpe_ish_token_count("text"))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.sum(TX.char_count("text")).cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_bpe_tokens") * F.lit(1.0) / F.col("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars") * F.lit(1.0) / F.col("n_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+    ).orderBy("source", "lang")
+
+
+# X107 (dataset-card statistic): exact-duplicate rate per source — the
+# attrition number every corpus release publishes per provenance
+# bucket, and the first column a curator reads when deciding which
+# source needs the heavier near-dup pass. Distinctness is counted over
+# md5(text) rather than the text bytes themselves so the shuffle
+# carries 16-byte digests, not documents (at 100 TB the distinct-count
+# shuffle is the whole cost; both engines compute identical digests
+# over identical UTF-8). Within-source only by design — cross-source
+# leakage is source_overlap_matrix's job.
+@query(
+    "dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+           ROUND((COUNT(*) - COUNT(DISTINCT md5(text))) * 1.0 / COUNT(*), 6)
+               AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique"))
+            .cast("bigint")
+            .alias("n_dups"),
+            F.round(
+                (F.col("n_docs") - F.col("n_unique"))
+                * F.lit(1.0)
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# X105 (vocabulary statistics): Zipf rank-frequency law over the corpus
+# vocabulary — the sanity check that a synthetic/filtered corpus still
+# has natural-language-like token statistics (a flat slope screams
+# template spam; a cliff screams over-dedup). Top-20 tokens with exact
+# (rank, freq) rows; the log-log OLS slope/intercept over the top-1000
+# vocabulary rides along as constant columns. Cross-engine determinism
+# for a regression over TRANSCENDENTAL regressors: each ln is applied
+# once and rounded to 6dp (the single-transcendental convention), the
+# rounded terms are DECIMAL-summed (order-free), the closed-form slope
+# runs on identical doubles in both engines (VARCHAR-cast, the
+# trend_value_by_type recipe), ROUND(4) last. Vocab selection is
+# deterministic: freq DESC, token ASC.
+@query(
+    "zipf_vocab_slope",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    vocab AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq,
+               row_number() OVER (ORDER BY COUNT(*) DESC, term ASC) AS rnk
+        FROM tok GROUP BY term QUALIFY rnk <= 1000
+    ),
+    terms AS (
+        SELECT term, freq, rnk,
+               CAST(ROUND(ln(rnk), 6) AS DECIMAL(18,6)) AS x,
+               CAST(ROUND(ln(freq), 6) AS DECIMAL(18,6)) AS y
+        FROM vocab
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+        FROM terms
+    ),
+    fit AS (
+        SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                   AS zipf_slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 4) AS intercept,
+               CAST(n AS BIGINT) AS n_vocab
+        FROM m
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank, term, freq,
+           zipf_slope, intercept, n_vocab
+    FROM terms, fit
+    WHERE rnk <= 20
+    ORDER BY rank
+    """,
+)
+def zipf_vocab_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term")
+    )
+    counts = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    # distributed top-k (freq DESC, term ASC) then rank inside the
+    # ≤1000-row survivor frame — no global window over the vocabulary
+    vocab = (
+        counts.orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(1000)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+            ),
+        )
+        .withColumn(
+            "x", F.round(F.log("rnk"), 6).cast("decimal(18,6)")
+        )
+        .withColumn(
+            "y", F.round(F.log("freq"), 6).cast("decimal(18,6)")
+        )
+        .localCheckpoint()  # feeds the fit AND the top-20 output
+    )
+    m = vocab.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = m.select(
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.col("n").cast("bigint").alias("n_vocab"),
+    )
+    return (
+        vocab.filter(F.col("rnk") <= 20)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.col("rnk").cast("bigint").alias("rank"),
+            "term",
+            "freq",
+            "zipf_slope",
+            "intercept",
+            "n_vocab",
+        )
+        .orderBy("rank")
+    )

@@ -79,6 +79,25 @@ ALLOWLIST = {
         "at token granularity; at scale the exact pass runs on IVF "
         "candidates only (docstring)"
     },
+    "benford_order_totals": {
+        "bnlj": "single-row broadcast crosses (tpch_q11 pattern): the "
+        "9-digit count frame crosses the 1-row total, then the 1-row "
+        "chi2 scalar"
+    },
+    "key_skew_diagnosis": {
+        "bnlj": "the 10-row top-key frame crosses the single-row "
+        "corpus-stats scalar (tot/n_keys/HHI) — tpch_q11 pattern"
+    },
+    "zipf_vocab_slope": {
+        "bnlj": "the 20-row top-vocab frame crosses the single-row OLS "
+        "fit scalar — tpch_q11 pattern"
+    },
+    "hard_negative_mining": {
+        "bnlj": "cosine_topk_bruteforce shape with a label-inequality "
+        "predicate: candidates stream once against the broadcast 1% "
+        "anchor sample; at scale the fetch rides the pooled IVF probe "
+        "with the label filter on the cell scan (docstring)"
+    },
     "maxsim_ivf_rerank": {
         "bnlj": "the TRUTH leg only: same bounded broadcast(query "
         "tokens) cross as maxsim_late_interaction, present to measure "
