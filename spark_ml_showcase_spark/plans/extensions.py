@@ -2780,7 +2780,6 @@ def maxsim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window as W
 
-    from spark_ml_showcase_spark.functions import vectors as V
 
     emb = Catalog(spark, sf_dir).embeddings
     # n_probe=6/8 with a deep candidate pool: the fixture embeddings are
@@ -2801,10 +2800,18 @@ def maxsim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def maxsim_topk(pair: DataFrame) -> DataFrame:
         # X93 arithmetic: per-pair cosine ROUND(6), order-free max per
-        # (q, d, query-token), DECIMAL sum of the per-token maxima
+        # (q, d, query-token), DECIMAL sum of the per-token maxima.
+        # Arrow-vectorized scorer on BOTH legs (rows-only query — no
+        # oracle rank parity to protect; the rrf_fusion_ivf convention):
+        # the interpreted HOF cosine was the measured cost at sf0.1, and
+        # truth + served sharing one scorer keeps the recall measurement
+        # internally consistent.
         scored = (
-            pair.groupBy("qd", "cd", "qt")
-            .agg(F.max(F.round(V.cosine("qv", "v"), 6)).alias("m"))
+            pair.withColumn(
+                "_cos", F.round(similarity.cosine_pandas_udf()("qv", "v"), 6)
+            )
+            .groupBy("qd", "cd", "qt")
+            .agg(F.max("_cos").alias("m"))
             .groupBy("qd", "cd")
             .agg(
                 F.sum(F.col("m").cast("decimal(20,6)"))
