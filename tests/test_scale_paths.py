@@ -173,3 +173,31 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skew_and_zipf_use_distributed_topk_not_global_window(
+    spark, monkeypatch
+):
+    """X103/X105 scale claim: the hot-key and vocabulary rankings take a
+    distributed top-k (TakeOrderedAndProject — per-partition heads)
+    FIRST and window only inside the tiny survivor frame; a global
+    row_number over the whole key space would serialize the corpus
+    through one partition. zipf's localCheckpoint would hide its subtree
+    from the executed plan, so checkpointing is stubbed to identity here
+    (plan-shape inspection only — values are the oracle's job)."""
+    # Spark 4: sessions build pyspark.sql.classic.dataframe.DataFrame —
+    # patching the pyspark.sql.DataFrame facade would not reach instances
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from spark_ml_showcase_spark.plans.analytics_queries import (
+        key_skew_diagnosis,
+    )
+    from spark_ml_showcase_spark.plans.text_ir_queries import zipf_vocab_slope
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    sf = "/root/testdata/sf0.001"
+    for q in (key_skew_diagnosis, zipf_vocab_slope):
+        plan = _plan(q(spark, sf))
+        assert "TakeOrderedAndProject" in plan, q.__name__

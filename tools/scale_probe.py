@@ -761,6 +761,86 @@ def probe_ivf_upsert_merge_1m(spark):
     return _ivf_upsert_probe(spark, split_threshold=3.0, expect_splits=False)
 
 
+def probe_maxsim_rerank_1m(spark):
+    """Two-stage maxsim serving at 1M token vectors (250k docs × 4
+    tokens × 16-dim; r12, X100): mean-pool per doc (one map-side
+    combinable (doc, dim) agg), build the coarse quantizer on the 250k
+    pooled vectors, probe 100 query docs for top-60 candidates
+    (n_probe=6/32 cells), exact token-level maxsim over candidate pairs
+    only (100 × 60 × 16 cosines — the stage-2 cost that at corpus scale
+    replaces 100 × 250k × 16). Asserts every query returns its top-3.
+    rows/s = token corpus / wall."""
+    from pyspark.sql.window import Window as W
+
+    from spark_ml_showcase_spark.functions import similarity
+
+    n_docs, per_doc, dim, k = 250_000, 4, 16, 3
+    n = n_docs * per_doc
+
+    def _dim(j):
+        h = F.xxhash64("id", F.lit(j // 4))
+        sliced = F.shiftright(h, (j % 4) * 16).bitwiseAND(F.lit(0xFFFF))
+        return (sliced - F.lit(32768)).cast("double") / 32768.0
+
+    tok = spark.range(n).select(
+        (F.col("id") / per_doc).cast("bigint").alias("doc"),
+        F.col("id").alias("t"),
+        F.array(*[_dim(j) for j in range(dim)]).alias("v"),
+    ).localCheckpoint()
+    # ingest-time work (pooling agg + quantizer fit) runs BEFORE the
+    # clock — build-at-ingest is amortized in deployment; the probe
+    # times the SERVING path the two-stage shape exists for
+    pooled = (
+        similarity.pool_embeddings(
+            tok.select(
+                F.col("doc").alias("vec_id"), F.col("v").alias("embedding")
+            ),
+            "vec_id",
+        )
+        .select("vec_id", F.col("pooled").alias("embedding"))
+        .localCheckpoint()
+    )
+    assigned, cent = similarity.build_ivf_index(pooled, n_lists=32, seed=40)
+    assigned = assigned.localCheckpoint()
+    t0 = time.perf_counter()
+    qdocs = pooled.filter(F.col("vec_id") % 2500 == 0)
+    cands = (
+        similarity.ivf_probe(
+            assigned, cent, qdocs, 60, n_probe=6, vectorized=True
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(F.col("query_id").alias("qd"), F.col("cand_id").alias("cd"))
+    )
+    qtok = tok.join(
+        qdocs.select(F.col("vec_id").alias("doc")), "doc", "semi"
+    ).select(
+        F.col("doc").alias("qd"), F.col("t").alias("qt"), F.col("v").alias("qv")
+    )
+    pair = cands.join(tok.withColumnRenamed("doc", "cd"), "cd").join(
+        F.broadcast(qtok), "qd"
+    )
+    scored = (
+        pair.withColumn(
+            "_cos", F.round(similarity.cosine_pandas_udf()("qv", "v"), 6)
+        )
+        .groupBy("qd", "cd", "qt")
+        .agg(F.max("_cos").alias("m"))
+        .groupBy("qd", "cd")
+        .agg(
+            F.sum(F.col("m").cast("decimal(20,6)")).cast("double").alias("s")
+        )
+    )
+    w = W.partitionBy("qd").orderBy(F.col("s").desc(), F.col("cd").asc())
+    top = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+    )
+    got = top.groupBy("qd").agg(F.count(F.lit(1)).alias("nk")).collect()
+    dt = time.perf_counter() - t0
+    assert len(got) == 100 and all(r.nk == k for r in got), len(got)
+    return n, dt
+
+
 def probe_geo_knn_grid_10m(spark):
     """Expanding-ring spherical KNN at 10M candidate points × 10k
     queries (r12, X101): hash-uniform lat/lon, 1° cells (~154
@@ -1111,6 +1191,7 @@ PROBES = {
     "ivf_upsert_split_1m": probe_ivf_upsert_split_1m,
     "ivf_upsert_merge_1m": probe_ivf_upsert_merge_1m,
     "geo_knn_grid_10m": probe_geo_knn_grid_10m,
+    "maxsim_rerank_1m": probe_maxsim_rerank_1m,
     "phrase_search_1m": probe_phrase_search_1m,
     "psi_drift_50m": probe_psi_drift_50m,
     "triangle_hubskew_20m": probe_triangle_hubskew_20m,
