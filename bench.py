@@ -316,10 +316,13 @@ QZ_DICT_V17 = QZ_DICT_V16 + b"|maxsim_ivf_rerank|rerank"
 QZ_DICT_V18 = QZ_DICT_V17 + b"|geo_knn_grid|pca_quantized_regimes"
 
 # v19 (round 12, third batch): data-quality/corpus-card shelf.
-QZ_DICT = QZ_DICT_V18 + (
+QZ_DICT_V19 = QZ_DICT_V18 + (
     b"|benford_order_totals|key_skew_diagnosis|tokenizer_fertility"
     b"|dup_rate_by_source|zipf_vocab_slope|hard_negative_mining"
 )
+
+# v20 (round 12, fourth batch): the streaming skew monitor.
+QZ_DICT = QZ_DICT_V19 + b"|stream_key_skew"
 
 
 
@@ -336,8 +339,8 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V18, QZ_DICT_V17, QZ_DICT_V16, QZ_DICT_V15,
-        QZ_DICT_V14, QZ_DICT_V13, QZ_DICT_V12, QZ_DICT_V11,
+        QZ_DICT, QZ_DICT_V19, QZ_DICT_V18, QZ_DICT_V17, QZ_DICT_V16,
+        QZ_DICT_V15, QZ_DICT_V14, QZ_DICT_V13, QZ_DICT_V12, QZ_DICT_V11,
         QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6,
         QZ_DICT_V5, QZ_DICT_V4, QZ_DICT_V3, QZ_DICT_V2, QZ_DICT_V1,
     ):

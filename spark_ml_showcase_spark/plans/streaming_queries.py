@@ -493,3 +493,94 @@ def stream_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_bin_counts(
         counts, segment_col="event_type", base_period=1
     )
+
+
+# X108 (r12): the key-skew detector as a CONTINUOUS monitor — X103's
+# exact report with the per-key counting running in the streaming
+# engine (complete-mode count per user over the event stream), the
+# ranking/HHI tail applied batch-side to the sink. Same
+# finite-stream-equals-batch argument as stream_psi_weekly, so the
+# IDENTICAL oracle hash-checks the streaming path end to end. State is
+# one long per live key — at 100 TB a production deployment caps it by
+# monitoring a rolling window (watermark + update mode into a store)
+# or a sketch (the kmv/heavy-hitter family); the exact complete-mode
+# form is the truth those approximations are judged against.
+@query(
+    "stream_key_skew",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n * n) AS BIGINT) AS sum_n2,
+               CAST(MAX(n) AS BIGINT) AS max_n
+        FROM c
+    ),
+    top AS (
+        SELECT user_id, n,
+               row_number() OVER (ORDER BY n DESC, user_id ASC) AS rnk,
+               SUM(n) OVER (ORDER BY n DESC, user_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_n
+        FROM c QUALIFY rnk <= 10
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank, user_id, n,
+           ROUND(n * 1.0 / tot, 6) AS share,
+           ROUND(cum_n * 1.0 / tot, 6) AS cum_share,
+           tot AS n_rows, n_keys,
+           ROUND(sum_n2 * 1.0 / (tot * tot), 9) AS hhi,
+           ROUND(max_n * 1.0 * n_keys / tot, 6) AS max_over_mean
+    FROM top, s
+    ORDER BY rank
+    """,
+)
+def stream_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    stream = se.stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # the sink holds one row per key; checkpoint rebases it off the
+    # MemorySink view before the self-joining tail (stream_psi pattern)
+    c = se.run_to_memory(agg, spark, output_mode="complete").localCheckpoint()
+    s = c.agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_n2"),
+        F.max("n").cast("bigint").alias("max_n"),
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    top = (
+        c.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_n", F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(s))
+        .select(
+            F.col("rnk").cast("bigint").alias("rank"),
+            "user_id",
+            "n",
+            F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("share"),
+            F.round(F.col("cum_n") * F.lit(1.0) / F.col("tot"), 6).alias(
+                "cum_share"
+            ),
+            F.col("tot").alias("n_rows"),
+            "n_keys",
+            F.round(
+                F.col("sum_n2") * F.lit(1.0) / (F.col("tot") * F.col("tot")),
+                9,
+            ).alias("hhi"),
+            F.round(
+                F.col("max_n") * F.lit(1.0) * F.col("n_keys") / F.col("tot"),
+                6,
+            ).alias("max_over_mean"),
+        )
+        .orderBy("rank")
+    )
