@@ -266,8 +266,138 @@ def build_ivf_index(
         ).repartition(1).write.mode("overwrite").parquet(
             os.path.join(index_dir, "stats")
         )
+        _write_id_bloom(assigned, index_dir)
         return load_ivf_index(candidates.sparkSession, index_dir)
     return assigned, cent_df
+
+
+# --- index-id bloom manifest (the r11 "stale-cell id-scan" shortcut) ---
+# The exact-upsert stale-id lookup scans the index's id column per batch.
+# At 100 TB the COMMON daily ingest is pure inserts (no id overlap), so a
+# compact bloom of every index id answers "could any batch id already
+# exist?" from manifest bytes instead of index bytes — zero overlap skips
+# the scan entirely; any possible overlap falls back to the exact
+# semi-join restricted to the flagged ids. False positives only cost the
+# fallback; deletions never unset bits (replaced ids stay set — safe).
+# Maintenance is a bitwise-OR union with the batch's bits: O(batch).
+
+_IDBLOOM_SEEDS = (40, 41)
+
+
+def _bit_masks():
+    # 64 long literals indexed by bit position (shiftleft needs a Python
+    # int shift amount; bit 63 is the sign bit in two's complement).
+    # Built lazily — Column construction needs the JVM gateway.
+    return F.array(*[F.lit(1 << i) for i in range(63)], F.lit(-(1 << 63)))
+
+
+def _idbloom_rows(ids: DataFrame, id_col: str, n_words: int) -> DataFrame:
+    """(widx, mask) rows — one per (id, seed) — for bloom build/probe."""
+    bits = n_words * 64
+    out = None
+    for s in _IDBLOOM_SEEDS:
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(s)), F.lit(bits))
+        rows = ids.select(
+            F.col(id_col),
+            F.lit(s).alias("_seed"),
+            (h / 64).cast("int").alias("widx"),
+            F.element_at(
+                _bit_masks(), F.pmod(h, 64).cast("int") + 1
+            ).alias("mask"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+def _write_id_bloom(assigned: DataFrame, index_dir: str) -> None:
+    import os
+
+    n = assigned.count()
+    # ~12 bits/id at 2 hashes → ~0.4% false-positive rate; the manifest
+    # is ~1.5 bits/id of storage vs the 64-bit id column it spares
+    n_words = max(64, (n * 12 + 63) // 64)
+    words = (
+        _idbloom_rows(assigned, "cand_id", n_words)
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+        .withColumn("n_words", F.lit(int(n_words)).cast("bigint"))
+    )
+    words.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "idmap")
+    )
+
+
+def _bloom_maybe_existing(
+    spark, index_dir: str, batch_ids: DataFrame
+) -> DataFrame | None:
+    """Batch ids whose bloom bits are ALL present in the index-id bloom
+    (the only ids that can already exist); None when the index predates
+    the manifest (caller falls back to the full exact lookup).
+
+    Shuffle-free: one broadcast hash join per seed against the manifest
+    words (each probe row matches exactly one word), hit predicates
+    cascade — no per-id regroup. The caller feeds the result straight
+    into the exact semi-join; when it is empty, AQE's empty-relation
+    propagation elides the index id-column scan at runtime."""
+    import os
+
+    idmap_dir = os.path.join(index_dir, "idmap")
+    if not os.path.isdir(idmap_dir):
+        return None
+    words = spark.read.parquet(idmap_dir)
+    n_words = int(words.select(F.max("n_words")).first()[0])
+    bits = n_words * 64
+    out = batch_ids
+    for s in _IDBLOOM_SEEDS:
+        h = F.pmod(F.xxhash64(F.col("cand_id"), F.lit(s)), F.lit(bits))
+        out = (
+            out.withColumn("_widx", (h / 64).cast("int"))
+            .withColumn(
+                "_mask",
+                F.element_at(_bit_masks(), F.pmod(h, 64).cast("int") + 1),
+            )
+            .join(
+                F.broadcast(
+                    words.select(
+                        F.col("widx").alias("_widx"),
+                        F.col("word").alias(f"_w{s}"),
+                    )
+                ),
+                "_widx",
+                "left",
+            )
+            .filter(
+                F.coalesce(F.col(f"_w{s}"), F.lit(0)).bitwiseAND(
+                    F.col("_mask")
+                )
+                == F.col("_mask")
+            )
+            .drop("_widx", "_mask", f"_w{s}")
+        )
+    return out
+
+
+def _bloom_union_batch(spark, index_dir: str, batch_ids: DataFrame) -> None:
+    """OR the batch's bits into the persisted bloom (insert-only union —
+    no recomputation; saturation over many ingests only raises the
+    false-positive rate, and a periodic full rebuild re-sizes it)."""
+    import os
+
+    idmap_dir = os.path.join(index_dir, "idmap")
+    if not os.path.isdir(idmap_dir):
+        return
+    words = spark.read.parquet(idmap_dir)
+    n_words = int(words.select(F.max("n_words")).first()[0])
+    merged = (
+        _idbloom_rows(batch_ids, "cand_id", n_words)
+        .select("widx", F.col("mask").alias("word"))
+        .unionByName(words.select("widx", "word"))
+        .groupBy("widx")
+        .agg(F.bit_or("word").alias("word"))
+        .withColumn("n_words", F.lit(n_words).cast("bigint"))
+        .localCheckpoint()  # reads idmap/, overwrites idmap/
+    )
+    merged.repartition(1).write.mode("overwrite").parquet(idmap_dir)
 
 
 def load_ivf_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -446,13 +576,25 @@ def ivf_index_upsert(
     # re-ingested vector whose nearest cell changed (a split moved the
     # boundary) leaves no stale row. The lookup is a column-pruned scan
     # of (cand_id, _cell) — _cell is the partition column, so only the
-    # id column is read — semi-joined with the batch ids: a few % of
-    # index bytes at 100 TB, the price of replay idempotence.
+    # id column is read — semi-joined with the batch ids. Since r12 the
+    # index-id BLOOM manifest (idmap/) screens the batch first: a pure
+    # insert batch (the common daily ingest) has zero possibly-existing
+    # ids and SKIPS the id-column scan entirely, paying manifest bytes
+    # (~1.5 bits/id) instead of index bytes; flagged ids (true overlaps
+    # + ~0.4% false positives) fall back to the exact semi-join,
+    # restricted to just those ids.
+    # bloom legs read the RAW batch projection (`new`), not new_assigned:
+    # the id set is identical and the raw frame is one scan, where the
+    # assigned frame re-runs the centroid cross + window per consumer
+    lookup_ids = new.select("cand_id")
+    maybe = _bloom_maybe_existing(spark, index_dir, lookup_ids)
+    if maybe is not None:
+        # empty flagged set → AQE empty-relation propagation elides the
+        # id-column scan below at runtime (the pure-insert fast path)
+        lookup_ids = maybe
     stale_cells = {
         int(r._cell)
-        for r in assigned.join(
-            new_assigned.select("cand_id"), "cand_id", "semi"
-        )
+        for r in assigned.join(lookup_ids, "cand_id", "semi")
         .select("_cell")
         .distinct()
         .collect()
@@ -520,6 +662,10 @@ def ivf_index_upsert(
             shutil.rmtree(
                 os.path.join(cells_dir, f"_cell={c}"), ignore_errors=True
             )
+    # keep the id-bloom manifest current: OR the batch's bits in (pure
+    # union — replaced ids staying set is safe, extra bits only cost
+    # false positives on a later batch)
+    _bloom_union_batch(spark, index_dir, new.select("cand_id"))
 
     # post-merge bookkeeping on the touched cells only
     assigned, cent_df = load_ivf_index(spark, index_dir)
