@@ -34,6 +34,22 @@ NOTES = """\
   (shuffle MB / stages — deterministic) via `tools/bench_diff.py`, and
   arbitrate with an isolated min-of-5 before flagging; wall-clock alone
   re-flags this forever.
+- **`triangle_count_suppliers` arbitrated (r12, judge item #6)**: the
+  r11 close drift (5.34 → 6.82 s, bit-identical plan metrics) was run
+  through the policy — isolated fresh-session min-of-5 at sf0.1:
+  **4.45 s**, i.e. faster than BOTH closes and the driver's own 5.14 s.
+  Verdict: pure suite-state noise (the query runs among the slowest in
+  a 230+-query session with accumulated JVM heap/GC/codegen-cache
+  pressure); design unchanged, nothing to fix. Future closes should
+  read this query's number against the 4.45 s isolated floor instead of
+  re-flagging the in-suite wobble.
+- **The ANN family rides the suite-level cached IVF index since r12**:
+  `ivf_topk` / `ann_recall_report` / `quantized_ann_recall` /
+  `ann_multiprobe_curve` / `rrf_fusion_ivf` / `maxsim_ivf_rerank` share
+  one coarse quantizer per (fixture content, variant, params) under
+  /tmp — the first consumer builds, the rest load, and a regenerated
+  fixture rebuilds via the content fingerprint. Measured −4.3 s on the
+  family against the r11 close on the same box.
 """
 
 
