@@ -930,3 +930,113 @@ def zipf_vocab_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# X109 (retrieval evaluation): rank-biased overlap (Webber et al. 2010)
+# between the sparse TF-IDF and dense cosine top-10 rankings — the
+# standard top-weighted list-comparison metric a retrieval stack uses
+# to quantify how much two rankers agree (where RRF *fuses* the lists,
+# RBO *scores* their agreement; both ride the same two legs as
+# rrf_fusion_docs). Determinism: RBO@10 = Σ_d (1−p)·p^(d−1)·|∩_d|/d
+# re-expressed per common pair — a pair entering at depth g =
+# max(rank_a, rank_b) contributes C(g) = Σ_{d=g..10} (1−p)p^(d−1)/d —
+# so the whole metric is a sum of TEN PRECOMPUTED LITERALS (identical
+# decimal constants inlined in both engines), ROUND(12) each,
+# DECIMAL-summed, ROUND(6) last. No pow() at query time, no float-sum
+# ordering. Queries with an empty sparse list score 0 (anchored on the
+# dense query set).
+_RBO_P, _RBO_K = 0.9, 10
+_RBO_C = [
+    round(
+        sum(
+            (1 - _RBO_P) * _RBO_P ** (d - 1) / d
+            for d in range(g, _RBO_K + 1)
+        ),
+        12,
+    )
+    for g in range(1, _RBO_K + 1)
+]
+_RBO_C_SQL = "[" + ", ".join(repr(c) for c in _RBO_C) + "]"
+
+
+@query(
+    "rbo_sparse_vs_dense",
+    oracle=rf"""
+    WITH {_sparse_ranked_sql(10)},
+    dense AS (
+        SELECT query_id, cand_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.qv, c.cv)
+                                      / (sqrt(list_dot_product(q.qv, q.qv))
+                                         * sqrt(list_dot_product(c.cv, c.cv))),
+                                      6) DESC,
+                                c.vec_id ASC) AS rank
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id % 50 = 0) q,
+                 (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
+            WHERE c.vec_id <> q.vec_id
+        ) WHERE rank <= 10
+    ),
+    common AS (
+        SELECT d.query_id,
+               list_extract({_RBO_C_SQL},
+                            GREATEST(s.rank, d.rank)) AS coef
+        FROM sparse_topk s
+        JOIN dense d ON s.id_a = d.query_id AND s.id_b = d.cand_id
+    ),
+    per_q AS (
+        SELECT query_id,
+               ROUND(CAST(CAST(SUM(CAST(coef AS DECIMAL(20,12)))
+                               AS VARCHAR) AS DOUBLE), 6) AS rbo_10,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM common GROUP BY query_id
+    )
+    SELECT q.query_id,
+           COALESCE(p.rbo_10, 0.0) AS rbo_10,
+           CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common
+    FROM (SELECT DISTINCT query_id FROM dense) q
+    LEFT JOIN per_q p USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def rbo_sparse_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    sparse = ir.sparse_cosine_topk(
+        cat.documents,
+        k=10,
+        rare_features=5,
+        query_filter=F.col("doc_id") % 50 == 0,
+    ).select("query_id", "cand_id", F.col("rank").alias("_ra"))
+    emb = cat.embeddings
+    dense = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), 10
+    ).select("query_id", "cand_id", F.col("rank").alias("_rb"))
+    coef = F.element_at(
+        F.array(*[F.lit(c) for c in _RBO_C]),
+        F.greatest(F.col("_ra"), F.col("_rb")).cast("int"),
+    )
+    per_q = (
+        sparse.join(dense, ["query_id", "cand_id"])
+        .select("query_id", coef.alias("_coef"))
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.col("_coef").cast("decimal(20,12)")).cast("double"),
+                6,
+            ).alias("rbo_10"),
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        )
+    )
+    return (
+        dense.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("rbo_10", F.lit(0.0)).alias("rbo_10"),
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+        )
+        .orderBy("query_id")
+    )

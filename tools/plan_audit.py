@@ -164,6 +164,11 @@ ALLOWLIST = {
         "leg's single-row corpus-size scalar; the IVF leg and the "
         "overlap join are equi-joins on (cell) / (query, cand)"
     },
+    "rbo_sparse_vs_dense": {
+        "bnlj": "rrf_fusion_docs family: the exact dense ranking leg is "
+        "the bounded broadcast(2% query sample) cross; the sparse leg "
+        "and the RBO coefficient join are equi-joins"
+    },
     "rrf_fusion_docs": {
         "bnlj": "inherits its two inputs' allowlisted crosses: the dense "
         "list's broadcast(queries) brute-force baseline and the sparse "
