@@ -280,8 +280,18 @@ def build_ivf_index(
 # semi-join restricted to the flagged ids. False positives only cost the
 # fallback; deletions never unset bits (replaced ids stay set — safe).
 # Maintenance is a bitwise-OR union with the batch's bits: O(batch).
+#
+# Format v2 (r13, ADVICE fixes): 16 bits/id at k=3 hashes (~0.5% FP —
+# v1's 12/2 was ~2.4%, not the ~0.4% its comment claimed), ids
+# normalized to STRING before hashing (xxhash64 is dtype-sensitive:
+# INT and BIGINT 42 hash differently, so a batch whose id dtype
+# differed from build time probed all-false-NEGATIVE and silently
+# skipped the stale-id scan), and a ``fmt`` column so a v1 manifest is
+# treated as absent (exact full lookup) instead of probed with
+# mismatched hashes.
 
-_IDBLOOM_SEEDS = (40, 41)
+_IDBLOOM_SEEDS = (40, 41, 42)
+_IDBLOOM_FMT = 2
 
 
 def _bit_masks():
@@ -296,7 +306,11 @@ def _idbloom_rows(ids: DataFrame, id_col: str, n_words: int) -> DataFrame:
     bits = n_words * 64
     out = None
     for s in _IDBLOOM_SEEDS:
-        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(s)), F.lit(bits))
+        # cast-to-string normalization: build- and probe-side hashes
+        # must agree whatever integer width the caller's id column has
+        h = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(s)), F.lit(bits)
+        )
         rows = ids.select(
             F.col(id_col),
             F.lit(s).alias("_seed"),
@@ -313,14 +327,16 @@ def _write_id_bloom(assigned: DataFrame, index_dir: str) -> None:
     import os
 
     n = assigned.count()
-    # ~12 bits/id at 2 hashes → ~0.4% false-positive rate; the manifest
-    # is ~1.5 bits/id of storage vs the 64-bit id column it spares
-    n_words = max(64, (n * 12 + 63) // 64)
+    # 16 bits/id at k=3 hashes → (1-e^(-3/16))^3 ≈ 0.5% false-positive
+    # rate; the manifest is ~2 BYTES/id of storage vs the full 64-bit
+    # id column it spares (FPs only cost the exact fallback)
+    n_words = max(64, (n * 16 + 63) // 64)
     words = (
         _idbloom_rows(assigned, "cand_id", n_words)
         .groupBy("widx")
         .agg(F.bit_or("mask").alias("word"))
         .withColumn("n_words", F.lit(int(n_words)).cast("bigint"))
+        .withColumn("fmt", F.lit(_IDBLOOM_FMT).cast("int"))
     )
     words.repartition(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "idmap")
@@ -344,12 +360,28 @@ def _bloom_maybe_existing(
     idmap_dir = os.path.join(index_dir, "idmap")
     if not os.path.isdir(idmap_dir):
         return None
-    words = spark.read.parquet(idmap_dir)
-    n_words = int(words.select(F.max("n_words")).first()[0])
+    # the manifest is advisory: a corrupt/partial dir (crash mid-swap)
+    # or a pre-v2 format must degrade to the exact full lookup, never
+    # to a wrong answer or a read error surfacing mid-upsert
+    try:
+        words = spark.read.parquet(idmap_dir)
+        if "fmt" not in words.columns:
+            return None
+        first = words.select(
+            F.max("n_words").alias("nw"), F.min("fmt").alias("fmt")
+        ).first()
+        if first.nw is None or int(first.fmt) != _IDBLOOM_FMT:
+            return None
+        n_words = int(first.nw)
+    except Exception:
+        return None
     bits = n_words * 64
     out = batch_ids
     for s in _IDBLOOM_SEEDS:
-        h = F.pmod(F.xxhash64(F.col("cand_id"), F.lit(s)), F.lit(bits))
+        h = F.pmod(
+            F.xxhash64(F.col("cand_id").cast("string"), F.lit(s)),
+            F.lit(bits),
+        )
         out = (
             out.withColumn("_widx", (h / 64).cast("int"))
             .withColumn(
@@ -380,24 +412,52 @@ def _bloom_maybe_existing(
 def _bloom_union_batch(spark, index_dir: str, batch_ids: DataFrame) -> None:
     """OR the batch's bits into the persisted bloom (insert-only union —
     no recomputation; saturation over many ingests only raises the
-    false-positive rate, and a periodic full rebuild re-sizes it)."""
+    false-positive rate, and a periodic full rebuild re-sizes it).
+
+    Called BEFORE the cells/ overwrite (r12 ADVICE, medium): extra
+    bloom bits are false-positive-only, so unioning the batch in early
+    is safe, while the opposite order left a crash window where the
+    batch's rows were in cells/ but absent from idmap/ — a later
+    re-ingest of one of those ids to a different cell would pass the
+    bloom screen as pure-insert, skip the stale-id lookup, and leave a
+    duplicate id. The rewrite goes through a sibling tmp dir + swap so
+    a crash leaves either the old manifest or none (probe degrades to
+    the exact lookup), never a half-written dir."""
     import os
+    import shutil
 
     idmap_dir = os.path.join(index_dir, "idmap")
     if not os.path.isdir(idmap_dir):
         return
-    words = spark.read.parquet(idmap_dir)
-    n_words = int(words.select(F.max("n_words")).first()[0])
-    merged = (
-        _idbloom_rows(batch_ids, "cand_id", n_words)
-        .select("widx", F.col("mask").alias("word"))
-        .unionByName(words.select("widx", "word"))
-        .groupBy("widx")
-        .agg(F.bit_or("word").alias("word"))
-        .withColumn("n_words", F.lit(n_words).cast("bigint"))
-        .localCheckpoint()  # reads idmap/, overwrites idmap/
-    )
-    merged.repartition(1).write.mode("overwrite").parquet(idmap_dir)
+    try:
+        words = spark.read.parquet(idmap_dir)
+        if "fmt" not in words.columns:
+            raise ValueError("pre-v2 id-bloom manifest")
+        first = words.select(
+            F.max("n_words").alias("nw"), F.min("fmt").alias("fmt")
+        ).first()
+        if first.nw is None or int(first.fmt) != _IDBLOOM_FMT:
+            raise ValueError("id-bloom format mismatch")
+        n_words = int(first.nw)
+        merged = (
+            _idbloom_rows(batch_ids, "cand_id", n_words)
+            .select("widx", F.col("mask").alias("word"))
+            .unionByName(words.select("widx", "word"))
+            .groupBy("widx")
+            .agg(F.bit_or("word").alias("word"))
+            .withColumn("n_words", F.lit(n_words).cast("bigint"))
+            .withColumn("fmt", F.lit(_IDBLOOM_FMT).cast("int"))
+        )
+        tmp_dir = idmap_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        merged.repartition(1).write.mode("overwrite").parquet(tmp_dir)
+        shutil.rmtree(idmap_dir, ignore_errors=True)
+        os.rename(tmp_dir, idmap_dir)
+    except Exception:
+        # unreadable / legacy manifest: drop it so every later probe
+        # takes the exact path (a retrain rebuilds it correctly-sized)
+        shutil.rmtree(idmap_dir, ignore_errors=True)
+        shutil.rmtree(idmap_dir + ".tmp", ignore_errors=True)
 
 
 def load_ivf_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -444,10 +504,20 @@ def cached_ivf_index(
     MUTATION queries must NOT use this: ``ivf_index_upsert`` owns its
     per-run store by contract (pinned in tests/test_similarity.py) —
     an upsert against a shared cache would poison every reader.
+
+    Concurrency (r12 ADVICE, low): the cache assumes ONE driver per
+    cache root at a time. Stale-sibling cleanup only removes dirs
+    whose ``.fp`` marker (or the dir itself) is older than
+    ``SMS_IVF_CACHE_TTL_S`` (default 3600 s), so a concurrent session
+    that just built — or is actively probing — a same-prefix index is
+    never deleted out from under it; genuinely stale fixtures from
+    prior rounds age out. Truly concurrent long-lived sessions should
+    scope ``SMS_IVF_CACHE`` per session.
     """
     import hashlib
     import os
     import shutil
+    import time
 
     from spark_ml_showcase_spark.sources.io import (
         _source_fingerprint,
@@ -467,10 +537,26 @@ def cached_ivf_index(
     if not fp_cache_ok(fp_path, key):
         os.makedirs(root, exist_ok=True)
         # a regenerated fixture leaves the previous fingerprint's dir
-        # behind — drop same-variant siblings so /tmp stays bounded
-        for d in os.listdir(root):
+        # behind — drop same-variant siblings so /tmp stays bounded,
+        # but only ones older than the TTL (see docstring: a FRESH
+        # sibling belongs to a concurrent session and must survive)
+        ttl = float(os.environ.get("SMS_IVF_CACHE_TTL_S", "3600"))
+        now = time.time()
+        # sorted: a store dir sorts before its ".fp" marker, so the
+        # dir's staleness is judged while the marker still exists
+        for d in sorted(os.listdir(root)):
             if d.startswith(prefix) and d not in (prefix + h, prefix + h + ".fp"):
                 p = os.path.join(root, d)
+                marker = p if p.endswith(".fp") else p + ".fp"
+                try:
+                    age = now - os.path.getmtime(marker)
+                except OSError:
+                    try:
+                        age = now - os.path.getmtime(p)
+                    except OSError:
+                        continue
+                if age < ttl:
+                    continue
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
                 else:
@@ -580,8 +666,8 @@ def ivf_index_upsert(
     # index-id BLOOM manifest (idmap/) screens the batch first: a pure
     # insert batch (the common daily ingest) has zero possibly-existing
     # ids and SKIPS the id-column scan entirely, paying manifest bytes
-    # (~1.5 bits/id) instead of index bytes; flagged ids (true overlaps
-    # + ~0.4% false positives) fall back to the exact semi-join,
+    # (~2 bytes/id) instead of index bytes; flagged ids (true overlaps
+    # + ~0.5% false positives) fall back to the exact semi-join,
     # restricted to just those ids.
     # bloom legs read the RAW batch projection (`new`), not new_assigned:
     # the id set is identical and the raw frame is one scan, where the
@@ -636,6 +722,7 @@ def ivf_index_upsert(
         )
         .filter(F.col("_keep") == 1)
         .select("cand_id", "_cv", "_cell")
+        # (bloom union happens BEFORE this write — see _bloom_union_batch)
         # hash by cell pre-write (one file per touched cell, not
         # tasks × cells); eager checkpoint: the merge READS cells/ and
         # overwrites the same path — without cutting the file-scan out
@@ -646,6 +733,13 @@ def ivf_index_upsert(
         )
         .localCheckpoint()
     )
+    # keep the id-bloom manifest current BEFORE rewriting cells/ (r12
+    # ADVICE, medium): premature union is false-positive-only safe,
+    # while the union-after-write order left a crash window where a
+    # batch's ids were in the index but not the manifest — a later
+    # re-ingest of one of them would screen as pure-insert, skip the
+    # stale-id scan, and survive duplicated in its old cell.
+    _bloom_union_batch(spark, index_dir, new.select("cand_id"))
     merged.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("_cell").parquet(cells_dir)
@@ -662,10 +756,6 @@ def ivf_index_upsert(
             shutil.rmtree(
                 os.path.join(cells_dir, f"_cell={c}"), ignore_errors=True
             )
-    # keep the id-bloom manifest current: OR the batch's bits in (pure
-    # union — replaced ids staying set is safe, extra bits only cost
-    # false positives on a later batch)
-    _bloom_union_batch(spark, index_dir, new.select("cand_id"))
 
     # post-merge bookkeeping on the touched cells only
     assigned, cent_df = load_ivf_index(spark, index_dir)

@@ -133,11 +133,24 @@ def grid_knn_sphere(
        geometric guarantee: any unseen point differs by > r·cell_deg in
        latitude or longitude, so its distance is at least
        min(meridian(r·c), lon-arc(r·c) at the highest latitude an
-       unseen-in-lon point could occupy, |qlat| + (r+1)·c). Resolved
-       top-k rows are exact — no unseen candidate can displace them.
+       unseen-in-lon point could occupy — the ring's lat-band edge).
+       Resolved top-k rows are exact — no unseen candidate can
+       displace them.
     3. Queries the ladder never resolves (sparse corners at tiny SF)
        fall back to the exact brute force — candidates stream once
        against the broadcast residue, the ``geo_knn_haversine`` shape.
+
+    Polar caveat (r12 ADVICE): the lon-separation bound carries
+    cos(phi_cap), where phi_cap is the highest |lat| an unseen-in-lon
+    point could occupy — the edge of the ring's latitude band (exact;
+    tighter than the previous ``|qlat| + (r+1)·cell_deg``). When the
+    band touches a pole (|qlat| ≳ 90 − (r+1)·cell_deg) the bound is
+    honestly ~0 — two points near the pole can be meters apart at any
+    lon separation — so polar-band queries can only resolve through
+    the latitude bound; at ring density they usually don't and pay
+    the exact fallback. That fallback is exact, so correctness never
+    degrades; a corpus with heavy polar query traffic should route the
+    polar band to a dedicated cap cell instead of the lon grid.
 
     The ladder is a FIXED DAG (len(rings) levels + fallback): no
     driver-side convergence loop, every stage a cell equi-join or a
@@ -211,15 +224,26 @@ def grid_knn_sphere(
             .withColumn("dist_m", dist)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(q_key, c_key, "dist_m", "rank", "_qlat")
+            .select(q_key, c_key, "dist_m", "rank", "_qcx")
             # ≤ |pending|·k rows; cut so the per-level bookkeeping below
             # never re-runs the grid join
             .localCheckpoint()
         )
         sep_rad = math.radians(r * cell_deg)
         d_lat_bound = _EARTH_D * math.asin(math.sin(sep_rad / 2.0))
+        # highest |lat| an unseen-in-lon point can occupy: the edge of
+        # the ring's LATITUDE BAND (cells _qcx−r .. _qcx+r), exact from
+        # the cell boundaries — tighter than the former qlat-relative
+        # |qlat| + (r+1)·cell_deg. Saturates at 90° when the band
+        # touches a pole (see the polar caveat in the docstring): there
+        # the lon bound is honestly zero and only the lat bound or the
+        # exact fallback can resolve the query.
         phi_cap = F.least(
-            F.abs(F.col("_qlat")) + F.lit((r + 1) * cell_deg), F.lit(90.0)
+            F.greatest(
+                F.abs((F.col("_qcx") + F.lit(r + 1)) * F.lit(cell_deg) - F.lit(90.0)),
+                F.abs((F.col("_qcx") - F.lit(r)) * F.lit(cell_deg) - F.lit(90.0)),
+            ),
+            F.lit(90.0),
         )
         d_lon_bound = F.lit(_EARTH_D) * F.asin(
             F.cos(F.radians(phi_cap)) * F.lit(math.sin(sep_rad / 2.0))
@@ -229,7 +253,7 @@ def grid_knn_sphere(
             .agg(
                 F.count(F.lit(1)).alias("_n"),
                 F.max("dist_m").alias("_dk"),
-                F.first("_qlat").alias("_qlat"),
+                F.first("_qcx").alias("_qcx"),
             )
             .filter(
                 (F.col("_n") >= k)

@@ -804,3 +804,160 @@ def test_maxsim_two_stage_rerank_recall(spark):
     two_stage = {(r.qd, r.cd) for r in maxsim_top3(cands).collect()}
     recall = len(full & two_stage) / len(full)
     assert recall >= 0.8, recall
+
+
+def test_idbloom_probe_is_id_dtype_insensitive(spark, tmp_path):
+    """r12 ADVICE (low): xxhash64 is dtype-sensitive (INT and BIGINT 42
+    hash differently), so build/probe hashes normalize the id to string
+    first — an INT-typed batch probing a BIGINT-built manifest must
+    flag its true overlaps (a false NEGATIVE here silently skips the
+    stale-id scan and duplicates replaced ids)."""
+    import os
+
+    batch1 = _clustered(spark, 120, seed=17, id_base=0)  # bigint ids
+    idx = os.path.join(str(tmp_path), "ivf_dtype")
+    similarity.build_ivf_index(batch1, n_lists=4, seed=40, index_dir=idx)
+    # overlap id 7 presented as INT, plus a pure-insert INT id
+    probe = spark.createDataFrame(
+        [(7,), (99999,)], "cand_id int"
+    )
+    flagged = similarity._bloom_maybe_existing(spark, idx, probe)
+    assert flagged is not None
+    got = {int(r.cand_id) for r in flagged.collect()}
+    assert 7 in got  # the true overlap MUST be flagged
+    # the fresh id is flagged only on a (rare) false positive
+    assert got <= {7, 99999}
+
+
+def test_idbloom_corrupt_or_legacy_manifest_degrades_to_exact(
+    spark, tmp_path
+):
+    """r12 ADVICE (medium, second half): an unreadable/partial idmap/
+    (crash mid-swap) or a pre-v2 manifest must make the probe return
+    None — the exact full lookup — never raise or mis-answer; the
+    union path drops the broken dir so later probes stay exact."""
+    import os
+    import shutil
+
+    batch1 = _clustered(spark, 100, seed=17, id_base=0)
+    idx = os.path.join(str(tmp_path), "ivf_corrupt")
+    similarity.build_ivf_index(batch1, n_lists=4, seed=40, index_dir=idx)
+    idmap = os.path.join(idx, "idmap")
+
+    # corrupt: replace the manifest with a non-parquet file
+    shutil.rmtree(idmap)
+    os.makedirs(idmap)
+    with open(os.path.join(idmap, "part-00000.parquet"), "w") as f:
+        f.write("not a parquet file")
+    probe = spark.createDataFrame([(3,)], "cand_id bigint")
+    assert similarity._bloom_maybe_existing(spark, idx, probe) is None
+    similarity._bloom_union_batch(spark, idx, probe)
+    assert not os.path.isdir(idmap)  # dropped, exact path from now on
+
+    # legacy (fmt column absent): treated as absent
+    spark.createDataFrame(
+        [(0, 1, 64)], "widx int, word bigint, n_words bigint"
+    ).write.mode("overwrite").parquet(idmap)
+    assert similarity._bloom_maybe_existing(spark, idx, probe) is None
+
+    # and the upsert still replaces rather than duplicates without it
+    shutil.rmtree(idmap, ignore_errors=True)
+    reingest = _clustered(spark, 20, seed=29, id_base=50)  # ids 50-69 overlap
+    similarity.ivf_index_upsert(
+        spark, idx, reingest, split_threshold=100.0, seed=40
+    )
+    a, _ = similarity.load_ivf_index(spark, idx)
+    assert a.count() == 100  # replaced, not duplicated
+    assert (
+        a.groupBy("cand_id").count().filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_idbloom_union_happens_before_cells_overwrite(
+    spark, tmp_path, monkeypatch
+):
+    """r12 ADVICE (medium): the bloom union runs BEFORE the cells/
+    overwrite — a crash between them leaves the manifest a SUPERSET of
+    the index (false-positive-only, safe) instead of missing ids whose
+    rows landed in cells/. Simulated by crashing right after the union:
+    the manifest must already flag the batch ids, the index must be
+    unchanged, and the replayed upsert must converge to the clean
+    result."""
+    import os
+
+    batch1 = _clustered(spark, 120, seed=17, id_base=0)
+    batch2 = _clustered(spark, 40, seed=23, id_base=1000)
+    idx = os.path.join(str(tmp_path), "ivf_order")
+    similarity.build_ivf_index(batch1, n_lists=4, seed=40, index_dir=idx)
+
+    real_union = similarity._bloom_union_batch
+
+    def crash_after_union(*a, **k):
+        real_union(*a, **k)
+        raise RuntimeError("simulated crash after bloom union")
+
+    monkeypatch.setattr(similarity, "_bloom_union_batch", crash_after_union)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.ivf_index_upsert(
+            spark, idx, batch2, split_threshold=100.0, seed=40
+        )
+    a, _ = similarity.load_ivf_index(spark, idx)
+    assert a.count() == 120  # cells/ untouched by the aborted upsert
+    flagged = similarity._bloom_maybe_existing(
+        spark, idx, batch2.select(F.col("vec_id").alias("cand_id"))
+    )
+    # superset direction: every batch id is now flagged (bits present)
+    assert flagged.count() == 40
+    # replay completes and is exact
+    monkeypatch.setattr(similarity, "_bloom_union_batch", real_union)
+    similarity.ivf_index_upsert(
+        spark, idx, batch2, split_threshold=100.0, seed=40
+    )
+    a2, _ = similarity.load_ivf_index(spark, idx)
+    assert a2.count() == 160
+    assert (
+        a2.groupBy("cand_id").count().filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_cached_ivf_index_cleanup_spares_fresh_siblings(
+    spark, tmp_path, monkeypatch
+):
+    """r12 ADVICE (low): stale-sibling cleanup must not delete a
+    same-prefix store whose .fp marker is fresh (a concurrent session
+    may be probing it); siblings older than SMS_IVF_CACHE_TTL_S age
+    out."""
+    import os
+
+    root = os.path.join(str(tmp_path), "cache")
+    monkeypatch.setenv("SMS_IVF_CACHE", root)
+    src = os.path.join(str(tmp_path), "src.parquet")
+    _clustered(spark, 80, seed=17).write.parquet(src)
+
+    def candidates():
+        return spark.read.parquet(src)
+
+    similarity.cached_ivf_index(
+        spark, src, candidates, variant="ttl", n_lists=4, seed=40
+    )
+    # fabricate two same-prefix siblings: one fresh, one beyond the TTL
+    fresh = os.path.join(root, "ttl_4_40_deadbeefdeadbeef")
+    stale = os.path.join(root, "ttl_4_40_feedfacefeedface")
+    for d in (fresh, stale):
+        os.makedirs(d)
+        with open(d + ".fp", "w") as f:
+            f.write("sentinel")
+    old = os.path.getmtime(stale + ".fp") - 7200
+    os.utime(stale + ".fp", (old, old))
+    # force a rebuild pass (content change -> cleanup runs)
+    import shutil
+
+    shutil.rmtree(src)
+    _clustered(spark, 90, seed=23).write.parquet(src)
+    similarity.cached_ivf_index(
+        spark, src, candidates, variant="ttl", n_lists=4, seed=40
+    )
+    assert os.path.isdir(fresh)  # fresh sibling survived
+    assert os.path.exists(fresh + ".fp")
+    assert not os.path.isdir(stale)  # aged-out sibling removed
+    assert not os.path.exists(stale + ".fp")

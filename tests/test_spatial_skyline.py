@@ -273,3 +273,76 @@ def test_grid_knn_sphere_randomized_parity_and_resolution(spark):
     )
     assert {tuple(r) for r in got} == {tuple(r) for r in truth}
     assert len(got) == n_q * 3
+
+
+def test_grid_knn_sphere_polar_band_exact_via_fallback(spark):
+    """r12 ADVICE (low): queries whose ring lat band touches a pole
+    have a degenerate lon bound (cos(90°)=0) and can never resolve via
+    the ring ladder — they must land in the exact brute-force fallback
+    and still return the exact top-k (correctness never degrades at
+    the poles, only the scale path does; documented in the operator
+    docstring). Mid-lat queries in the same run still resolve against
+    the tightened cell-band bound."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+    from spark_ml_showcase_spark.operators.geo import _hav_m, grid_knn_sphere
+
+    rng = np.random.RandomState(3)
+    # polar cloud + a mid-lat cloud, queries in both bands
+    n_polar, n_mid = 500, 2000
+    cl = np.concatenate(
+        [rng.uniform(80, 90, n_polar), rng.uniform(-50, 50, n_mid)]
+    )
+    cn = rng.uniform(-180, 180, n_polar + n_mid)
+    ql = np.array([86.0, 89.5, -88.0, 10.0, -40.0])
+    qn = np.array([0.0, 120.0, -60.0, 30.0, -100.0])
+    cands = spark.createDataFrame(
+        [(i, float(cl[i]), float(cn[i])) for i in range(len(cl))],
+        "ckey bigint, lat double, lon double",
+    )
+    queries = spark.createDataFrame(
+        [(i, float(ql[i]), float(qn[i])) for i in range(len(ql))],
+        "qkey bigint, lat double, lon double",
+    )
+    got = grid_knn_sphere(
+        queries, cands, q_key="qkey", c_key="ckey", k=3
+    ).collect()
+    d = (
+        cands.select(
+            "ckey", F.col("lat").alias("_clat"), F.col("lon").alias("_clon")
+        )
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    "qkey",
+                    F.col("lat").alias("_qlat"),
+                    F.col("lon").alias("_qlon"),
+                )
+            )
+        )
+        .withColumn(
+            "dist_m",
+            F.round(
+                _hav_m(
+                    F.col("_qlat"),
+                    F.col("_qlon"),
+                    F.col("_clat"),
+                    F.col("_clon"),
+                ),
+                3,
+            ),
+        )
+    )
+    w = W.partitionBy("qkey").orderBy(
+        F.col("dist_m").asc(), F.col("ckey").asc()
+    )
+    truth = (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qkey", "ckey", "dist_m", "rank")
+        .collect()
+    )
+    assert {tuple(r) for r in got} == {tuple(r) for r in truth}
+    assert len(got) == len(ql) * 3
