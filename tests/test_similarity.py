@@ -999,3 +999,61 @@ def test_cosine_pandas_udf_seq_bit_identical_to_hof(spark):
     ).first()
     assert r.seq_diff == 0
     assert r.pw_diff > 0  # the contrast: pairwise order really differs
+
+
+def test_embedding_drift_by_source_matches_numpy(spark, tmp_path):
+    """X110: the exact-moments drift algebra reproduces the numpy
+    centroid-L2 and mean-norm ground truth (within the ROUND(6)
+    quantization the cross-engine contract imposes), on a synthetic
+    corpus with a KNOWN injected drift in one source."""
+    import os
+
+    rng = np.random.RandomState(5)
+    dim, n = 16, 400
+    # source A: no drift; source B: current window shifted by +0.5 on dim 0
+    rows_e, rows_d = [], []
+    vecs = {}
+    for i in range(n):
+        src = "A" if (i // 100) % 2 == 0 else "B"
+        v = rng.randn(dim) * 0.1
+        if src == "B" and i % 2 == 1:  # B's "current" window drifts
+            v[0] += 0.5
+        vecs[i] = v
+        rows_e.append((i, [float(x) for x in v], 0))
+        rows_d.append((i, "t", "en", src, 1))
+    sf = os.path.join(str(tmp_path), "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows_e, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(os.path.join(sf, "embeddings.parquet"))
+    spark.createDataFrame(
+        rows_d, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    from spark_ml_showcase_spark.plans import extensions as E
+
+    got = {r.source: r for r in E.embedding_drift_by_source(spark, sf).collect()}
+
+    import numpy as np_  # alias: numpy truth below
+
+    for src in ("A", "B"):
+        ids = [i for i in vecs if rows_d[i][3] == src]
+        base = np_.stack([vecs[i] for i in ids if i % 2 == 0]).astype(
+            np_.float32
+        ).astype(np_.float64)
+        cur = np_.stack([vecs[i] for i in ids if i % 2 == 1]).astype(
+            np_.float32
+        ).astype(np_.float64)
+        truth_shift = float(
+            np_.linalg.norm(base.mean(axis=0) - cur.mean(axis=0))
+        )
+        r = got[src]
+        assert r.n_base == len(base) and r.n_cur == len(cur)
+        assert abs(r.centroid_shift - truth_shift) < 1e-4
+        tn_b = float(np_.linalg.norm(base, axis=1).mean())
+        tn_c = float(np_.linalg.norm(cur, axis=1).mean())
+        assert abs(r.mean_norm_base - tn_b) < 1e-4
+        assert abs(r.norm_shift - (tn_c - tn_b)) < 2e-4
+    # the injected drift dominates: B's shift ~0.5, A's ~sampling noise
+    assert got["B"].centroid_shift > 0.4
+    assert got["A"].centroid_shift < 0.1
