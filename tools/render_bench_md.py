@@ -43,6 +43,16 @@ NOTES = """\
   pressure); design unchanged, nothing to fix. Future closes should
   read this query's number against the 4.45 s isolated floor instead of
   re-flagging the in-suite wobble.
+- **Isolated floors for the suite's top-5 (r13, judge item #6)** —
+  fresh-session min-of-5 each, idle box (load ~1/32), 2026-08-16:
+  `ivf_index_upsert` **7.55 s** (after the r13 template-copy +
+  cached-truth-leg rework; was 12.0 isolated / 8.4 in-suite before),
+  `rrf_fusion_ivf` **7.61 s**, `rrf_fusion_docs` **6.93 s**,
+  `maxsim_late_interaction` **1.60 s** (after the r13 sequential-fold
+  Arrow scorer; was 5.58), `triangle_count_suppliers` **5.44 s** (r12
+  arbitration on the then-idle box read 4.45 — treat [4.45, 5.44] as
+  the host band). Future close diffs on these five arbitrate against
+  the floors instead of re-profiling in-suite wobble.
 - **The ANN family rides the suite-level cached IVF index since r12**:
   `ivf_topk` / `ann_recall_report` / `quantized_ann_recall` /
   `ann_multiprobe_curve` / `rrf_fusion_ivf` / `maxsim_ivf_rerank` share
