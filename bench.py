@@ -334,7 +334,10 @@ QZ_DICT_V20 = QZ_DICT_V19 + b"|stream_key_skew"
 QZ_DICT_V21 = QZ_DICT_V20 + b"|rbo_sparse_vs_dense"
 
 # v22 (round 13): the embedding-space drift monitor.
-QZ_DICT = QZ_DICT_V21 + b"|embedding_drift_by_source"
+QZ_DICT_V22 = QZ_DICT_V21 + b"|embedding_drift_by_source"
+
+# v23 (round 13, second batch): its streaming twin.
+QZ_DICT = QZ_DICT_V22 + b"|stream_embedding_drift"
 
 
 
@@ -351,7 +354,7 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V21, QZ_DICT_V20, QZ_DICT_V19, QZ_DICT_V18, QZ_DICT_V17,
+        QZ_DICT, QZ_DICT_V22, QZ_DICT_V21, QZ_DICT_V20, QZ_DICT_V19, QZ_DICT_V18, QZ_DICT_V17,
         QZ_DICT_V16, QZ_DICT_V15, QZ_DICT_V14, QZ_DICT_V13, QZ_DICT_V12,
         QZ_DICT_V11,
         QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6,

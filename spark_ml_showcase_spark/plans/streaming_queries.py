@@ -584,3 +584,196 @@ def stream_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# Streaming twin of embedding_drift_by_source (X110 → the X99/X108
+# promotion pattern, third streaming computation under a hard hash
+# oracle): the per-(source, window, dim) DECIMAL element sums ARE the
+# streaming state — a complete-mode groupBy over the exploded element
+# rows plus one pseudo-dim row (p = −1) per vector carrying its
+# ROUND(6) norm, so ONE stateful aggregation feeds both the centroid
+# and the norm legs (n per window = the p = −1 count). The embeddings
+# file-stream joins the static documents dimension stream-static on
+# the stream's own isolated session; the finite stream's final state
+# equals the batch answer, so the oracle is X110's SQL verbatim. At
+# 100 TB this is the deployed form of the monitor: state is
+# n_sources × 2 × (dim+1) decimal accumulators — constant in corpus
+# size — and each micro-batch folds in with map-side partial
+# aggregation.
+@query(
+    "stream_embedding_drift",
+    oracle="""
+    WITH j AS (
+        SELECT d.source,
+               CASE WHEN e.vec_id % 2 = 0 THEN 'baseline'
+                    ELSE 'current' END AS w,
+               e.embedding::DOUBLE[] AS v
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    per_w AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(ROUND(sqrt(list_dot_product(v, v)), 6)
+                                   AS DECIMAL(20,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_norm
+        FROM j GROUP BY 1, 2
+    ),
+    pos AS (
+        SELECT source, w, generate_subscripts(v, 1) AS p, unnest(v) AS x
+        FROM j
+    ),
+    se AS (
+        SELECT source, w, p,
+               SUM(CAST(ROUND(x, 6) AS DECIMAL(20,6))) AS se
+        FROM pos GROUP BY 1, 2, 3
+    ),
+    me AS (
+        SELECT se.source, se.w, se.p,
+               ROUND(CAST(se.se AS DOUBLE) / pw.n, 6) AS m
+        FROM se JOIN per_w pw ON se.source = pw.source AND se.w = pw.w
+    ),
+    sh AS (
+        SELECT source, p,
+               MAX(CASE WHEN w = 'baseline' THEN m END) AS mb,
+               MAX(CASE WHEN w = 'current' THEN m END) AS mc
+        FROM me GROUP BY 1, 2
+    ),
+    shift AS (
+        SELECT source,
+               ROUND(sqrt(CAST(SUM(CAST(ROUND((mb - mc) * (mb - mc), 12)
+                                        AS DECIMAL(38,12))) AS DOUBLE)),
+                     6) AS centroid_shift
+        FROM sh GROUP BY 1
+    ),
+    wide AS (
+        SELECT source,
+               CAST(MAX(CASE WHEN w = 'baseline' THEN n END) AS BIGINT)
+                   AS n_base,
+               CAST(MAX(CASE WHEN w = 'current' THEN n END) AS BIGINT)
+                   AS n_cur,
+               MAX(CASE WHEN w = 'baseline' THEN mean_norm END)
+                   AS mean_norm_base,
+               MAX(CASE WHEN w = 'current' THEN mean_norm END)
+                   AS mean_norm_cur
+        FROM per_w GROUP BY 1
+    )
+    SELECT wide.source AS source, n_base, n_cur, centroid_shift,
+           mean_norm_base, mean_norm_cur,
+           ROUND(mean_norm_cur - mean_norm_base, 6) AS norm_shift
+    FROM wide JOIN shift ON wide.source = shift.source
+    ORDER BY source
+    """,
+)
+def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.functions import similarity
+    from spark_ml_showcase_spark.functions import vectors as V
+    from spark_ml_showcase_spark.streaming.events import (
+        _as_stream_dir,
+        _stream_session,
+    )
+
+    s2 = _stream_session(spark)
+    stream = s2.readStream.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    ).parquet(_as_stream_dir(f"{sf_dir}/embeddings.parquet"))
+    # static dimension on the STREAM's session (memory-sink tables and
+    # stream-static joins are session-scoped)
+    docs = s2.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    # broadcast the dimension: a stream-static sort-merge would
+    # re-shuffle the static side every micro-batch
+    j = stream.join(F.broadcast(docs), stream.vec_id == docs.doc_id).select(
+        "source",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("baseline"))
+        .otherwise(F.lit("current"))
+        .alias("w"),
+        similarity.as_double("embedding").alias("v"),
+    )
+    elems = j.select("source", "w", F.posexplode("v").alias("p", "x"))
+    norms = j.select(
+        "source",
+        "w",
+        F.lit(-1).alias("p"),
+        F.round(F.sqrt(V.dot("v", "v")), 6).alias("x"),
+    )
+    # ROUND(x,6) is idempotent on the already-rounded norm rows, so one
+    # agg expression serves both row kinds
+    agg = (
+        elems.unionByName(norms)
+        .groupBy("source", "w", "p")
+        .agg(
+            F.sum(F.round("x", 6).cast("decimal(20,6)")).alias("se"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    c = se.run_to_memory(agg, spark, output_mode="complete").localCheckpoint()
+    per_w = c.filter(F.col("p") == -1).select(
+        "source",
+        "w",
+        F.col("cnt").alias("n"),
+        F.round(F.col("se").cast("double") / F.col("cnt"), 6).alias(
+            "mean_norm"
+        ),
+    )
+    me = (
+        c.filter(F.col("p") >= 0)
+        .join(
+            F.broadcast(per_w.select("source", "w", "n")), ["source", "w"]
+        )
+        .select(
+            "source",
+            "w",
+            "p",
+            F.round(F.col("se").cast("double") / F.col("n"), 6).alias("m"),
+        )
+    )
+    sh = me.groupBy("source", "p").agg(
+        F.max(F.when(F.col("w") == "baseline", F.col("m"))).alias("mb"),
+        F.max(F.when(F.col("w") == "current", F.col("m"))).alias("mc"),
+    )
+    shift = (
+        sh.select(
+            "source",
+            F.round(
+                (F.col("mb") - F.col("mc")) * (F.col("mb") - F.col("mc")),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("t"),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(F.sqrt(F.sum("t").cast("double")), 6).alias(
+                "centroid_shift"
+            )
+        )
+    )
+    wide = per_w.groupBy("source").agg(
+        F.max(F.when(F.col("w") == "baseline", F.col("n")))
+        .cast("bigint")
+        .alias("n_base"),
+        F.max(F.when(F.col("w") == "current", F.col("n")))
+        .cast("bigint")
+        .alias("n_cur"),
+        F.max(F.when(F.col("w") == "baseline", F.col("mean_norm"))).alias(
+            "mean_norm_base"
+        ),
+        F.max(F.when(F.col("w") == "current", F.col("mean_norm"))).alias(
+            "mean_norm_cur"
+        ),
+    )
+    return (
+        wide.join(F.broadcast(shift), "source")
+        .select(
+            "source",
+            "n_base",
+            "n_cur",
+            "centroid_shift",
+            "mean_norm_base",
+            "mean_norm_cur",
+            F.round(
+                F.col("mean_norm_cur") - F.col("mean_norm_base"), 6
+            ).alias("norm_shift"),
+        )
+        .orderBy("source")
+    )

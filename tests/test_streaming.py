@@ -663,3 +663,17 @@ def test_empty_stream_paths_return_empty(spark, tmp_path):
         stream2, state_dir=os.path.join(str(tmp_path), "st2"), keys=["user_id"]
     )
     assert state.count() == 0 and "user_id" in state.columns
+
+
+def test_stream_embedding_drift_equals_batch_twin(spark):
+    """X111: the streaming drift monitor's final complete-mode state
+    must equal the batch X110 answer row for row (finite stream =
+    batch), including every ROUND(6) hash-checked column."""
+    from spark_ml_showcase_spark.plans import extensions as E
+    from spark_ml_showcase_spark.plans import streaming_queries as SQ
+
+    sf = "/root/testdata/sf0.01"
+    batch = [tuple(r) for r in E.embedding_drift_by_source(spark, sf).collect()]
+    stream = [tuple(r) for r in SQ.stream_embedding_drift(spark, sf).collect()]
+    assert batch == stream
+    assert len(batch) > 0
