@@ -824,6 +824,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "embeddings.parquet"),
         lambda: emb,
         variant="emb",
+        params=similarity.IDENTITY_PARAMS,
         n_lists=8,
         seed=40,
     )
@@ -854,6 +855,7 @@ def _bf_truth_q20_k10(spark: SparkSession, sf_dir: str, emb) -> DataFrame:
             emb, emb.filter(F.col("vec_id") < 20), 10, vectorized=True
         ),
         variant="bf_truth_q20_k10",
+        params="q=vec_id<20|k=10|vectorized|v1",
     ).select("query_id", "cand_id")
 
 
@@ -880,6 +882,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "embeddings.parquet"),
         lambda: emb,
         variant="emb",
+        params=similarity.IDENTITY_PARAMS,
         n_lists=8,
         seed=40,
     )
@@ -941,6 +944,7 @@ def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "embeddings.parquet"),
         lambda: qc.select("vec_id", F.col("q_vec").alias("embedding")),
         variant="emb_int8",
+        params="src=quantize_int8_np|v1",
         n_lists=8,
         seed=40,
     )
@@ -1001,6 +1005,7 @@ def ann_multiprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "embeddings.parquet"),
         lambda: emb,
         variant="emb",
+        params=similarity.IDENTITY_PARAMS,
         n_lists=n_lists,
         seed=40,
     )
@@ -1123,6 +1128,7 @@ def ivf_index_upsert_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "embeddings.parquet"),
         lambda: batch1,
         variant="emb_even",
+        params="src=vec_id%2==0|v1",
         n_lists=n_lists,
         seed=40,
     )
@@ -1152,6 +1158,7 @@ def ivf_index_upsert_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "embeddings.parquet"),
         lambda: emb,
         variant="emb",
+        params=similarity.IDENTITY_PARAMS,
         n_lists=n_lists,
         seed=40,
     )
@@ -2906,6 +2913,7 @@ def maxsim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cd") != F.col("qd"))
         ),
         variant="maxsim_truth_k3",
+        params="q=doc%25==0|k=3|arrow_round6_decimal_sum|v1",
     )  # feeds the intersection AND the denominator
 
     # stage 1: pooled doc vectors → cached IVF probe → top-n_cand docs
@@ -2918,6 +2926,7 @@ def maxsim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "embeddings.parquet"),
         lambda: pooled,
         variant="pooled4",
+        params="src=mean_pooled_tokens|v1",
         n_lists=8,
         seed=40,
     )

@@ -535,6 +535,7 @@ def rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.join(sf_dir, "embeddings.parquet"),
         lambda: emb,
         variant="emb",
+        params=similarity.IDENTITY_PARAMS,
         n_lists=8,
         seed=40,
     )

@@ -53,11 +53,18 @@ def main(argv: list[str]) -> int:
         return 2
     runs = [json.load(open(p)) for p in paths]
     base = runs[0]
-    for r in runs[1:]:
-        if r.get("sf") != base.get("sf"):
-            raise SystemExit(
-                f"sf mismatch across runs: {r.get('sf')} vs {base.get('sf')}"
-            )
+    # sf AND the measurement config must match across inputs (r13
+    # ADVICE, low): runs/per_query_repeat/cpus are copied from runs[0]
+    # into the close, so mixing a BENCH_REPEAT=3 run with repeat=2 runs
+    # would produce a close whose recorded provenance misdescribes most
+    # of its per-query mins.
+    for key in ("sf", "runs", "per_query_repeat", "cpus"):
+        for r in runs[1:]:
+            if r.get(key) != base.get(key):
+                raise SystemExit(
+                    f"{key} mismatch across runs: "
+                    f"{r.get(key)} vs {base.get(key)}"
+                )
     # union of query names; a query missing from some run (crashed, or
     # added mid-close) takes its min over the runs that have it
     names = sorted({n for r in runs for n in r["queries"]})
@@ -102,6 +109,30 @@ def main(argv: list[str]) -> int:
     }
     if partial_cover:
         detail["partial_coverage"] = partial_cover
+    # cache provenance (r13 judge item #4 + ADVICE): queries whose plan
+    # consumed a fingerprint cache carry `cache: build|hit` in
+    # plan_metrics. Run 1 of a close against freshly regenerated
+    # testdata pays the cold builds and the min-of-N picks warm passes,
+    # so the close records WHICH queries were cold in run 1 and the
+    # summed delta vs the close min — a cold-build outlier is then
+    # mechanically distinguishable from a regression, and
+    # cross-framework comparisons can match the warm-cache policy.
+    run1 = runs[0]
+    run1_cold = sorted(
+        n
+        for n, pm in run1.get("plan_metrics", {}).items()
+        if pm.get("cache") == "build" and n in times
+    )
+    if run1_cold:
+        detail["run1_cold_queries"] = run1_cold
+        detail["run1_cold_delta_sec"] = round(
+            sum(
+                run1["queries"][n] - times[n]
+                for n in run1_cold
+                if n in run1["queries"]
+            ),
+            3,
+        )
     with open(out, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(

@@ -80,6 +80,19 @@ def main() -> int:
         )
     else:
         provenance = ""
+    # cold-run provenance (r13 ADVICE + judge item #4): the close's min
+    # excludes one-time fingerprint-cache builds any cold environment
+    # pays — state the run-1 cold set and its delta so cross-framework
+    # comparisons can match the warm-cache policy.
+    cold = d.get("run1_cold_queries")
+    if cold:
+        provenance += (
+            f" **Warm-cache policy**: run 1 was COLD for {len(cold)}"
+            f" fingerprint-cached quer{'ies' if len(cold) != 1 else 'y'}"
+            f" ({', '.join(cold)}) — their one-time evidence builds cost"
+            f" +{d.get('run1_cold_delta_sec', 0)}s over the close min;"
+            " the headline total is the warm steady state."
+        )
     lines = [
         f"# BENCH_LOCAL — builder-measured sf{d['sf']} timings ({label})",
         "",
