@@ -168,6 +168,53 @@ def flesch_reading_ease(col: str | Column) -> Column:
     )
 
 
+def unicode_canonical_udf():
+    """Arrow-batched Unicode canonicalization for dedup keys (X112):
+    NFC normalization → Unicode lowercase → ASCII-whitespace collapse →
+    trim, in THAT order (the DuckDB oracle twin is
+    ``regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+    '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')`` — same order, so the
+    keys agree character for character).
+
+    The real-world miss class this closes: visually identical documents
+    that differ only in composition form (``café`` composed U+00E9 vs
+    decomposed ``e`` + U+0301) or case survive byte-exact dedup —
+    ``fingerprint``'s lower+collapse never merges them. NFC is the
+    canonical-equivalence fold (NOT NFKC: compatibility folding — ﬁ
+    ligatures, fullwidth forms — CHANGES content and is a different,
+    lossier policy).
+
+    Cross-engine contract (pinned in tests/test_dedup.py against a live
+    DuckDB on planted confusables):
+    - NFC: Python ``unicodedata`` and DuckDB's utf8proc implement the
+      same stable normalization for assigned codepoints.
+    - lowercase: pandas ``.str.lower()`` (Unicode default full case
+      mapping) vs DuckDB ``lower()`` (utf8proc) agree on simple
+      mappings; locale-dependent mappings (Turkish İ) are out of
+      contract. ``lower`` (not Python ``casefold``) is the choice
+      BECAUSE DuckDB has no casefold — ß/ẞ therefore stay distinct.
+    - whitespace: ASCII-only collapse (``_ASCII_WS``) to match the
+      Java-regex ∩ RE2 ``\\s`` contract the oracles already pin; U+00A0
+      and friends are CONTENT, not separators, on both sides.
+
+    Python in the row path is deliberate: Spark has no built-in Unicode
+    normalization expression (ICU collations affect comparison, not the
+    projected key), so this is the (b)-tier Arrow-batched escape hatch —
+    one narrow linear projection, no shuffle, pandas-vectorized
+    normalize/lower/replace."""
+
+    def fn(texts: pd.Series) -> pd.Series:
+        return (
+            texts.fillna("")
+            .str.normalize("NFC")
+            .str.lower()
+            .str.replace(_ASCII_WS, " ", regex=True)
+            .str.strip(" ")
+        )
+
+    return F.pandas_udf(fn, "string")
+
+
 def fingerprint(col: str | Column, *, normalize: bool = True) -> Column:
     """64-bit document fingerprint (xxhash64 of normalized text) for exact
     dedup at scale: grouping on a fixed-width long beats grouping on the

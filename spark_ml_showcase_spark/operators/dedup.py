@@ -51,6 +51,32 @@ def exact_dedup(
     )
 
 
+def unicode_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X112: exact dedup on the UNICODE-CANONICAL key — NFC + lowercase
+    + ASCII-whitespace collapse (``T.unicode_canonical_udf``) — keeping
+    the lowest ``id_col`` per canonical group. Catches the byte-exact
+    miss class: composition-form (NFC vs NFD) and case variants of the
+    same document, the first canonicalization stage of a CCNet-style
+    web pipeline.
+
+    Same 100 TB shape as :func:`exact_dedup`: the canonical key is
+    hashed to a fixed-width ``xxhash64`` long before the shuffle — one
+    hash-partitioned window on a long key; the canonicalization itself
+    is a narrow Arrow-batched projection (no Spark built-in does NFC),
+    applied once per row before the exchange."""
+    key = F.xxhash64(T.unicode_canonical_udf()(F.col(text_col)))
+    w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -437,3 +437,68 @@ def test_edit_distance_pairs_no_candidates_beyond_distance_one(spark):
         [(1, "abcd"), (2, "cdab"), (3, "wxyz")], "id long, s string"
     )
     assert DD.edit_distance_pairs(df, "id", "s").count() == 0
+
+
+def _confusable_docs(spark):
+    """Planted Unicode confusables: visually identical docs that differ
+    ONLY in composition form, case, or whitespace — the byte-exact miss
+    class X112 exists to close."""
+    base = [
+        (0, "café au lait on the river bank"),          # NFC é
+        (1, "café au lait on the river bank"),          # NFD e+◌́ — dup of 0
+        (2, "CAFÉ au lait on the river bank"),           # case dup of 0
+        (3, "café  au lait\ton the river bank"),         # ws dup of 0
+        (4, "Ångström units and their history"),    # NFC Å
+        (5, "Ångström units and their history"),  # NFD — dup of 4
+        (6, "angstrom units and their history"),              # NOT a dup (no diacritics)
+        (7, "café au lait on the river bank"),      # U+00A0 is CONTENT: not a dup
+        (8, "straße berlin travel notes"),               # ß: lower keeps it
+        (9, "STRASSE berlin travel notes"),                   # casefold-only dup: stays distinct
+    ]
+    return spark.createDataFrame(base, "doc_id bigint, text string")
+
+
+def test_unicode_dedup_merges_planted_confusables(spark):
+    """X112: NFC + lowercase + ASCII-ws collapse merges composition/
+    case/whitespace twins; byte-exact dedup does NOT (the contrast that
+    motivates the operator). NBSP stays content; ß/SS stays distinct
+    (lower, not casefold — the DuckDB-parity choice)."""
+    df = _confusable_docs(spark)
+    ids = {r.doc_id for r in dedup.unicode_exact_dedup(df, "text", "doc_id").collect()}
+    assert ids == {0, 4, 6, 7, 8, 9}
+    # byte-exact (even normalized) misses the NFD and Å twins
+    byte_ids = {r.doc_id for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert {1, 5} <= byte_ids
+    # idempotent
+    out = dedup.unicode_exact_dedup(df, "text", "doc_id")
+    assert dedup.unicode_exact_dedup(out, "text", "doc_id").count() == out.count()
+
+
+def test_unicode_canonical_matches_duckdb_on_confusables(spark):
+    """X112's cross-engine pin (the regex-dialect-subset discipline
+    applied to Unicode): the Arrow-batched canonical key must equal
+    DuckDB's lower(nfc_normalize(...)) + the ASCII-\\s regex chain
+    CHARACTER FOR CHARACTER on planted confusables — this equivalence
+    is what licenses the unicode_dedup_docs oracle."""
+    import duckdb
+
+    from spark_ml_showcase_spark.functions import text as T
+
+    df = _confusable_docs(spark)
+    got = {
+        r.doc_id: r.canon
+        for r in df.select(
+            "doc_id", T.unicode_canonical_udf()(F.col("text")).alias("canon")
+        ).collect()
+    }
+    rows = [(r.doc_id, r.text) for r in df.collect()]
+    con = duckdb.connect()
+    want = {}
+    for doc_id, text in rows:
+        want[doc_id] = con.execute(
+            r"""SELECT regexp_replace(regexp_replace(
+                    lower(nfc_normalize(?)), '^\s+|\s+$', '', 'g'),
+                    '\s+', ' ', 'g')""",
+            [text],
+        ).fetchone()[0]
+    assert got == want
