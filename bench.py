@@ -340,7 +340,10 @@ QZ_DICT_V22 = QZ_DICT_V21 + b"|embedding_drift_by_source"
 QZ_DICT_V23 = QZ_DICT_V22 + b"|stream_embedding_drift"
 
 # v24 (round 14): unicode-canonical dedup (X112).
-QZ_DICT = QZ_DICT_V23 + b"|unicode_dedup_docs"
+QZ_DICT_V24 = QZ_DICT_V23 + b"|unicode_dedup_docs"
+
+# v25 (round 14, second batch): URL canonicalization (X113).
+QZ_DICT = QZ_DICT_V24 + b"|url_canonical_host_dedup"
 
 
 
@@ -357,7 +360,7 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V23, QZ_DICT_V22, QZ_DICT_V21, QZ_DICT_V20, QZ_DICT_V19, QZ_DICT_V18, QZ_DICT_V17,
+        QZ_DICT, QZ_DICT_V24, QZ_DICT_V23, QZ_DICT_V22, QZ_DICT_V21, QZ_DICT_V20, QZ_DICT_V19, QZ_DICT_V18, QZ_DICT_V17,
         QZ_DICT_V16, QZ_DICT_V15, QZ_DICT_V14, QZ_DICT_V13, QZ_DICT_V12,
         QZ_DICT_V11,
         QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6,
