@@ -343,7 +343,10 @@ QZ_DICT_V23 = QZ_DICT_V22 + b"|stream_embedding_drift"
 QZ_DICT_V24 = QZ_DICT_V23 + b"|unicode_dedup_docs"
 
 # v25 (round 14, second batch): URL canonicalization (X113).
-QZ_DICT = QZ_DICT_V24 + b"|url_canonical_host_dedup"
+QZ_DICT_V25 = QZ_DICT_V24 + b"|url_canonical_host_dedup"
+
+# v26 (round 14, third batch): drift-gated ingest (X114).
+QZ_DICT = QZ_DICT_V25 + b"|drift_gated_ingest_commit"
 
 
 
@@ -360,7 +363,7 @@ def decode_qz(qz: str) -> dict[str, float]:
     body = qz[1:] if packed else qz
     raw = None
     for zd in (
-        QZ_DICT, QZ_DICT_V24, QZ_DICT_V23, QZ_DICT_V22, QZ_DICT_V21, QZ_DICT_V20, QZ_DICT_V19, QZ_DICT_V18, QZ_DICT_V17,
+        QZ_DICT, QZ_DICT_V25, QZ_DICT_V24, QZ_DICT_V23, QZ_DICT_V22, QZ_DICT_V21, QZ_DICT_V20, QZ_DICT_V19, QZ_DICT_V18, QZ_DICT_V17,
         QZ_DICT_V16, QZ_DICT_V15, QZ_DICT_V14, QZ_DICT_V13, QZ_DICT_V12,
         QZ_DICT_V11,
         QZ_DICT_V10, QZ_DICT_V9, QZ_DICT_V8, QZ_DICT_V7, QZ_DICT_V6,

@@ -666,6 +666,7 @@ def stream_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ml_showcase_spark.functions import similarity
     from spark_ml_showcase_spark.functions import vectors as V
+    from spark_ml_showcase_spark.operators.drift import round_like_duckdb
     from spark_ml_showcase_spark.streaming.events import (
         _as_stream_dir,
         _stream_session,
@@ -694,7 +695,7 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "w",
         F.lit(-1).alias("p"),
-        F.round(F.sqrt(V.dot("v", "v")), 6).alias("x"),
+        round_like_duckdb(F.sqrt(V.dot("v", "v")), 6).alias("x"),
     )
     # ROUND(x,6) is idempotent on the already-rounded norm rows, so one
     # agg expression serves both row kinds
@@ -702,7 +703,9 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         elems.unionByName(norms)
         .groupBy("source", "w", "p")
         .agg(
-            F.sum(F.round("x", 6).cast("decimal(20,6)")).alias("se"),
+            F.sum(
+                round_like_duckdb(F.col("x"), 6).cast("decimal(20,6)")
+            ).alias("se"),
             F.count(F.lit(1)).cast("bigint").alias("cnt"),
         )
     )
@@ -711,7 +714,7 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "w",
         F.col("cnt").alias("n"),
-        F.round(F.col("se").cast("double") / F.col("cnt"), 6).alias(
+        round_like_duckdb(F.col("se").cast("double") / F.col("cnt"), 6).alias(
             "mean_norm"
         ),
     )
@@ -724,7 +727,9 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "w",
             "p",
-            F.round(F.col("se").cast("double") / F.col("n"), 6).alias("m"),
+            round_like_duckdb(
+                F.col("se").cast("double") / F.col("n"), 6
+            ).alias("m"),
         )
     )
     sh = me.groupBy("source", "p").agg(
@@ -734,7 +739,7 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift = (
         sh.select(
             "source",
-            F.round(
+            round_like_duckdb(
                 (F.col("mb") - F.col("mc")) * (F.col("mb") - F.col("mc")),
                 12,
             )
@@ -743,7 +748,7 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source")
         .agg(
-            F.round(F.sqrt(F.sum("t").cast("double")), 6).alias(
+            round_like_duckdb(F.sqrt(F.sum("t").cast("double")), 6).alias(
                 "centroid_shift"
             )
         )
@@ -771,7 +776,7 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_shift",
             "mean_norm_base",
             "mean_norm_cur",
-            F.round(
+            round_like_duckdb(
                 F.col("mean_norm_cur") - F.col("mean_norm_base"), 6
             ).alias("norm_shift"),
         )
