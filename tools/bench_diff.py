@@ -27,11 +27,40 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Stage-count deltas diagnosed once and accepted (r13 judge item #5):
 # a stage-count-only growth with FLAT shuffle bytes and flat-or-better
-# time is a lineage/AQE shape change, not a plan regression — listed
-# here with a one-line justification so an unchanged tree stops
-# re-flagging it every round. A SHUFFLE growth is never acknowledgeable
-# this way (the shuffle rule still fires regardless of this list).
-ACKNOWLEDGED_STAGE_DELTAS: dict[str, str] = {}
+# time is not a plan regression — listed here with a justification so
+# an unchanged tree stops re-flagging it every round. A SHUFFLE growth
+# is never acknowledgeable this way (the shuffle rule still fires
+# regardless of this list).
+#
+# Diagnosis of the r12→r13 batch (r14, one investigation for all 11):
+# `_group_plan_metrics` counts only stages with attempt data — SKIPPED
+# stages (reused exchanges) are excluded — so the count depends on the
+# SESSION's exchange-reuse state when the min-producing run executed,
+# not on the plan. All 11 had bit-identical shuffle read+write bytes
+# (bench_diff r12→r13) and npmi_collocations probed ISOLATED
+# (fresh session, BENCH_REPEAT=3) reads 17 stages — the NEW number —
+# proving the r12 "11" was deflated by in-suite exchange reuse, not
+# that r13 grew. Same mechanism as the documented rrf_fusion_ivf
+# 53→81 non-regression (r13 close note). Arbitration rule stays:
+# shuffle bytes first, isolated floors second, never wall-clock.
+_EXCHANGE_REUSE = (
+    "stage count tracks session exchange-reuse, shuffle bytes identical"
+    " (r14 diagnosis: SKIPPED stages carry no attempt data)"
+)
+ACKNOWLEDGED_STAGE_DELTAS: dict[str, str] = {
+    "bpe_learn_merges_docs": _EXCHANGE_REUSE,
+    "bpe_token_budget_by_source": _EXCHANGE_REUSE,
+    "customer_tree_closure": _EXCHANGE_REUSE,
+    "frame_sample_stats": _EXCHANGE_REUSE,
+    "kcore_supplier_graph": _EXCHANGE_REUSE,
+    "market_basket_pairs": _EXCHANGE_REUSE,
+    "npmi_collocations": _EXCHANGE_REUSE,
+    "pack_sequences_256": _EXCHANGE_REUSE,
+    "sparse_cosine_topk_docs": _EXCHANGE_REUSE,
+    "subtree_rollup_customers": _EXCHANGE_REUSE,
+    "tpch_q16_part_supplier_cnt": _EXCHANGE_REUSE,
+    "rrf_fusion_ivf": _EXCHANGE_REUSE + " (r13 close note: 53→81)",
+}
 
 
 def main() -> int:
