@@ -257,8 +257,10 @@ def drift_gated_append(
         .otherwise(F.lit(1))
         .cast("bigint"),
     )
-    # bounded: one row per group; localCheckpoint would be overkill —
-    # the report is re-derived identically by any retry
+    # bounded (one row per group) and consumed twice — by the gate
+    # decision here and by the caller's report read — so materialize it
+    # once; the full drift plan would otherwise re-execute per consumer
+    rep = rep.localCheckpoint()
     n_blocked = rep.filter(F.col("admitted") == 0).count()
     if n_blocked > 0:
         return None, rep
