@@ -53,6 +53,17 @@ NOTES = """\
   arbitration on the then-idle box read 4.45 — treat [4.45, 5.44] as
   the host band). Future close diffs on these five arbitrate against
   the floors instead of re-profiling in-suite wobble.
+- **Isolated floors for the r14 top-5 newcomers (judge item #6)** —
+  fresh-session min-of-5 each, idle box (load < 0.1/32), 2026-08-16:
+  `sparse_cosine_topk_docs` **5.75 s**, `bpe_token_budget_by_source`
+  **5.14 s**, and the new `drift_gated_ingest_commit` **3.97 s**. Note
+  the consistent direction across rounds: isolated fresh-session
+  numbers sit ABOVE the warm in-suite close (sparse 4.85, bpe 4.33 in
+  the r13 close) because a fresh JVM's best-of-2 pays codegen/JIT
+  warm-up the 230-query suite session has long amortized — same as
+  `ivf_index_upsert` (isolated 7.55 vs close 5.30). Arbitration reads:
+  a close value BELOW the isolated floor is warm-session normal; one
+  ABOVE it is worth a plan-metrics look.
 - **The ANN family rides the suite-level cached IVF index since r12**:
   `ivf_topk` / `ann_recall_report` / `quantized_ann_recall` /
   `ann_multiprobe_curve` / `rrf_fusion_ivf` / `maxsim_ivf_rerank` share

@@ -1162,6 +1162,58 @@ def probe_hypertable_refresh_20m(spark):
     return n + 1_000_000
 
 
+def probe_url_canonicalize_20m(spark):
+    """X113 at scale: 20M synthesized messy URLs through the full
+    canonicalize chain (11 codegen regexp stages) -> host-level agg.
+    Pure JVM: the regex projection should run at scan speed; the agg
+    key space is 1k hosts (counts only, partial-agg absorbed)."""
+    from spark_ml_showcase_spark.functions import urls
+
+    n = 20_000_000
+    d = F.col("id")
+    messy = F.concat(
+        F.when(d % 7 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 5 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.lit("host"), (d % 1000).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 50_000).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=a&utm_campaign=b&page="), (d % 7).cast("string")))
+        .when(d % 4 == 1, F.lit("?ref=tw"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    df = spark.range(n).select(urls.canonicalize_url(messy).alias("canon"))
+    out = df.groupBy(urls.url_host("canon").alias("host")).count()
+    cnt = out.count()
+    assert cnt == 1000, cnt
+    return n
+
+
+def probe_unicode_canonical_2m(spark):
+    """X112 at scale: 2M mixed-form strings through the Arrow-batched
+    NFC+lower+ws-collapse canonicalization -> fingerprint dedup agg.
+    The Python stage is the measured cost (Spark has no NFC expression);
+    pandas-vectorized normalize/lower keeps it linear."""
+    from spark_ml_showcase_spark.functions import text as T
+
+    n = 2_000_000
+    d = F.col("id")
+    raw = F.concat(
+        F.when(d % 3 == 0, F.lit("CAFE\u0301 DOCUMENT "))  # NFD + upper
+        .when(d % 3 == 1, F.lit("caf\u00e9  document "))    # NFC + double ws
+        .otherwise(F.lit("caf\u00e9 document ")),
+        (d % 500_000).cast("string"),
+    )
+    df = spark.range(n).select(raw.alias("t"))
+    canon = df.select(
+        F.xxhash64(T.unicode_canonical_udf()(F.col("t"))).alias("fp")
+    )
+    cnt = canon.groupBy("fp").count().count()
+    assert cnt == 500_000, cnt
+    return n
+
+
 PROBES = {
     "exact_dedup_50m": probe_exact_dedup_50m,
     "window_budget_20m": probe_window_budget_20m,
@@ -1198,6 +1250,8 @@ PROBES = {
     "bpe_1m_words": probe_bpe_1m_words,
     "kmv_50m": probe_kmv_50m,
     "hypertable_refresh_20m": probe_hypertable_refresh_20m,
+    "url_canonicalize_20m": probe_url_canonicalize_20m,
+    "unicode_canonical_2m": probe_unicode_canonical_2m,
 }
 
 
