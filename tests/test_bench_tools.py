@@ -123,3 +123,36 @@ def test_bench_diff_ack_list_suppresses_stage_only_flags(tmp_path, capsys, monke
     assert "ACK   a:" in out and "test justification" in out
     assert "[cache: hit]" in out
     assert "FLAG  b:" in out and "FLAG  a:" not in out
+
+
+def test_bench_diff_auto_acks_flat_byte_stage_growth(tmp_path, capsys, monkeypatch):
+    """r14: a stage-only growth with flat shuffle W+R and input bytes is
+    auto-ACKed as the exchange-reuse counting artifact even when the
+    query is NOT in the explicit list; growth in input bytes (an added
+    scan) still flags."""
+    bd = _load("bench_diff")
+    old = {
+        "value": 2.0, "n_queries": 2, "queries": {"c": 1.0, "d": 1.0},
+        "plan_metrics": {
+            "c": {"n_stages": 10, "shuffle_write_mb": 2.0, "shuffle_read_mb": 3.0, "input_mb": 40.0},
+            "d": {"n_stages": 10, "shuffle_write_mb": 2.0, "shuffle_read_mb": 3.0, "input_mb": 40.0},
+        },
+    }
+    new = {
+        "value": 2.0, "n_queries": 2, "queries": {"c": 1.0, "d": 1.0},
+        "plan_metrics": {
+            # c: stage growth only, all bytes flat -> auto-ACK
+            "c": {"n_stages": 25, "shuffle_write_mb": 2.0, "shuffle_read_mb": 3.0, "input_mb": 40.1},
+            # d: stage growth AND a new 80 MB scan -> must still flag
+            "d": {"n_stages": 25, "shuffle_write_mb": 2.0, "shuffle_read_mb": 3.0, "input_mb": 120.0},
+        },
+    }
+    po, pn = (os.path.join(str(tmp_path), x) for x in ("o.json", "n.json"))
+    json.dump(old, open(po, "w")); json.dump(new, open(pn, "w"))
+    monkeypatch.setattr(bd, "ACKNOWLEDGED_STAGE_DELTAS", {})
+    monkeypatch.setattr("sys.argv", ["bench_diff.py", po, pn])
+    rc = bd.main()
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "ACK   c:" in out and "exchange-reuse" in out
+    assert "FLAG  d:" in out

@@ -113,6 +113,31 @@ def main() -> int:
                 f"{ACKNOWLEDGED_STAGE_DELTAS[name]}{suffix}"
             )
             continue
+        # generic form of the same diagnosis (r14): a stage-count-only
+        # growth with shuffle W+R and input bytes all flat cannot be a
+        # plan regression — a new exchange moves shuffle bytes, an
+        # added scan moves input bytes; what's left is the
+        # exchange-reuse counting artifact (SKIPPED stages carry no
+        # attempt data), which strikes arbitrary queries depending on
+        # which run produced the min. Tolerances stay far below the
+        # 1.5× flag threshold, so nothing real can hide here.
+        def _flat(a: float, b: float, eps: float) -> bool:
+            return abs(b - a) <= max(eps, 0.015 * a)
+
+        bytes_flat = (
+            _flat(osh, nsh, 0.01)
+            and _flat(
+                o.get("shuffle_read_mb", 0.0), n.get("shuffle_read_mb", 0.0), 0.01
+            )
+            and _flat(o.get("input_mb", 0.0), n.get("input_mb", 0.0), 0.25)
+        )
+        if stages_grew and not shuffle_grew and bytes_flat:
+            print(
+                f"ACK   {name}: {'; '.join(msgs)} — stage count tracks "
+                f"session exchange-reuse (shuffle+input bytes flat; "
+                f"SKIPPED stages carry no attempt data){suffix}"
+            )
+            continue
         flagged += 1
         print(
             f"FLAG  {name}: {'; '.join(msgs)} "
