@@ -1,0 +1,50 @@
+"""Cross-engine ROUND for doubles (r14).
+
+``round_like_duckdb(col, d)`` reproduces DuckDB's
+``ROUND(double, d)`` — ``std::round(x * 10^d) / 10^d``, round-half-away
+evaluated on the BINARY double — bit-for-bit on the Spark side, so an
+oracle can keep its native ROUND while the engine side is guaranteed to
+agree even exactly ON a rounding midpoint.
+
+Why ``F.round`` is not enough: it applies HALF_UP to
+``BigDecimal.valueOf(x)``'s SHORTEST DECIMAL REPR, so on a value whose
+shortest repr is exactly ``…5`` (e.g. the double nearest 1.5e-6 prints
+"1.5e-6" but is binarily 1.4999999999999998e-6) Spark rounds UP while
+DuckDB rounds DOWN. This is a STRUCTURAL class, not a 2⁻⁵³ fluke: any
+quantized EXACT RATIONAL — a decimal sum divided by a row count, a
+share n/total, an OLS intercept of decimal-exact sums — lands exactly
+on a ``.5·10⁻ᵈ`` midpoint whenever the reduced denominator divides
+2·10ᵈ with an odd quotient (even group counts do it constantly). Every
+fixture regeneration is a fresh dice roll on every such output value.
+Found by the X114 gate oracle (r14); verified equivalent on 40k
+midpoint-rich cases per engine at d=6 and d=12.
+
+Equality argument: ``F.round(y, 0)`` == ``std::round(y)`` for all
+``|y| < 2⁵²`` because integer midpoints are exactly representable, so
+the shortest repr and the binary value cannot straddle one; ``10^d`` is
+exact, and the final division is correctly rounded identically in both
+engines.
+
+Usage rules:
+- USE for any double-typed ROUND in an oracle-checked output whose
+  input can be an exact rational (ratios of counts/decimal sums).
+  Harmless-and-aligning on transcendental inputs too.
+- DO NOT use on DECIMAL-typed columns (the money recipe ROUNDs in the
+  decimal domain, where both engines are exact and always agree; the
+  ``col * 10^d`` here would force a double conversion and LOSE
+  exactness).
+- Sign of zero: yields +0.0 where DuckDB yields −0.0 (BigDecimal has
+  no −0). Don't let a rounded NEGATIVE-tiny value reach a hashed
+  output column unless the oracle adds ``+ 0`` — magnitudes, shares,
+  and on-grid differences are safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round_like_duckdb(col: Column, digits: int) -> Column:
+    p = F.lit(float(10**digits))
+    return F.round(col * p, 0) / p

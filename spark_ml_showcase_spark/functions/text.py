@@ -14,6 +14,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
+
 # Python-side tokenizer matching the ENGINE's whitespace contract
 # exactly: Java regex \s (F.split(r"\s+")) and DuckDB/RE2 \s are
 # ASCII-only, while Python's str.split() also splits on Unicode
@@ -114,7 +116,9 @@ def quality_score(col: str | Column) -> Column:
         (mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0)
     ).otherwise(F.lit(0.5))
     punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
-    return F.round((len_score + word_len_score + punct_score) / 3.0, 6)
+    return round_like_duckdb(
+        (len_score + word_len_score + punct_score) / 3.0, 6
+    )
 
 
 def lang_id(col: str | Column) -> Column:
@@ -160,7 +164,7 @@ def flesch_reading_ease(col: str | Column) -> Column:
     sents = sentence_count(c).cast("double")
     syls = syllable_count(c).cast("double")
     return F.when(words == 0, F.lit(None).cast("double")).otherwise(
-        F.round(
+        round_like_duckdb(
             F.lit(206.835) - F.lit(1.015) * (words / sents)
             - F.lit(84.6) * (syls / words),
             4,

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
+
 
 def funnel(
     events: DataFrame,
@@ -92,7 +94,7 @@ def funnel(
             F.col("r.step_idx").alias("step_idx"),
             F.col("r.step").alias("step"),
             F.col("r.users").alias("users"),
-            F.round(
+            round_like_duckdb(
                 F.col("r.users")
                 / F.when(F.col("_first") > 0, F.col("_first")),
                 round_decimals,
@@ -138,7 +140,7 @@ def cohort_retention(
     return (
         counts.withColumn(
             "retention",
-            F.round(
+            round_like_duckdb(
                 F.col("users")
                 / F.max(
                     F.when(F.col("day_offset") == 0, F.col("users"))
@@ -188,7 +190,7 @@ def transition_matrix(
     wrow = Window.partitionBy("prev_type")
     return counts.withColumn(
         "prob",
-        F.round(
+        round_like_duckdb(
             F.col("transitions") / F.sum("transitions").over(wrow),
             round_decimals,
         ),
@@ -242,7 +244,7 @@ def chi_square_independence(
             (F.countDistinct("_r") - F.lit(1))
             * (F.countDistinct("_c") - F.lit(1))
         ).cast("bigint").alias("dof"),
-        F.round(F.sum("_t"), round_decimals).alias("chi2"),
+        round_like_duckdb(F.sum("_t"), round_decimals).alias("chi2"),
         # degenerate contract: if either variable has ONE category the
         # test is undefined (dof = 0) — emit NULL explicitly rather
         # than letting the 0-division produce NaN/Infinity silently.

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
+
 
 def _gram_hashes_fn(n: int):
     """Arrow-batched text → array of DISTINCT n-gram hashes (int64 via
@@ -136,7 +138,7 @@ def boilerplate_fraction(
             id_col,
             "n_spans",
             "n_boiler_spans",
-            F.round(
+            round_like_duckdb(
                 F.col("n_boiler_spans").cast("double") / F.col("n_spans"), 6
             ).alias("boiler_frac"),
         )

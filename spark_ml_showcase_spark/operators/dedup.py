@@ -28,6 +28,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from pyspark.sql.window import Window
 
 from spark_ml_showcase_spark.functions import text as T
@@ -439,7 +441,11 @@ def minhash_near_dup(
             / F.size(F.array_union("_sha", "_shb")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            round_like_duckdb(F.col("jaccard"), 6).alias("jaccard"),
+        )
     )
     return verified
 
@@ -476,7 +482,11 @@ def ngram_jaccard_pairs(
             / F.size(F.array_union("_sha", "_shb")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            round_like_duckdb(F.col("jaccard"), 6).alias("jaccard"),
+        )
     )
 
 
@@ -1137,7 +1147,7 @@ def set_similarity_join(
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size("_ta") + F.size("_tb") - inter
-    jac = F.round(inter.cast("double") / union, round_decimals)
+    jac = round_like_duckdb(inter.cast("double") / union, round_decimals)
     return (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -1258,7 +1268,7 @@ def containment_join(
         ranked.select(F.col("_id").alias("id_big"), F.col("_grams").alias("_gb")),
         "id_big",
     )
-    contain = F.round(
+    contain = round_like_duckdb(
         F.size(F.array_intersect("_ga", "_gb")).cast("double")
         / F.size("_ga"),
         round_decimals,
@@ -1317,7 +1327,7 @@ def novelty_scores(
         F.col("_id").alias(id_col),
         F.col("n_grams").cast("bigint").alias("n_grams"),
         F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
-        F.round(
+        round_like_duckdb(
             F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
             / F.col("n_grams"),
             round_decimals,
@@ -1523,7 +1533,7 @@ def substring_dup_doc_stats(
         .cast("bigint")
         .alias("n_tokens"),
     )
-    frac = F.round(
+    frac = round_like_duckdb(
         F.col("dup_tokens").cast("double") / F.col("n_tokens"), round_decimals
     )
     return covered.join(n_tokens, "_id").select(
@@ -1638,7 +1648,7 @@ def substring_dedup_apply(
     base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks")).join(
         islands, "_id"
     )
-    frac = F.round(
+    frac = round_like_duckdb(
         F.col("_dup").cast("double") / F.size("_toks"), round_decimals
     )
     # (element, index) lambda: i is 0-based, islands carry 1-based offsets

@@ -24,33 +24,16 @@ ONE bounded collect of n_groups report rows before the commit decision.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def round_like_duckdb(col: Column, digits: int) -> Column:
-    """``ROUND(x, d)`` with DuckDB's exact semantics:
-    ``std::round(x * 10^d) / 10^d`` — round-half-away evaluated on the
-    BINARY double, not on its shortest decimal repr like ``F.round``.
-
-    Why this exists (r14, found by the X114 gate query): a quantized
-    mean ``ROUND(decimal_sum / n, 6)`` lands EXACTLY on a ``.5e-6``
-    midpoint whenever ``n`` is even and divides the sum oddly — a
-    STRUCTURAL midpoint class, not a 1-in-2⁵³ fluke — and there
-    ``F.round`` (HALF_UP on ``BigDecimal.valueOf``'s shortest repr,
-    e.g. "1.5e-6" → 2e-6) and DuckDB (``1.4999999999999998 → 1``)
-    disagree. ``F.round(y, 0)`` equals ``std::round(y)`` for every
-    ``|y| < 2^52`` (integer midpoints are exactly representable, so
-    shortest-repr and binary rounding can't straddle one; verified on
-    40k midpoint-rich cases per engine at d=6 and d=12), so this
-    composition reproduces DuckDB bit-for-bit and the oracles keep
-    their native ``ROUND``. Sign-of-zero: this yields +0.0 where
-    DuckDB yields −0.0 — callers must not let a NEGATIVE-tiny rounded
-    value reach a hashed output column (the drift algebra's outputs
-    are norms/magnitudes or on-grid differences, where −0.0 cannot
-    occur)."""
-    p = F.lit(float(10**digits))
-    return F.round(col * p, 0) / p
+# shared since r14 — every quantization stage here and any oracle-side
+# exact-rational ROUND across the engine goes through the DuckDB-exact
+# mirror (rationale + usage rules in functions/rounding.py)
+from spark_ml_showcase_spark.functions.rounding import (  # noqa: E402
+    round_like_duckdb,
+)
 
 
 def drift_report(j: DataFrame, *, group_col: str = "source") -> DataFrame:

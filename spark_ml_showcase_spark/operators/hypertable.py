@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from pyspark.sql.window import Window
 
 from spark_ml_showcase_spark.functions import kmv
@@ -186,7 +188,7 @@ def rollup_read(
         *[c for c in df.columns if c not in hidden],
         F.col("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
-        F.round(
+        round_like_duckdb(
             F.col("sum_value").cast("double") / F.col("n_events"), 6
         ).alias("avg_value"),
         F.col("min_value"),

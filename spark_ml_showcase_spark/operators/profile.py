@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from pyspark.sql import types as T
 
 _NUMERIC = (
@@ -107,7 +109,7 @@ def profile_table(
             # (min/max remain exact doubles and expose any outlier).
             dec = col.cast("decimal(28,6)")
             fixed_aggs.append(
-                F.round(
+                round_like_duckdb(
                     (F.sum(dec) / F.count(dec)).cast("double"), round_to
                 ).alias(f"_av_{c}")
             )
@@ -189,7 +191,7 @@ def profile_drift(
     null_rate_delta = F.round(F.col("_nr_n") - F.col("_nr_o"), round_to)
     mean_rel = F.when(
         F.col("_mean_o").isNotNull() & F.col("_mean_n").isNotNull(),
-        F.round(
+        round_like_duckdb(
             F.abs(F.col("_mean_n") - F.col("_mean_o"))
             / F.greatest(F.abs(F.col("_mean_o")), F.lit(1e-12)),
             round_to,
@@ -197,7 +199,7 @@ def profile_drift(
     )
     distinct_ratio = F.when(
         F.col("_nd_o") > 0,
-        F.round(F.col("_nd_n") / F.col("_nd_o"), round_to),
+        round_like_duckdb(F.col("_nd_n") / F.col("_nd_o"), round_to),
     )
     one_sided = F.col("_nr_o").isNull() | F.col("_nr_n").isNull()
     drift = one_sided | (

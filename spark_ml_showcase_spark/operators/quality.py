@@ -35,6 +35,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from pyspark.sql.functions import pandas_udf
 
 
@@ -105,10 +107,13 @@ def repetition_metrics(
         .select(id_col, "_s.*")
         .filter(F.col("nu") > 0)
     )
-    mean_len = F.round(F.col("chars").cast("double") / F.col("nu"), 6)
-    top_uni = F.round(F.col("mu").cast("double") / F.col("nu"), 6)
+    mean_len = round_like_duckdb(
+        F.col("chars").cast("double") / F.col("nu"), 6
+    )
+    top_uni = round_like_duckdb(F.col("mu").cast("double") / F.col("nu"), 6)
     top_bi = F.when(
-        F.col("nb") > 0, F.round(F.col("mb").cast("double") / F.col("nb"), 6)
+        F.col("nb") > 0,
+        round_like_duckdb(F.col("mb").cast("double") / F.col("nb"), 6),
     ).otherwise(F.lit(0.0))
     return per_doc.select(
         id_col,

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from pyspark.sql.window import Window, WindowSpec
 
 
@@ -247,7 +249,7 @@ def interpolate_linear(
     others = [c for c in df.columns if c != y_col]
     return df.select(
         *others,
-        F.round(filled, round_decimals).alias(y_col),
+        round_like_duckdb(filled, round_decimals).alias(y_col),
         src.alias("src"),
     )
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from spark_ml_showcase_spark.operators import analytics
 from spark_ml_showcase_spark.operators import windows as windows_ops
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
@@ -254,7 +255,7 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             # order-free exact-decimal mean (see oracle note)
-            F.round(
+            round_like_duckdb(
                 F.sum(
                     F.round(F.col("value"), 6).cast("decimal(20,6)")
                 ).cast("double")
@@ -408,7 +409,7 @@ def impute_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_imputed"),
         F.round(F.max("m"), 6).alias("fill_value"),
-        F.round(
+        round_like_duckdb(
             F.sum(F.round(filled, 6).cast("decimal(20,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
@@ -665,7 +666,7 @@ def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("bk").alias("cp_bucket"),
         F.col("n").cast("bigint").alias("n"),
-        F.round("cusum", 6).alias("cusum"),
+        round_like_duckdb(F.col("cusum"), 6).alias("cusum"),
     )
 
 
@@ -721,8 +722,8 @@ def ab_test_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return w.select(
         "n0", "c0", "n1", "c1",
-        F.round(c0 * F.lit(1.0) / n0, 6).alias("p0"),
-        F.round(c1 * F.lit(1.0) / n1, 6).alias("p1"),
+        round_like_duckdb(c0 * F.lit(1.0) / n0, 6).alias("p0"),
+        round_like_duckdb(c1 * F.lit(1.0) / n1, 6).alias("p1"),
         F.round(z, 6).alias("z"),
     )
 
@@ -776,7 +777,7 @@ def gini_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.agg(
         F.max("n").cast("bigint").alias("n"),
         F.round(F.sum("spend").cast("double"), 2).alias("total_spend"),
-        F.round(
+        round_like_duckdb(
             F.lit(2.0)
             * F.sum(F.col("i") * F.col("spend")).cast("double")
             / (F.max("n") * F.sum("spend").cast("double"))
@@ -825,8 +826,8 @@ def shrunken_value_score_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_type",
         "n",
-        F.round(F.col("s") / F.col("n"), 6).alias("mean_value"),
-        F.round(
+        round_like_duckdb(F.col("s") / F.col("n"), 6).alias("mean_value"),
+        round_like_duckdb(
             (F.col("s") + F.lit(50) * (F.col("ts") / F.col("tn")))
             / (F.col("n") + F.lit(50)),
             6,
@@ -974,7 +975,7 @@ def winsorize_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_clipped"),
-        F.round(
+        round_like_duckdb(
             F.sum(F.round(clipped, 6).cast("decimal(20,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
@@ -1178,7 +1179,9 @@ def seasonal_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resid = hourly.join(base, ["event_type", "hod"]).withColumn(
         "r2",
-        F.round((F.col("n") - F.col("mu")) * (F.col("n") - F.col("mu")), 6),
+        round_like_duckdb(
+            (F.col("n") - F.col("mu")) * (F.col("n") - F.col("mu")), 6
+        ),
     )
     disp = resid.groupBy("event_type").agg(
         F.sqrt(
@@ -1196,7 +1199,7 @@ def seasonal_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").cast("string").alias("day"),
             F.col("hod").cast("bigint").alias("hod"),
             F.col("n").cast("bigint").alias("n"),
-            F.round("mu", 6).alias("mu"),
+            round_like_duckdb(F.col("mu"), 6).alias("mu"),
             "z",
         )
         .orderBy("event_type", "day", "hod")
@@ -1251,7 +1254,7 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
             F.count("first_view_sec").cast("bigint").alias("n_attributed"),
-            F.round(
+            round_like_duckdb(
                 F.count("first_view_sec").cast("double") / F.count(F.lit(1)),
                 6,
             ).alias("attribution_rate"),
@@ -1323,7 +1326,7 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             F.col("support").cast("bigint").alias("support"),
-            F.round(
+            round_like_duckdb(
                 F.col("support").cast("double")
                 * F.col("n_orders")
                 / (F.col("ca") * F.col("cb")),
@@ -1396,7 +1399,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("week_offset").cast("bigint").alias("week_offset"),
             F.col("n_active").cast("bigint").alias("n_active"),
             F.col("n_cohort").cast("bigint").alias("n_cohort"),
-            F.round(
+            round_like_duckdb(
                 F.col("n_active").cast("double") / F.col("n_cohort"), 6
             ).alias("retention"),
         )
@@ -1460,10 +1463,10 @@ def spend_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decile").cast("bigint").alias("decile"),
             F.col("n_users").cast("bigint").alias("n_users"),
             F.col("s").cast("double").alias("decile_spend"),
-            F.round(F.col("s").cast("double") / F.col("t").cast("double"), 6).alias(
-                "share"
-            ),
-            F.round(
+            round_like_duckdb(
+                F.col("s").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+            round_like_duckdb(
                 F.sum("s").over(W.orderBy("decile")).cast("double")
                 / F.col("t").cast("double"),
                 6,
@@ -1920,17 +1923,19 @@ def key_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rank"),
             "user_id",
             "n",
-            F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("share"),
-            F.round(F.col("cum_n") * F.lit(1.0) / F.col("tot"), 6).alias(
-                "cum_share"
-            ),
+            round_like_duckdb(
+                F.col("n") * F.lit(1.0) / F.col("tot"), 6
+            ).alias("share"),
+            round_like_duckdb(
+                F.col("cum_n") * F.lit(1.0) / F.col("tot"), 6
+            ).alias("cum_share"),
             F.col("tot").alias("n_rows"),
             "n_keys",
-            F.round(
+            round_like_duckdb(
                 F.col("sum_n2") * F.lit(1.0) / (F.col("tot") * F.col("tot")),
                 9,
             ).alias("hhi"),
-            F.round(
+            round_like_duckdb(
                 F.col("max_n") * F.lit(1.0) * F.col("n_keys") / F.col("tot"),
                 6,
             ).alias("max_over_mean"),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ml_showcase_spark.operators import joins, topk
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources import io
 from spark_ml_showcase_spark.sources.catalog import Catalog
@@ -579,8 +580,10 @@ def kmv_user_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "type_a",
             "type_b",
-            F.round(kmv.kmv_jaccard("sa", "sb", k=512), 6).alias("jaccard_est"),
-            F.round(kmv.kmv_intersection("sa", "sb", k=512), 2).alias(
+            round_like_duckdb(
+                kmv.kmv_jaccard("sa", "sb", k=512), 6
+            ).alias("jaccard_est"),
+            round_like_duckdb(kmv.kmv_intersection("sa", "sb", k=512), 2).alias(
                 "common_users_est"
             ),
         )
@@ -749,8 +752,8 @@ def trend_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (n * stv - st * sv) / (n * stt - st * st)
     return m.select(
         "event_type",
-        F.round(slope * F.lit(86400.0), 6).alias("slope_per_day"),
-        F.round((sv - slope * st) / n, 6).alias("intercept"),
+        round_like_duckdb(slope * F.lit(86400.0), 6).alias("slope_per_day"),
+        round_like_duckdb((sv - slope * st) / n, 6).alias("intercept"),
     ).orderBy("event_type")
 
 
@@ -869,7 +872,7 @@ def unpivot_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     wide = ev.groupBy("event_type").agg(
         F.min("value").alias("v_min"),
-        F.round(
+        round_like_duckdb(
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
             / F.count(F.lit(1)),
             6,

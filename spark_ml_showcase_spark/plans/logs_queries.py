@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ml_showcase_spark import logs
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources import io
 
@@ -320,7 +321,7 @@ def clf_png_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and could diverge on an exact 6-decimal tie
     share_rows = pie_df.select(
         F.concat(F.lit("pie:"), "label").alias("artifact"),
-        F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
+        round_like_duckdb(F.col("n") / F.lit(float(total)), 6).alias("share"),
     )
     heat = spark.createDataFrame(
         [(f"heatmap:{hw}x{hh}:rgb8", 1.0)], "artifact string, share double"

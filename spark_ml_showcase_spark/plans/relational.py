@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_ml_showcase_spark.operators import aggregates, relational, setops, topk, windows
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
@@ -143,7 +144,7 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = aggregates.group_count(ev, "event_type", alias="cnt")
     total = F.sum("cnt").over(Window.partitionBy())
     return counts.withColumn(
-        "percentage", F.round(F.col("cnt") * 100.0 / total, 6)
+        "percentage", round_like_duckdb(F.col("cnt") * 100.0 / total, 6)
     )
 
 

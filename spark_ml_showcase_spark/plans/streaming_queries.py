@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.streaming import events as se
 
@@ -567,17 +568,19 @@ def stream_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rank"),
             "user_id",
             "n",
-            F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("share"),
-            F.round(F.col("cum_n") * F.lit(1.0) / F.col("tot"), 6).alias(
-                "cum_share"
-            ),
+            round_like_duckdb(
+                F.col("n") * F.lit(1.0) / F.col("tot"), 6
+            ).alias("share"),
+            round_like_duckdb(
+                F.col("cum_n") * F.lit(1.0) / F.col("tot"), 6
+            ).alias("cum_share"),
             F.col("tot").alias("n_rows"),
             "n_keys",
-            F.round(
+            round_like_duckdb(
                 F.col("sum_n2") * F.lit(1.0) / (F.col("tot") * F.col("tot")),
                 9,
             ).alias("hhi"),
-            F.round(
+            round_like_duckdb(
                 F.col("max_n") * F.lit(1.0) * F.col("n_keys") / F.col("tot"),
                 6,
             ).alias("max_over_mean"),

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from spark_ml_showcase_spark.functions import text as TX
 from spark_ml_showcase_spark.functions import similarity
 from spark_ml_showcase_spark.operators import dedup, ir, splits
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
@@ -341,10 +342,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_a",
             "src_b",
             "n_common",
-            F.round(F.col("n_common").cast("double") / F.col("na"), 6).alias(
+            round_like_duckdb(F.col("n_common").cast("double") / F.col("na"), 6).alias(
                 "contain_a"
             ),
-            F.round(F.col("n_common").cast("double") / F.col("nb"), 6).alias(
+            round_like_duckdb(F.col("n_common").cast("double") / F.col("nb"), 6).alias(
                 "contain_b"
             ),
         )
@@ -474,7 +475,7 @@ def rrf_fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = sparse.join(dense, ["query_id", "cand_id"], "full").select(
         "query_id",
         "cand_id",
-        F.round(
+        round_like_duckdb(
             F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("_ra")), F.lit(0.0))
             + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("_rb")), F.lit(0.0)),
             6,
@@ -580,7 +581,7 @@ def rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "n_exact",
             F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
-            F.round(
+            round_like_duckdb(
                 F.coalesce("n_common", F.lit(0)) / F.col("n_exact"), 4
             ).alias("rank_overlap"),
         )
@@ -762,10 +763,10 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_bpe_tokens",
         "n_chars",
-        F.round(
+        round_like_duckdb(
             F.col("n_bpe_tokens") * F.lit(1.0) / F.col("n_words"), 6
         ).alias("fertility"),
-        F.round(
+        round_like_duckdb(
             F.col("n_chars") * F.lit(1.0) / F.col("n_bpe_tokens"), 6
         ).alias("chars_per_token"),
     ).orderBy("source", "lang")
@@ -809,7 +810,7 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - F.col("n_unique"))
             .cast("bigint")
             .alias("n_dups"),
-            F.round(
+            round_like_duckdb(
                 (F.col("n_docs") - F.col("n_unique"))
                 * F.lit(1.0)
                 / F.col("n_docs"),
@@ -914,8 +915,8 @@ def zipf_vocab_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, sxy = F.col("sxx"), F.col("sxy")
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     fit = m.select(
-        F.round(slope, 4).alias("zipf_slope"),
-        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        round_like_duckdb(slope, 4).alias("zipf_slope"),
+        round_like_duckdb((sy - slope * sx) / n, 4).alias("intercept"),
         F.col("n").cast("bigint").alias("n_vocab"),
     )
     return (
@@ -1023,7 +1024,7 @@ def rbo_sparse_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", coef.alias("_coef"))
         .groupBy("query_id")
         .agg(
-            F.round(
+            round_like_duckdb(
                 F.sum(F.col("_coef").cast("decimal(20,12)")).cast("double"),
                 6,
             ).alias("rbo_10"),
