@@ -27,6 +27,7 @@ from spark_ml_showcase_spark.operators import (
     quality,
     splits,
 )
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
@@ -183,7 +184,7 @@ def url_canonical_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("url").alias("n_raw"),
             F.countDistinct("canon").alias("n_canonical"),
-            F.round(
+            round_like_duckdb(
                 F.lit(1.0) - F.countDistinct("canon") / F.count(F.lit(1)), 4
             ).alias("dup_rate"),
         )
@@ -2657,7 +2658,7 @@ def iqr_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("_out").cast("bigint").alias("outliers"),
-        F.round(
+        round_like_duckdb(
             F.sum("_out") * F.lit(1.0) / F.count(F.lit(1)), 6
         ).alias("outlier_share"),
     )
@@ -2689,7 +2690,7 @@ def bpe_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("n_words"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        F.round(
+        round_like_duckdb(
             F.sum("n_tokens") * F.lit(1.0) / F.sum("n_words"), 6
         ).alias("tokens_per_word"),
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ml_showcase_spark.operators import joins
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
@@ -179,7 +180,7 @@ def user_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("total", "user_id")
     return per_user.select(
         "user_id",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_like_duckdb(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.ntile(10).over(w).cast("bigint").alias("decile"),
     ).orderBy("user_id")
 
@@ -391,13 +392,13 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("double")
             .alias("sum_charge"),
-            F.round(
+            round_like_duckdb(
                 F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_qty"),
-            F.round(
+            round_like_duckdb(
                 F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_price"),
-            F.round(
+            round_like_duckdb(
                 F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),

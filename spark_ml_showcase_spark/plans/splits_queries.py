@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ml_showcase_spark.operators import splits
+from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
@@ -112,7 +113,7 @@ def stratified_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "n_train",
             "n_test",
-            F.round(
+            round_like_duckdb(
                 F.col("n_train") / (F.col("n_train") + F.col("n_test")), 3
             ).alias("train_frac"),
         )
