@@ -36,7 +36,15 @@ Usage rules:
 - Sign of zero: yields +0.0 where DuckDB yields −0.0 (BigDecimal has
   no −0). Don't let a rounded NEGATIVE-tiny value reach a hashed
   output column unless the oracle adds ``+ 0`` — magnitudes, shares,
-  and on-grid differences are safe.
+  and on-grid differences are safe. (Pinned against a live DuckDB in
+  tests/test_properties.py.)
+- Overflow: when ``col * 10^d`` overflows to ±inf, DuckDB's ROUND
+  returns the INPUT unchanged (its ``isinf/isnan`` fallback on the
+  scaled intermediate); the guard below mirrors that, so
+  ``|x| > ~1.8e308/10^d`` round-trips as ``x`` instead of ±Infinity.
+  NaN and ±inf inputs pass through unchanged on both engines (NaN
+  multiplies to NaN and survives the otherwise-branch; ±inf hits the
+  guard).
 """
 
 from __future__ import annotations
@@ -47,4 +55,7 @@ from pyspark.sql import functions as F
 
 def round_like_duckdb(col: Column, digits: int) -> Column:
     p = F.lit(float(10**digits))
-    return F.round(col * p, 0) / p
+    y = col * p
+    return F.when(F.abs(y) == F.lit(float("inf")), col).otherwise(
+        F.round(y, 0) / p
+    )

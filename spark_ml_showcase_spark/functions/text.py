@@ -17,11 +17,13 @@ from pyspark.sql import functions as F
 from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 
 # Python-side tokenizer matching the ENGINE's whitespace contract
-# exactly: Java regex \s (F.split(r"\s+")) and DuckDB/RE2 \s are
-# ASCII-only, while Python's str.split() also splits on Unicode
+# exactly: the class below IS Java regex \s (so F.split(r"\s+") agrees
+# char-for-char), while Python's str.split() also splits on Unicode
 # whitespace (U+00A0 and friends) — a silent oracle divergence on
-# non-ASCII corpora. Every Arrow-batched text UDF must tokenize with
-# THIS, never bare .split().
+# non-ASCII corpora. RE2's \s is [ \t\n\f\r] — NO \x0b — so DuckDB
+# oracle SQL must spell this class out explicitly, never write dialect
+# \s (r14 ADVICE; swept engine-wide). Every Arrow-batched text UDF must
+# tokenize with THIS, never bare .split().
 _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
@@ -177,8 +179,11 @@ def unicode_canonical_udf():
     NFC normalization → Unicode lowercase → ASCII-whitespace collapse →
     trim, in THAT order (the DuckDB oracle twin is
     ``regexp_replace(regexp_replace(lower(nfc_normalize(text)),
-    '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')`` — same order, so the
-    keys agree character for character).
+    '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'),
+    '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')`` — same order and the SAME
+    spelled-out whitespace class, so the keys agree character for
+    character; dialect ``\\s`` is banned in oracle SQL because RE2's
+    ``\\s`` omits U+000B while Java's includes it).
 
     The real-world miss class this closes: visually identical documents
     that differ only in composition form (``café`` composed U+00E9 vs
@@ -197,9 +202,21 @@ def unicode_canonical_udf():
       mappings; locale-dependent mappings (Turkish İ) are out of
       contract. ``lower`` (not Python ``casefold``) is the choice
       BECAUSE DuckDB has no casefold — ß/ẞ therefore stay distinct.
-    - whitespace: ASCII-only collapse (``_ASCII_WS``) to match the
-      Java-regex ∩ RE2 ``\\s`` contract the oracles already pin; U+00A0
-      and friends are CONTENT, not separators, on both sides.
+    - whitespace: ASCII-only collapse (``_ASCII_WS`` =
+      ``[ \\t\\n\\x0b\\f\\r]``, spelled out on BOTH sides — this is
+      Java's ``\\s`` exactly, but NOT RE2's, which omits U+000B, so
+      oracle SQL writes the class explicitly instead of dialect
+      ``\\s``); U+00A0 and friends are CONTENT, not separators, on
+      both sides.
+
+    NULL text canonicalizes to NULL (r14 ADVICE): SQL ``PARTITION BY``
+    groups all NULLs as ONE group distinct from the empty string, so a
+    ``fillna("")`` here would merge NULL docs with empty/whitespace-only
+    docs on the Spark side only and flip the survivor counts. The nulls
+    are masked around the vectorized chain and restored after.
+    Downstream, ``xxhash64(NULL)`` yields the seed — a single non-NULL
+    long — so all-NULL docs still form exactly one dedup group, at the
+    same 2⁻⁶⁴ collision risk every xxhash64 group key already accepts.
 
     Python in the row path is deliberate: Spark has no built-in Unicode
     normalization expression (ICU collations affect comparison, not the
@@ -208,13 +225,15 @@ def unicode_canonical_udf():
     normalize/lower/replace."""
 
     def fn(texts: pd.Series) -> pd.Series:
-        return (
+        nulls = texts.isna()
+        out = (
             texts.fillna("")
             .str.normalize("NFC")
             .str.lower()
             .str.replace(_ASCII_WS, " ", regex=True)
             .str.strip(" ")
         )
+        return out.mask(nulls)
 
     return F.pandas_udf(fn, "string")
 

@@ -47,6 +47,12 @@ TRACKING_PARAM_RE = r"(utm_[a-z]+|ref|fbclid|gclid)"
 #: scheme://authority prefix (group 1); authority stops at /, ?, #
 _PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)"
 
+#: ASCII whitespace, spelled out (r14 ADVICE): this is Java's ``\s``
+#: exactly, but RE2's ``\s`` omits ``\x0b`` — writing the class
+#: explicitly on BOTH sides keeps the trim step char-for-char equal
+#: instead of resting on a dialect identity that does not hold.
+_WS = r"[ \t\n\x0b\f\r]"
+
 
 def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -57,7 +63,7 @@ def canonicalize_url(col: str | Column) -> Column:
     module docstring). Every step is one codegen'd ``regexp_replace``;
     the lowercased prefix splice uses extract + substring so the PATH
     keeps its case."""
-    u = F.regexp_replace(_c(col), r"^\s+|\s+$", "")
+    u = F.regexp_replace(_c(col), rf"^{_WS}+|{_WS}+$", "")
     # 2: lowercase scheme://authority, splice the untouched remainder
     prefix = F.regexp_extract(u, _PREFIX_RE, 1)
     u = F.concat(F.lower(prefix), F.substring(u, F.length(prefix) + 1, 2**31 - 1))
@@ -90,7 +96,7 @@ def duckdb_canonicalize_sql(expr: str) -> str:
     over ``expr`` — the LITERAL same patterns with DuckDB's ``\\1``
     replacement syntax and explicit 'g' flags, so oracle queries and
     tests share one definition instead of hand-copying the chain."""
-    u = f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+    u = f"regexp_replace({expr}, '^{_WS}+|{_WS}+$', '', 'g')"
     prefix = f"regexp_extract({u}, '{_PREFIX_RE}', 1)"
     u = f"(lower({prefix}) || substring({u}, length({prefix}) + 1))"
     u = f"regexp_replace({u}, '#.*$', '')"

@@ -210,6 +210,10 @@ def drift_gated_append(
 
     Policy: a NULL shift (a group new to the batch or absent from it —
     nothing to compare) does NOT block; only a measured excess does.
+    By the same nothing-to-compare rule, an EMPTY store (no snapshots
+    yet) commits unconditionally — bootstrap ingest needs no prior
+    baseline (r14 ADVICE) — returning an empty report frame with the
+    report schema (every group is "new to the store").
     Returns ``(version, report)``: the committed version (None when
     refused) and the per-group report with ``admitted`` — a bounded
     n_groups-row frame, collected once for the gate decision.
@@ -218,9 +222,33 @@ def drift_gated_append(
     and the report shuffles only (group, window, dim) cells; the gate
     adds no scan of historic data beyond the drift measurement itself.
     """
+    from pyspark.sql import types as T
+
     from spark_ml_showcase_spark.sources import versioned
 
-    base = versioned.read_snapshot(spark, table_dir)
+    try:
+        base = versioned.read_snapshot(spark, table_dir)
+    except FileNotFoundError:
+        version = versioned.write_snapshot(batch_df, table_dir, append=True)
+        group_type = batch_df.schema[group_col].dataType
+        schema = T.StructType(
+            [T.StructField(group_col, group_type)]
+            + [
+                T.StructField(n, T.LongType())
+                for n in ("n_base", "n_cur")
+            ]
+            + [
+                T.StructField(n, T.DoubleType())
+                for n in (
+                    "centroid_shift",
+                    "mean_norm_base",
+                    "mean_norm_cur",
+                    "norm_shift",
+                )
+            ]
+            + [T.StructField("admitted", T.LongType())]
+        )
+        return version, spark.createDataFrame([], schema)
     tagged = base.select(
         F.col(group_col).alias(group_col),
         F.lit("baseline").alias("w"),

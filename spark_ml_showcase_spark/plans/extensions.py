@@ -43,8 +43,8 @@ from spark_ml_showcase_spark.sources.catalog import Catalog
         SELECT doc_id, source, n_chars,
                row_number() OVER (
                    PARTITION BY regexp_replace(
-                       regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
-                       '\s+', ' ', 'g')
+                       regexp_replace(lower(text), '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'),
+                       '[ \t\n\x0b\f\r]+', ' ', 'g')
                    ORDER BY doc_id) AS rn
         FROM documents
     ) WHERE rn = 1
@@ -63,7 +63,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twins of the same document); the Spark side canonicalizes in an
 # Arrow-batched projection (Spark has no NFC expression) and windows on
 # xxhash64 of the key, the oracle canonicalizes with DuckDB's
-# nfc_normalize + lower + the pinned ASCII-\s regex chain. The
+# nfc_normalize + lower + the spelled-out ASCII-ws regex chain. The
 # Spark↔DuckDB canonicalization equivalence on actual confusables is
 # pinned against a live DuckDB in tests/test_dedup.py (the fixture
 # corpus is ASCII, where NFC is the identity — the planted-confusable
@@ -79,8 +79,8 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (
                    PARTITION BY regexp_replace(
                        regexp_replace(lower(nfc_normalize(text)),
-                                      '^\s+|\s+$', '', 'g'),
-                       '\s+', ' ', 'g')
+                                      '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'),
+                       '[ \t\n\x0b\f\r]+', ' ', 'g')
                    ORDER BY doc_id) AS rn
         FROM documents
     ) WHERE rn = 1
@@ -208,7 +208,7 @@ def url_canonical_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      -- filter: DuckDB trim() strips spaces only, so a
                      -- leading tab/newline yields an empty first token.
                      list_filter(
-                         string_split_regex(lower(trim(text)), '\s+'),
+                         string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS toks
               FROM documents WHERE doc_id < 200)
         WHERE len(toks) >= 3
@@ -240,7 +240,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               for i in generate_series(1, len(toks) - 2)]) AS s
         FROM (SELECT doc_id,
                      list_filter(
-                         string_split_regex(lower(trim(text)), '\s+'),
+                         string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS toks
               FROM documents WHERE doc_id < 200)
         WHERE len(toks) >= 3
@@ -285,7 +285,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                               for i in generate_series(1, len(toks) - 2)]) AS s
         FROM (SELECT doc_id,
                      list_filter(
-                         string_split_regex(lower(trim(text)), '\s+'),
+                         string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS toks
               FROM documents WHERE doc_id < 200)
         WHERE len(toks) >= 3
@@ -348,7 +348,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              regexp_replace(
                regexp_replace(text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-               'https?://[^\s]+', '[URL]', 'g'),
+               'https?://[^ \t\n\x0b\f\r]+', '[URL]', 'g'),
              '\b\d[\d -]{6,}\d\b', '[NUM]', 'g') AS scrubbed
     FROM documents WHERE doc_id < 500
     """,
@@ -370,7 +370,7 @@ def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents WHERE doc_id < 300
     ), c AS (
         SELECT doc_id, toks, len(toks) AS n,
@@ -450,7 +450,7 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                            x -> x <> '') AS toks
         FROM documents
     ),
@@ -500,7 +500,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                            x -> x <> '') AS toks
         FROM documents
     ),
@@ -585,7 +585,7 @@ def substring_dup_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                            x -> x <> '') AS toks
         FROM documents
     ),
@@ -773,7 +773,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_stats",
     oracle=r"""
     SELECT doc_id AS doc_id,
-           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''))
                 AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars,
            ROUND(CASE WHEN length(text) = 0 THEN 0.0
@@ -807,7 +807,7 @@ def _lang_hits_sql(lang: str) -> str:
     stops = ", ".join(f"'{s}'" for s in TX._LANG_STOPWORDS[lang])
     return (
         "len(list_filter(list_filter(string_split_regex(lower(text), "
-        rf"'\s+'), x -> x <> ''), t -> list_contains([{stops}], t)))"
+        rf"'[ \t\n\x0b\f\r]+'), x -> x <> ''), t -> list_contains([{stops}], t)))"
     )
 
 
@@ -817,12 +817,12 @@ def _lang_hits_sql(lang: str) -> str:
     WITH base AS (
         SELECT doc_id, lang,
                length(text) AS n_chars,
-               len(list_filter(string_split_regex(lower(text), '\s+'),
+               len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                                x -> x <> '')) AS n_tok,
                length(text) - length(regexp_replace(
                    text, '[!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
                len(regexp_extract_all(
-                   text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+                   text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpe,
                {_lang_hits_sql("de")} AS s_de,
                {_lang_hits_sql("en")} AS s_en,
                {_lang_hits_sql("es")} AS s_es,
@@ -1384,7 +1384,7 @@ _TFIDF_STOPS = TX._LANG_STOPWORDS["en"]
     oracle=rf"""
     WITH toks AS (
         SELECT doc_id, unnest(list_filter(
-                   string_split_regex(lower(text), '\s+'), x -> x <> ''))
+                   string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> ''))
                AS term
         FROM documents
     ),
@@ -1563,7 +1563,7 @@ def clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                            x -> x <> '') AS toks
         FROM documents
     ), g AS (
@@ -1639,7 +1639,7 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                            x -> x <> '') AS toks
         FROM documents
     ), uc AS (
@@ -1738,7 +1738,7 @@ def pack_sequences_256(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                            x -> x <> '') AS toks
         FROM documents
     ), g AS (
@@ -1774,7 +1774,7 @@ def boilerplate_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                            x -> x <> '') AS toks
         FROM documents
     ), uc AS (
@@ -1865,7 +1865,7 @@ def minhash_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id, source,
-               CAST(len(list_filter(string_split_regex(text, '\s+'),
+               CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
                                     x -> x <> '')) AS BIGINT) AS n_tokens,
                substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS h
         FROM documents
@@ -1951,7 +1951,7 @@ def class_balance_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_pair_counts_top20",
     oracle=r"""
     WITH toks AS (
-        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                                   x -> x <> '')) AS tok
         FROM documents
     ), pairs AS (
@@ -2088,7 +2088,7 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- without it a NULL doc yields blocked = NULL, not false
                list_intersect(
                    list_transform(
-                       list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                       list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\x0b\f\r]+'),
                                    x -> x <> ''),
                        x -> lower(x)),
                    ['data', 'stream', 'vector']) AS hits
@@ -2122,7 +2122,7 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               for i in generate_series(1, len(toks) - 2)]) AS s
         FROM (SELECT doc_id,
                      list_filter(
-                         string_split_regex(lower(trim(text)), '\s+'),
+                         string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS toks
               FROM documents WHERE doc_id < 200)
         WHERE len(toks) >= 3
@@ -2263,7 +2263,7 @@ def _pagerank_oracle(iterations: int = 10) -> str:
                               for i in generate_series(1, len(toks) - 2)]) AS s
         FROM (SELECT doc_id,
                      list_filter(
-                         string_split_regex(lower(trim(text)), '\s+'),
+                         string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS toks
               FROM documents WHERE doc_id < 200)
         WHERE len(toks) >= 3
@@ -2378,7 +2378,7 @@ def learned_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents WHERE doc_id >= 300 AND doc_id < 500
     ), c AS (
         SELECT doc_id, toks, len(toks) AS n,
@@ -2534,7 +2534,7 @@ def bpe_learn_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id,
                list_distinct(list_filter(
-                   string_split_regex(lower(text), '\s+'),
+                   string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                    x -> x <> '')) AS toks
         FROM documents WHERE doc_id % 5 = 0
     ),
@@ -2571,7 +2571,7 @@ def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id,
                list_sort(list_distinct(list_filter(
-                   string_split_regex(lower(text), '\s+'),
+                   string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                    x -> x <> '')))[:40] AS toks
         FROM documents
     ),
@@ -3359,18 +3359,46 @@ def drift_gated_ingest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("v", 2, F.size("v") - 1),
         ),
     )
-    store = os.path.join(
-        "/tmp/smss_driftgate", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(store, ignore_errors=True)
-    versioned.write_snapshot(day0, store)
-    v1, rep1 = drift.drift_gated_append(
-        spark, store, clean, max_centroid_shift=0.8
-    )
-    v2, rep2 = drift.drift_gated_append(
-        spark, store, shifted, max_centroid_shift=0.8
-    )
-    assert v1 is not None and v2 is None  # the planted outcomes
+    # session-private store (r14 ADVICE): mkdtemp is race-free, so two
+    # concurrent bench/correctness sessions on the same fixture can
+    # never rmtree each other's store mid-read, and identically-named
+    # fixture dirs in different parents cannot collide. The reports are
+    # localCheckpointed inside drift_gated_append, so nothing in the
+    # returned plan reads the store after this function exits — the
+    # finally-rmtree also stops per-session dirs accumulating in /tmp.
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="smss_driftgate_")
+    try:
+        versioned.write_snapshot(day0, store)
+        v1, rep1 = drift.drift_gated_append(
+            spark, store, clean, max_centroid_shift=0.8
+        )
+        v2, rep2 = drift.drift_gated_append(
+            spark, store, shifted, max_centroid_shift=0.8
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    if v1 is None or v2 is not None:
+        # diagnosable (not a bare assert): a fixture regeneration that
+        # moves a centroid shift across the 0.8 gate should say so
+        shifts1 = sorted(
+            (r["source"], r["centroid_shift"])
+            for r in rep1.select("source", "centroid_shift").collect()
+        )
+        shifts2 = sorted(
+            (r["source"], r["centroid_shift"])
+            for r in rep2.select("source", "centroid_shift").collect()
+        )
+        raise RuntimeError(
+            "drift_gated_ingest_commit planted outcome violated "
+            "(threshold 0.8): clean batch "
+            f"{'committed' if v1 is not None else 'REFUSED'} with "
+            f"per-source shifts {shifts1}; shifted batch "
+            f"{'ADMITTED' if v2 is not None else 'refused'} with "
+            f"per-source shifts {shifts2} — the fixture regeneration "
+            "moved a shift across the gate"
+        )
 
     def shape(rep, batch: str, committed: int) -> DataFrame:
         return rep.select(

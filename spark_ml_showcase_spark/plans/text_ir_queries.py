@@ -22,7 +22,7 @@ from spark_ml_showcase_spark.functions.rounding import round_like_duckdb
 from spark_ml_showcase_spark.plans import query
 from spark_ml_showcase_spark.sources.catalog import Catalog
 
-_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_TOKS = r"list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')"
 
 
 # X68: deterministic weighted sampling without replacement (Efraimidis/
@@ -645,7 +645,7 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                            x -> x <> '') AS toks
         FROM documents
     ),
@@ -725,19 +725,19 @@ def pooled_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT source, lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+           CAST(SUM(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
                                     x -> x <> ''))) AS BIGINT) AS n_words,
            CAST(SUM(len(regexp_extract_all(
-               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]'))) AS BIGINT)
                AS n_bpe_tokens,
            CAST(SUM(length(text)) AS BIGINT) AS n_chars,
            ROUND(SUM(len(regexp_extract_all(
-                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) * 1.0
-                 / SUM(len(list_filter(string_split_regex(text, '\s+'),
+                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]'))) * 1.0
+                 / SUM(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
                                        x -> x <> ''))), 6) AS fertility,
            ROUND(SUM(length(text)) * 1.0
                  / SUM(len(regexp_extract_all(
-                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 6)
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]'))), 6)
                AS chars_per_token
     FROM documents
     GROUP BY source, lang
@@ -837,7 +837,7 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zipf_vocab_slope",
     oracle=r"""
     WITH tok AS (
-        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                                   x -> x <> '')) AS term
         FROM documents
     ),

@@ -454,6 +454,11 @@ def _confusable_docs(spark):
         (7, "café au lait on the river bank"),      # U+00A0 is CONTENT: not a dup
         (8, "straße berlin travel notes"),               # ß: lower keeps it
         (9, "STRASSE berlin travel notes"),                   # casefold-only dup: stays distinct
+        (10, "vertical tab doc body"),                        # plain-space form
+        (11, "vertical\x0btab doc\x0b body"),            # U+000B collapses: dup of 10
+        (12, None),                                      # NULL: its own group, ≠ ''
+        (13, ""),                                        # empty
+        (14, " \t\x0b "),                                # all-whitespace → '': dup of 13
     ]
     return spark.createDataFrame(base, "doc_id bigint, text string")
 
@@ -465,7 +470,9 @@ def test_unicode_dedup_merges_planted_confusables(spark):
     (lower, not casefold — the DuckDB-parity choice)."""
     df = _confusable_docs(spark)
     ids = {r.doc_id for r in dedup.unicode_exact_dedup(df, "text", "doc_id").collect()}
-    assert ids == {0, 4, 6, 7, 8, 9}
+    # 11 (\x0b ws) folds into 10; 14 (all-ws → '') folds into 13 (empty);
+    # 12 (NULL) survives as its OWN group — NULL ≠ '' (r14 ADVICE)
+    assert ids == {0, 4, 6, 7, 8, 9, 10, 12, 13}
     # byte-exact (even normalized) misses the NFD and Å twins
     byte_ids = {r.doc_id for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
     assert {1, 5} <= byte_ids
@@ -495,10 +502,15 @@ def test_unicode_canonical_matches_duckdb_on_confusables(spark):
     con = duckdb.connect()
     want = {}
     for doc_id, text in rows:
+        # the LITERAL oracle chain: whitespace class spelled out (RE2's
+        # \s omits \x0b — dialect \s is banned in oracle SQL, r14 ADVICE)
         want[doc_id] = con.execute(
             r"""SELECT regexp_replace(regexp_replace(
-                    lower(nfc_normalize(?)), '^\s+|\s+$', '', 'g'),
-                    '\s+', ' ', 'g')""",
+                    lower(nfc_normalize(?)),
+                    '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'),
+                    '[ \t\n\x0b\f\r]+', ' ', 'g')""",
             [text],
         ).fetchone()[0]
     assert got == want
+    assert got[12] is None and want[12] is None  # NULL survives the UDF
+    assert got[11] == "vertical tab doc body"  # \x0b collapsed both sides

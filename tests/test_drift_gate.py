@@ -52,6 +52,66 @@ def test_round_like_duckdb_matches_duckdb_on_midpoints(spark):
     assert any(a.m != b for a, b in zip(fr, want))
 
 
+def test_round_like_duckdb_overflow_returns_input(spark):
+    """DuckDB's overflow fallback (r14 ADVICE): when x·10^d overflows
+    to ±inf, ROUND returns the INPUT unchanged — the guard must mirror
+    that instead of emitting Infinity. NaN/±inf inputs pass through on
+    both engines; values just below the overflow edge still round."""
+    import duckdb
+
+    cases = [
+        1.8e307, -1.8e307, 1.7976931348623157e308,  # x·1e6 → ±inf
+        -1.7976931348623157e308,
+        1.0e300, -1.0e300,                          # huge but no overflow
+        float("inf"), float("-inf"), float("nan"),
+        123.4567891, -123.4567891,                  # sanity: normal path
+    ]
+    df = spark.createDataFrame([(x,) for x in cases], "x double")
+    got = [
+        r.m
+        for r in df.select(drift.round_like_duckdb(F.col("x"), 6).alias("m"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT ROUND(CAST(? AS DOUBLE), 6)", [x]).fetchone()[0]
+        for x in cases
+    ]
+    import math
+
+    for g, w in zip(got, want):
+        if math.isnan(w):
+            assert math.isnan(g)
+        else:
+            assert g == w
+    # the overflow class specifically round-trips the input
+    assert got[0] == 1.8e307 and got[2] == 1.7976931348623157e308
+
+
+def test_round_like_duckdb_negative_tiny_zero_sign(spark):
+    """The documented −0.0 caveat, pinned (r14 verdict): a rounded
+    negative tiny yields +0.0 on the Spark side (BigDecimal has no −0)
+    but −0.0 in DuckDB — equal in value, DIFFERENT in hashed bytes.
+    This test pins both facts so the usage rule (magnitudes / on-grid
+    diffs only, or oracle adds `+ 0`) stays load-bearing."""
+    import duckdb
+    import math
+
+    df = spark.createDataFrame([(-1e-9,), (-4.9e-7,)], "x double")
+    got = [
+        r.m
+        for r in df.select(drift.round_like_duckdb(F.col("x"), 6).alias("m"))
+        .collect()
+    ]
+    assert all(g == 0.0 and math.copysign(1.0, g) == 1.0 for g in got)
+    con = duckdb.connect()
+    for x in (-1e-9, -4.9e-7):
+        w = con.execute(
+            "SELECT ROUND(CAST(? AS DOUBLE), 6)", [x]
+        ).fetchone()[0]
+        assert w == 0.0 and math.copysign(1.0, w) == -1.0
+
+
 def _vecs(spark, n, *, source="s1", id_base=0, shift=0.0, dim=8, seed=5):
     rng = np.random.RandomState(seed)
     rows = [
@@ -89,6 +149,31 @@ def test_drift_gate_admits_clean_refuses_shifted(spark, tmp_path):
     # the store is untouched by the refusal
     assert versioned.snapshot_versions(store) == [0, 1]
     assert versioned.read_snapshot(spark, store).count() == 240
+
+
+def test_drift_gate_bootstrap_empty_store(spark, tmp_path):
+    """First commit into an EMPTY store succeeds unconditionally (r14
+    ADVICE): nothing exists to drift from, so the gate's NULL-shift
+    policy extends to the bootstrap — and the returned report is an
+    empty frame with the full report schema."""
+    store = os.path.join(str(tmp_path), "gate_store0")
+    batch = _vecs(spark, 80, seed=5)
+    v, rep = drift.drift_gated_append(
+        spark, store, batch, max_centroid_shift=0.5
+    )
+    assert v == 0
+    assert rep.count() == 0
+    assert rep.columns == [
+        "source", "n_base", "n_cur", "centroid_shift",
+        "mean_norm_base", "mean_norm_cur", "norm_shift", "admitted",
+    ]
+    assert versioned.read_snapshot(spark, store).count() == 80
+    # and the store is now a working baseline for the NEXT append
+    v2, rep2 = drift.drift_gated_append(
+        spark, store, _vecs(spark, 80, id_base=500, seed=6),
+        max_centroid_shift=1.0,
+    )
+    assert v2 == 1 and rep2.count() == 1
 
 
 def test_drift_gate_null_shift_new_group_admitted(spark, tmp_path):

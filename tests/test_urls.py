@@ -33,6 +33,9 @@ CASES = [
     ("https://a.com/", "https://a.com"),
     # whitespace trim
     ("  https://a.com/p \t", "https://a.com/p"),
+    # U+000B vertical tab: in Java's \s but NOT RE2's — the r14 ADVICE
+    # divergence; the spelled-out class must trim it on BOTH engines
+    ("\x0b https://a.com/p\t\x0b", "https://a.com/p"),
     # everything at once
     (
         "HTTPS://WWW.A.com:443/d/5/?utm_source=n&utm_campaign=s&page=4#sec",
