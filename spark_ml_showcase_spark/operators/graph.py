@@ -146,7 +146,11 @@ def k_core(
 
 
 def triangle_count(
-    edges: DataFrame, *, u_col: str = "u", v_col: str = "v"
+    edges: DataFrame,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    broadcast_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Exact triangle count of an undirected graph (edges distinct,
     one row per unordered pair) by DEGREE ORIENTATION — the
@@ -161,6 +165,22 @@ def triangle_count(
     10¹⁴ wedges); orientation bounds every out-degree by O(√m), so the
     wedge join is O(m^1.5) worst-case TOTAL, independent of skew. The
     degree table is node-sized and broadcast.
+
+    Join strategy is pinned EXPLICITLY, never left to AQE
+    (r14 verdict): on a graph at or under ``broadcast_max_edges``
+    oriented edges the wedge and closing joins broadcast the
+    materialized oriented list (``F.broadcast`` — a hint AQE cannot
+    revoke), otherwise they shuffle on the wedge apex. The one-off
+    416 MB flip the r14 bench caught was AQE demoting exactly this
+    broadcast to a sort-merge under session heap pressure — a 30×
+    shuffle amplification decided nondeterministically at runtime. The
+    count that drives the decision is O(1) extra work: ``oriented`` is
+    localCheckpointed below anyway, so counting it just fronts the
+    materialization the joins would trigger. At 100 TB the guard picks
+    the shuffle path by construction (an O(m) edge list is not
+    broadcastable); the threshold's default (~2M rows ≈ 100 MB of
+    (src, dst, dst_k) structs) is the conventional executor-safe
+    broadcast ceiling.
 
     Returns one row: ``(n_nodes, n_edges, n_triangles)``.
     """
@@ -194,16 +214,21 @@ def triangle_count(
     # rounds artifact of the MR recipe; MEMORY_AND_DISK, spills).
     # Measured at 20M hub-skewed edges: 11.4 s → 7.1 s (2.7M wedges/s).
     ).localCheckpoint(eager=False)
+    # the explicit-strategy decision (docstring): count the now-
+    # materialized oriented list once and pin broadcast vs shuffle
+    small = oriented.count() <= broadcast_max_edges
     o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
+    o2 = (F.broadcast(oriented) if small else oriented).alias("o2")
     wedges = o1.join(
         o2,
         (F.col("o1.src") == F.col("o2.src"))
         & (F.col("o1.dst_k") < F.col("o2.dst_k")),
     ).select(F.col("o1.dst").alias("a"), F.col("o2.dst").alias("b"))
+    closing = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
     closed = wedges.join(
-        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-        ["a", "b"],
+        F.broadcast(closing) if small else closing, ["a", "b"]
     )
     return (
         closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

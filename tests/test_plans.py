@@ -291,6 +291,21 @@ def test_tpch_part3_plan_shapes(spark):
     assert q9.count("BroadcastHashJoin") >= 3, q9  # p, s, n all broadcast
 
 
+def test_triangle_count_wedge_broadcast_pinned(spark):
+    """r14 verdict: one bench run saw AQE demote the wedge join's
+    broadcast to a 416 MB sort-merge under session heap pressure — a
+    30× shuffle amplification decided at runtime. The strategy is now
+    explicit in triangle_count (measured edge count vs threshold →
+    F.broadcast or shuffle, never AQE's call): the checkpointed
+    oriented list is the plan's leaf, and the two joins above it —
+    wedge and closing, exactly the pair that flipped — must both carry
+    the un-revokable broadcast hint, with no sort-merge anywhere."""
+    qs = entry.queries()
+    plan = _plan(qs["triangle_count_suppliers"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_interval_overlap_join_plan_is_hash_join_no_dedup(spark):
     """The grid interval join must plan as a hash equi-join on
     (user_id, cell) — never a cartesian/BNLJ theta join — and the
