@@ -166,19 +166,28 @@ def triangle_count(
     wedge join is O(m^1.5) worst-case TOTAL, independent of skew. The
     degree table is node-sized and broadcast.
 
-    Join strategy is pinned EXPLICITLY, never left to AQE
-    (r14 verdict): on a graph at or under ``broadcast_max_edges``
-    oriented edges the wedge and closing joins broadcast the
-    materialized oriented list (``F.broadcast`` — a hint AQE cannot
-    revoke), otherwise they shuffle on the wedge apex. The one-off
-    416 MB flip the r14 bench caught was AQE demoting exactly this
-    broadcast to a sort-merge under session heap pressure — a 30×
-    shuffle amplification decided nondeterministically at runtime. The
-    count that drives the decision is O(1) extra work: ``oriented`` is
-    localCheckpointed below anyway, so counting it just fronts the
-    materialization the joins would trigger. At 100 TB the guard picks
-    the shuffle path by construction (an O(m) edge list is not
-    broadcastable); the threshold's default (~2M rows ≈ 100 MB of
+    Join strategy is pinned EXPLICITLY, never left to AQE (r14
+    verdict). The load-bearing decision is the CLOSING join: its probe
+    side is the wedge set (O(m^1.5) rows — 35M at bench sf0.1), its
+    build side the O(m) oriented list. Broadcasting the oriented side
+    keeps the wedges from ever crossing an exchange; AQE demoting that
+    broadcast to a sort-merge under session heap pressure is exactly
+    the one-off 416 MB-shuffle flip the r14 bench caught (30× the
+    normal 13.4 MB — the wedge set is the only frame here with that
+    mass). So: at or under ``broadcast_max_edges`` oriented edges the
+    closing join carries an ``F.broadcast`` hint AQE cannot revoke;
+    above it, both joins are merge-hinted shuffles by construction (an
+    O(m) edge list is not broadcastable at 100 TB, and the wedge set
+    then shuffles on (a, b) — the unavoidable at-scale exchange, sized
+    by orientation's O(m^1.5) bound, skew-free because both dst ids
+    carry O(√m)-bounded out-degrees). The wedge self-join is
+    merge-hinted in BOTH regimes: broadcasting an O(m) side there
+    buys nothing (measured 2× SLOWER at sf0.1 — it serializes the
+    probe through the checkpoint's partitioning) and pinning it stops
+    AQE from flipping strategies run to run. The count driving the
+    decision is O(1) extra work: ``oriented`` is localCheckpointed
+    below anyway, so counting it just fronts the materialization the
+    joins would trigger. The threshold default (~2M rows ≈ 100 MB of
     (src, dst, dst_k) structs) is the conventional executor-safe
     broadcast ceiling.
 
@@ -215,10 +224,12 @@ def triangle_count(
     # Measured at 20M hub-skewed edges: 11.4 s → 7.1 s (2.7M wedges/s).
     ).localCheckpoint(eager=False)
     # the explicit-strategy decision (docstring): count the now-
-    # materialized oriented list once and pin broadcast vs shuffle
+    # materialized oriented list once; the closing join broadcasts its
+    # O(m) build side iff the graph is small enough, and every other
+    # strategy is pinned so AQE cannot flip plans run to run
     small = oriented.count() <= broadcast_max_edges
     o1 = oriented.alias("o1")
-    o2 = (F.broadcast(oriented) if small else oriented).alias("o2")
+    o2 = oriented.hint("merge").alias("o2")
     wedges = o1.join(
         o2,
         (F.col("o1.src") == F.col("o2.src"))
@@ -228,7 +239,7 @@ def triangle_count(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
     closed = wedges.join(
-        F.broadcast(closing) if small else closing, ["a", "b"]
+        F.broadcast(closing) if small else closing.hint("merge"), ["a", "b"]
     )
     return (
         closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

@@ -74,10 +74,11 @@ def test_triangle_count_known_graphs(spark):
 def test_triangle_count_shuffle_path_matches_broadcast_path(spark):
     """The explicit join-strategy guard (r14 verdict): forcing the
     at-scale shuffle path (broadcast_max_edges=0) must count the same
-    triangles as the pinned-broadcast small-graph path, and the two
-    paths must genuinely differ in plan (BroadcastHashJoin vs
-    SortMergeJoin on the wedge join) — the strategy is OURS, decided
-    once from the measured edge count, never AQE's to flip."""
+    triangles as the small-graph path that broadcasts the CLOSING
+    join's oriented side (the join whose probe side is the O(m^1.5)
+    wedge set — the 416 MB flip site), and the two paths must genuinely
+    differ in plan — the strategy is OURS, decided once from the
+    measured edge count, never AQE's to flip."""
     from spark_ml_showcase_spark.operators.graph import triangle_count
 
     k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
@@ -97,13 +98,14 @@ def test_triangle_count_shuffle_path_matches_broadcast_path(spark):
         return frame._jdf.queryExecution().executedPlan().toString()
 
     # the checkpointed oriented list is the plan's leaf, so the visible
-    # joins are exactly the two that flipped in r14: wedge + closing —
-    # both must carry the un-revokable broadcast hint
+    # joins are the wedge self-join (merge-pinned SMJ in both regimes)
+    # and the closing join (broadcast-hinted iff small)
     pinned = plan(triangle_count(df))
-    assert pinned.count("BroadcastHashJoin") >= 2, pinned
-    assert "SortMergeJoin" not in pinned, pinned
+    assert "BroadcastHashJoin" in pinned, pinned   # closing join
+    assert "SortMergeJoin" in pinned, pinned       # wedge join
     shuffled = plan(triangle_count(df, broadcast_max_edges=0))
-    assert "SortMergeJoin" in shuffled or "ShuffledHashJoin" in shuffled
+    assert "BroadcastHashJoin" not in shuffled, shuffled
+    assert shuffled.count("SortMergeJoin") >= 2, shuffled
 
 
 def test_triangle_count_negative_and_wide_ids(spark):

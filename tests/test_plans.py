@@ -292,18 +292,19 @@ def test_tpch_part3_plan_shapes(spark):
 
 
 def test_triangle_count_wedge_broadcast_pinned(spark):
-    """r14 verdict: one bench run saw AQE demote the wedge join's
-    broadcast to a 416 MB sort-merge under session heap pressure — a
-    30× shuffle amplification decided at runtime. The strategy is now
-    explicit in triangle_count (measured edge count vs threshold →
-    F.broadcast or shuffle, never AQE's call): the checkpointed
-    oriented list is the plan's leaf, and the two joins above it —
-    wedge and closing, exactly the pair that flipped — must both carry
-    the un-revokable broadcast hint, with no sort-merge anywhere."""
+    """r14 verdict: one bench run saw AQE demote the CLOSING join's
+    broadcast to a sort-merge under session heap pressure, shuffling
+    the O(m^1.5) wedge set — 416 MB vs the normal 13.4 MB, a 30×
+    amplification decided at runtime. The strategy is now explicit in
+    triangle_count (measured edge count vs threshold → F.broadcast the
+    oriented build side or merge-pinned shuffle, never AQE's call):
+    the checkpointed oriented list is the plan's leaf; above it the
+    closing join must carry the un-revokable broadcast hint and the
+    wedge self-join the merge pin."""
     qs = entry.queries()
     plan = _plan(qs["triangle_count_suppliers"](spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan   # closing join, pinned
+    assert "SortMergeJoin" in plan, plan       # wedge join, merge-pinned
 
 
 def test_interval_overlap_join_plan_is_hash_join_no_dedup(spark):
