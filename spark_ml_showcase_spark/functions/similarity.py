@@ -42,7 +42,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_decimals: int = 6,
-    vectorized: bool = False,
+    vectorized: bool | str = False,
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast(queries) × candidates →
     score → per-query rank window. Returns (query_id, cand_id, cosine,
@@ -51,20 +51,25 @@ def brute_force_topk(
 
     ``vectorized``: score through the Arrow/numpy cosine instead of the
     Catalyst higher-order expression — ~3× on 64-dim fixtures (the HOF
-    evaluates interpreted per element). numpy's pairwise summation can
-    differ from the sequential HOF/SQL sum in the last ulp, so keep the
-    default for ORACLE-checked callers (rank parity demands identical
-    rounding inputs); rows-only observability queries use True."""
+    evaluates interpreted per element). ``True`` is numpy's
+    pairwise-summed cosine, whose last-ulp drift vs the sequential
+    HOF/SQL sum makes it rows-only-safe ONLY; ``"seq"`` is
+    ``cosine_pandas_udf_seq`` — the element-SEQUENTIAL Arrow fold that
+    is BIT-identical to the HOF (the r12/r13 maxsim precedent), so
+    ORACLE-checked callers get the Arrow speedup without giving up
+    rank/hash parity (r15). ``False`` keeps the codegen HOF."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
     )
     c = candidates.select(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("_cv")
     )
-    cos = (
-        cosine_pandas_udf()("_qv", "_cv") if vectorized
-        else V.cosine("_qv", "_cv")
-    )
+    if vectorized == "seq":
+        cos = cosine_pandas_udf_seq()("_qv", "_cv")
+    elif vectorized:
+        cos = cosine_pandas_udf()("_qv", "_cv")
+    else:
+        cos = V.cosine("_qv", "_cv")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))

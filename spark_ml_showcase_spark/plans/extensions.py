@@ -701,7 +701,8 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.brute_force_topk(emb, queries, 3)
+    # "seq": Arrow fold bit-identical to the HOF (r15) — oracle-safe
+    out = similarity.brute_force_topk(emb, queries, 3, vectorized="seq")
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

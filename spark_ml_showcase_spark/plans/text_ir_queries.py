@@ -495,8 +495,11 @@ def rrf_fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cand_id", F.col("rank").alias("_ra")
     )
     emb = cat.embeddings
+    # "seq" = the Arrow fold that is BIT-identical to the HOF cosine
+    # (r15): the oracle's rank parity is preserved by construction and
+    # the interpreted-HOF cost of the dense leg drops ~3×
     dense = similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") % 25 == 0), 10
+        emb, emb.filter(F.col("vec_id") % 25 == 0), 10, vectorized="seq"
     ).select("query_id", "cand_id", F.col("rank").alias("_rb"))
     fused = sparse.join(dense, ["query_id", "cand_id"], "full").select(
         "query_id",
@@ -1033,7 +1036,7 @@ def rbo_sparse_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "cand_id", F.col("rank").alias("_ra"))
     emb = cat.embeddings
     dense = similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") % 50 == 0), 10
+        emb, emb.filter(F.col("vec_id") % 50 == 0), 10, vectorized="seq"
     ).select("query_id", "cand_id", F.col("rank").alias("_rb"))
     coef = F.element_at(
         F.array(*[F.lit(c) for c in _RBO_C]),

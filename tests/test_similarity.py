@@ -135,6 +135,21 @@ def test_cosine_pandas_udf_matches_expression(spark):
     assert diff == 0
 
 
+def test_brute_force_topk_seq_scorer_bit_identical_to_hof(spark):
+    """vectorized="seq" (r15): the whole brute_force_topk output —
+    scores AND ranks — must be row-identical to the codegen HOF path,
+    because the seq Arrow fold reproduces F.aggregate's summation
+    order exactly. This is what licenses the oracle-checked retrieval
+    queries (cosine_topk_bruteforce, rrf_fusion_docs,
+    rbo_sparse_vs_dense) to take the Arrow speedup."""
+    _, _, df = _vecs(spark, n=60)
+    q = df.filter(F.col("vec_id") < 8)
+    k = lambda frame: sorted(tuple(r) for r in frame.collect())
+    hof = similarity.brute_force_topk(df, q, 5)
+    seq = similarity.brute_force_topk(df, q, 5, vectorized="seq")
+    assert k(hof) == k(seq)
+
+
 def test_vector_functions_basic(spark):
     df = spark.createDataFrame(
         [([3.0, 4.0], [4.0, 3.0])], "a array<double>, b array<double>"
