@@ -53,9 +53,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def round_like_duckdb(col: Column, digits: int) -> Column:
+def round_like_duckdb(
+    col: Column, digits: int, *, bounded: bool = False
+) -> Column:
+    """``bounded=True`` skips the overflow guard: the caller asserts
+    ``|col| * 10^digits`` cannot overflow (ratios in [0, 1], shares,
+    anything provably far below ~1.8e308/10^d) — on that domain the two
+    forms are value-identical, so the DuckDB contract is unchanged.
+
+    Why the flag exists (r15): the guard's CASE WHEN defeats Catalyst
+    subexpression elimination, and a threshold filter on the rounded
+    value gets SUBSTITUTED into join conditions by predicate pushdown —
+    so when ``col`` embeds an expensive expression (an
+    ``array_intersect`` similarity verify), the guarded form evaluated
+    it up to 12× per candidate row (set_similarity_join_docs regressed
+    3.8 → 6.8 s when the guard landed). Rounding a plain column ref can
+    keep the guard; rounding a filtered complex expression on a bounded
+    domain should pass ``bounded=True``."""
     p = F.lit(float(10**digits))
     y = col * p
+    if bounded:
+        return F.round(y, 0) / p
     return F.when(F.abs(y) == F.lit(float("inf")), col).otherwise(
         F.round(y, 0) / p
     )

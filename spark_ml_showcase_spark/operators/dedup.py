@@ -1147,7 +1147,11 @@ def set_similarity_join(
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size("_ta") + F.size("_tb") - inter
-    jac = round_like_duckdb(inter.cast("double") / union, round_decimals)
+    # bounded: J ∈ [0,1]; the guard's CASE WHEN would multiply the
+    # array_intersect verify through the pushed-down threshold filter
+    jac = round_like_duckdb(
+        inter.cast("double") / union, round_decimals, bounded=True
+    )
     return (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -1268,10 +1272,13 @@ def containment_join(
         ranked.select(F.col("_id").alias("id_big"), F.col("_grams").alias("_gb")),
         "id_big",
     )
+    # bounded: containment ∈ [0,1]; same pushed-filter duplication
+    # rationale as the jaccard site above
     contain = round_like_duckdb(
         F.size(F.array_intersect("_ga", "_gb")).cast("double")
         / F.size("_ga"),
         round_decimals,
+        bounded=True,
     )
     return (
         cand.withColumn("containment", contain)
