@@ -418,41 +418,12 @@ def containment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cached_sparse_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The rrf pair's shared sparse retrieval INPUT — TF-IDF bigram
-    cosine top-10 per query doc — as a fingerprint-keyed materialized
-    frame (r14 verdict #5). Evidence-vs-operation: the OPERATION each
-    rrf query exists to exercise is the fusion/overlap arithmetic (and
-    the IVF probe leg), which stays fresh; sparse retrieval itself
-    stays a fresh measured operation in ``sparse_cosine_topk_docs``.
-    The builder is deterministic (integer-quantized weights, id
-    tie-breaks) and parquet round-trips longs bit-exactly, so the
-    cached frame equals the inline computation row for row — the
-    rrf_fusion_docs ORACLE (which recomputes these ranks in SQL) is
-    the cross-engine proof each time the driver replays it."""
-    import os
-
-    return similarity.cached_eval_frame(
-        spark,
-        os.path.join(sf_dir, "documents.parquet"),
-        lambda: ir.sparse_cosine_topk(
-            Catalog(spark, sf_dir).documents,
-            k=10,
-            rare_features=5,
-            query_filter=F.col("doc_id") % 25 == 0,
-        ).select("query_id", "cand_id", "rank"),
-        variant="sparse_q25_k10",
-        params="k=10|rare=5|qmod=25|v1",
-    )
-
-
 # X75: reciprocal rank fusion of the two retrieval modalities — sparse
 # TF-IDF bigram cosine (text) and dense embedding cosine — the standard
 # hybrid-search combiner: rrf = Σ 1/(60 + rank) over the lists that
 # returned the candidate. Both input rank lists are themselves oracle-
 # checked shapes; the fusion arithmetic is two fixed-order divisions
-# and one addition, ROUND(6), top-5 with a cand tie-break. The sparse
-# leg rides the suite eval-frame cache (see _cached_sparse_leg).
+# and one addition, ROUND(6), top-5 with a cand tie-break.
 @query(
     "rrf_fusion_docs",
     oracle=rf"""
@@ -491,9 +462,12 @@ def _cached_sparse_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rrf_fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    sparse = _cached_sparse_leg(spark, sf_dir).select(
-        "query_id", "cand_id", F.col("rank").alias("_ra")
-    )
+    sparse = ir.sparse_cosine_topk(
+        cat.documents,
+        k=10,
+        rare_features=5,
+        query_filter=F.col("doc_id") % 25 == 0,
+    ).select("query_id", "cand_id", F.col("rank").alias("_ra"))
     emb = cat.embeddings
     # "seq" = the Arrow fold that is BIT-identical to the HOF cosine
     # (r15): the oracle's rank parity is preserved by construction and
@@ -534,11 +508,17 @@ def rrf_fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     k_leg, k_fused = 10, 5
-    # the sparse leg feeds BOTH fusions; as a cached eval frame it is a
-    # small parquet scan, so the former localCheckpoint (which guarded
-    # a 5-shuffle TF-IDF subtree from double execution) is unnecessary
-    sparse = _cached_sparse_leg(spark, sf_dir).select(
-        "query_id", "cand_id", F.col("rank").alias("_ra")
+    # the sparse leg feeds BOTH fusions — checkpoint: Catalyst won't
+    # reuse the 5-shuffle TF-IDF subtree across the two consumers
+    sparse = (
+        ir.sparse_cosine_topk(
+            cat.documents,
+            k=k_leg,
+            rare_features=5,
+            query_filter=F.col("doc_id") % 25 == 0,
+        )
+        .select("query_id", "cand_id", F.col("rank").alias("_ra"))
+        .localCheckpoint()
     )
     emb = cat.embeddings
     queries = emb.filter(F.col("vec_id") % 25 == 0)
