@@ -66,10 +66,13 @@ def sparse_cosine_topk(
     2. global df per gram; idf = ln((N+1)/(df+1)) + 1  [shuffle: gram]
     3. integer weights wi = CAST(ROUND(tf·idf × 1000) AS BIGINT) and
        per-doc norm n = Σ wi² (exact BIGINT)           [shuffle: id]
-    4. blocking: each doc's ``rare_features`` grams by (df ASC, gram
-       ASC); candidate pair ⇔ shared rare gram          [shuffle: gram]
-    5. exact rerank on candidates: dot = Σ wi_a·wi_b over shared grams,
-       cosine = ROUND(dot / (√n_a · √n_b), 4)          [shuffle: pair]
+    4. rare-rank flag: each doc's ``rare_features`` grams by (df ASC,
+       gram ASC) marked on the posting list            [shuffle: id]
+    5. ONE gram-keyed co-occurrence join of query postings × corpus
+       postings computes the dot (Σ wi_a·wi_b over shared grams) AND
+       the blocking test (candidate ⇔ some shared gram rare for both
+       sides) in the same pair aggregate;
+       cosine = ROUND(dot / (√n_a · √n_b), 4)    [shuffle: gram, pair]
     6. top-``k`` per query doc by (cosine DESC, id ASC).
 
     ``query_filter`` restricts which docs get a result row (rank side
@@ -103,33 +106,63 @@ def sparse_cosine_topk(
             ).cast("bigint"),
         )
         .select("_id", "gram", "df", "wi")
+        # four consumers below (norms, the rare-feature window, and the
+        # two posting-list sides of the dot product) inline this whole
+        # tf→df→idf subtree each — runtime exchange reuse dedupes the
+        # identical exchanges (verified: SKIPPED stages, flat shuffle
+        # bytes), so no explicit materialization is needed, and keeping
+        # it un-checkpointed leaves AQE its shuffle statistics for the
+        # adaptive broadcast decisions in the joins below
     )
     norms = weighted.groupBy("_id").agg(
         F.sum(F.col("wi") * F.col("wi")).alias("n2")
     )
+    # one gram-keyed co-occurrence join does BOTH the blocking test and
+    # the exact dot product (r15 restructure). The former shape built a
+    # separate candidate-pair frame (rare-feature self-join + distinct
+    # + two semi-joins) and then expanded candidates pair-first
+    # (cands ⋈ wa on id_a, THEN match gram) — measured 8.29M
+    # intermediate rows at sf0.1 against 0.67M gram-matched ones, with
+    # the whole chain serialized through AQE-coalesced single-task
+    # stages. Instead: carry each posting's rare-rank flag (the same
+    # (df ASC, gram ASC) window), join query postings to candidate
+    # postings on the SHARED gram — bounded by Σ_g df_q(g)·df(g), the
+    # classic inverted-index cost, never pair×grams — and fold the
+    # blocking predicate into the pair aggregate: a pair is a candidate
+    # iff SOME shared gram is rare for both sides (exactly the old
+    # rare ⋈ rare membership), its dot the sum over ALL shared grams.
+    # Same pairs, same integer sums; the query restriction lands on the
+    # probe side BEFORE the join (4% of postings at the registered
+    # qmod=25) instead of filtering pair fan-out afterwards.
     wrare = Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("gram"))
-    rare = (
-        weighted.withColumn("_r", F.row_number().over(wrare))
-        .filter(F.col("_r") <= rare_features)
-        .select("_id", "gram")
+    posted = weighted.withColumn(
+        "_rare", F.row_number().over(wrare) <= rare_features
     )
-    cands = (
-        rare.select(F.col("_id").alias("id_a"), "gram")
-        .join(rare.select(F.col("_id").alias("id_b"), "gram"), "gram")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    wa = posted.select(
+        F.col("_id").alias("id_a"),
+        "gram",
+        F.col("wi").alias("wa"),
+        F.col("_rare").alias("_ra"),
     )
     if query_filter is not None:
         qids = df.filter(query_filter).select(F.col(id_col).alias("id_a"))
-        cands = cands.join(qids, "id_a", "left_semi")
-    wa = weighted.select(F.col("_id").alias("id_a"), "gram", F.col("wi").alias("wa"))
-    wb = weighted.select(F.col("_id").alias("id_b"), "gram", F.col("wi").alias("wb"))
+        wa = wa.join(qids, "id_a", "left_semi")
+    wb = posted.select(
+        F.col("_id").alias("id_b"),
+        "gram",
+        F.col("wi").alias("wb"),
+        F.col("_rare").alias("_rb"),
+    )
     dots = (
-        cands.join(wa, "id_a")
-        .join(wb, ["id_b", "gram"])
+        wa.join(wb, "gram")
+        .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.max(F.col("_ra") & F.col("_rb")).alias("_blocked"),
+        )
+        .filter(F.col("_blocked"))
+        .drop("_blocked")
     )
     scored = (
         dots.join(norms.select(F.col("_id").alias("id_a"), F.col("n2").alias("na")), "id_a")
