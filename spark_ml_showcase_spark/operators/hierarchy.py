@@ -41,18 +41,67 @@ def transitive_closure(
     child_col: str = "child",
     parent_col: str = "parent",
     max_depth: int = 64,
+    unique_paths: bool = False,
 ) -> DataFrame:
     """All (node, ancestor, dist) pairs reachable by following parent
     edges, computed in ``ceil(log2(max_depth))`` doubling rounds.
     ``edges`` must be a forest or DAG of parent pointers (one row per
     child→parent edge); cycles would loop forever in a recursive CTE
-    and are capped here by ``max_depth`` instead."""
+    and are capped here by ``max_depth`` instead.
+
+    ``unique_paths=True`` (r15): the caller asserts every (node, anc)
+    pair is connected by exactly ONE path — true for any forest, where
+    each node has at most one parent. That licenses FRONTIER doubling:
+    round k joins only the pairs at distance exactly 2^(k-1) against
+    the closure (distance ≤ 2^(k-1)), so every new pair is produced by
+    its unique split at position 2^(k-1) — exactly once, at its unique
+    distance — and the per-round distinct/min-dist aggregation (one
+    full-closure shuffle + hash agg per round) disappears; the closure
+    is a plain union of per-round checkpointed hops. On a DAG with
+    converging paths the same pair would be emitted at several
+    distances, so the default keeps the min-dist aggregation."""
     closure = edges.select(
         F.col(child_col).alias("node"),
         F.col(parent_col).alias("anc"),
         F.lit(1).cast("bigint").alias("dist"),
     ).localCheckpoint()
     reach = 1
+    if unique_paths:
+        frontier = closure  # pairs at dist == reach exactly
+        while reach < max_depth:
+            # explicit renames, not DataFrame aliases: on round 1 the
+            # frontier IS the closure (identical expression ids), and
+            # alias-qualified self-join resolution breaks under the
+            # checkpointed-scan plan shape (key-not-found on analysis)
+            f = frontier.select(
+                F.col("node").alias("_fnode"),
+                F.col("anc").alias("_fanc"),
+                F.col("dist").alias("_fdist"),
+            )
+            hop = (
+                f.join(closure, F.col("_fanc") == F.col("node"))
+                .select(
+                    F.col("_fnode").alias("node"),
+                    F.col("anc"),
+                    (F.col("_fdist") + F.col("dist")).alias("dist"),
+                )
+                .localCheckpoint()
+            )
+            # one bounded collect per round: new-pair count + how many
+            # sit at the doubled horizon (the next frontier)
+            n_new, n_horizon = hop.agg(
+                F.count(F.lit(1)),
+                F.count(F.when(F.col("dist") == 2 * reach, F.lit(1))),
+            ).first()
+            if n_new == 0:
+                break
+            closure = closure.unionByName(hop)
+            reach *= 2
+            if n_horizon == 0:
+                # every chain ended before the horizon: closure complete
+                break
+            frontier = hop.filter(F.col("dist") == reach)
+        return closure
     while reach < max_depth:
         hop = (
             closure.alias("a")

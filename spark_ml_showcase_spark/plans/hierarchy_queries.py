@@ -48,7 +48,11 @@ def _customer_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return transitive_closure(_customer_edges(spark, sf_dir), max_depth=64)
+    # unique_paths: parent(c) = c // 2 is a tree — frontier doubling
+    # drops the per-round min-dist shuffle (operators/hierarchy.py r15)
+    return transitive_closure(
+        _customer_edges(spark, sf_dir), max_depth=64, unique_paths=True
+    )
 
 
 # Per-ancestor rollup over PROPER descendants: headcount + exact
@@ -71,7 +75,9 @@ def customer_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def subtree_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    closure = transitive_closure(_customer_edges(spark, sf_dir), max_depth=64)
+    closure = transitive_closure(
+        _customer_edges(spark, sf_dir), max_depth=64, unique_paths=True
+    )
     cust = Catalog(spark, sf_dir).customer
     return subtree_rollup(
         closure, cust, node_col="c_custkey", value_col="c_acctbal"

@@ -68,3 +68,35 @@ def test_subtree_rollup_counts_and_sums(spark):
         ).collect()
     }
     assert got == {1: (4, 14.0), 2: (2, 9.0)}
+
+
+def test_unique_paths_frontier_equals_generic_on_forest(spark):
+    """unique_paths=True (r15 frontier doubling) must return the exact
+    row set of the generic min-dist path on any forest — same pairs,
+    same distances. Mixed shapes: a deep 20-chain (multiple doubling
+    rounds, ragged horizon), a binary tree, a star, and isolated
+    roots."""
+    edges = [(i, i - 1) for i in range(2, 22)]          # 20-deep chain
+    edges += [(100 + i, 100 + i // 2) for i in range(2, 16)]  # binary tree
+    edges += [(200 + i, 200) for i in range(1, 6)]      # star
+    df = spark.createDataFrame(edges, "child bigint, parent bigint")
+    key = lambda frame: sorted(
+        (r.node, r.anc, r.dist) for r in frame.collect()
+    )
+    generic = transitive_closure(df, max_depth=64)
+    frontier = transitive_closure(df, max_depth=64, unique_paths=True)
+    assert key(frontier) == key(generic)
+
+
+def test_unique_paths_respects_max_depth_cap(spark):
+    # 10-deep chain, cap 4: only pairs at dist <= 4 appear (the cap
+    # bounds the doubled horizon exactly like the generic path)
+    edges = [(i, i - 1) for i in range(2, 12)]
+    df = spark.createDataFrame(edges, "child bigint, parent bigint")
+    got = transitive_closure(df, max_depth=4, unique_paths=True)
+    gen = transitive_closure(df, max_depth=4)
+    key = lambda frame: sorted(
+        (r.node, r.anc, r.dist) for r in frame.collect()
+    )
+    assert key(got) == key(gen)
+    assert max(r[2] for r in key(got)) == 4
