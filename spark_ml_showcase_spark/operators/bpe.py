@@ -56,27 +56,39 @@ def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _merge_udf(left: str, right: str, merged: str):
-    """Arrow-batched merge application: replace every adjacent
-    (left, right) with the merged symbol. Closure factory — binds the
-    round's pair by value (a loop-scope lambda would late-bind)."""
+def _merge_udf(rules: list[tuple[str, str]]):
+    """Arrow-batched merge application: apply a LIST of merge rules in
+    learning order, each replacing every adjacent (left, right) with
+    the concatenated symbol. One rule per round was one ArrowEvalPython
+    node (a JVM↔Python round trip) per round; batching the pending
+    rules keeps the whole chain ONE Python crossing however many
+    rounds ran since the last lineage cut (guide §4). Closure factory —
+    binds the rule list by value (a loop-scope lambda would
+    late-bind)."""
+    ordered = [(left, right, left + right) for left, right in rules]
 
-    def apply_merge(col: pd.Series) -> pd.Series:
+    def apply_merges(col: pd.Series) -> pd.Series:
         def one(syms):
-            out = []
-            i, n = 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            return out
+            for left, right, merged in ordered:
+                out = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
 
         return col.map(one)
 
-    return F.pandas_udf(apply_merge, ArrayType(StringType()))
+    return F.pandas_udf(apply_merges, ArrayType(StringType()))
 
 
 def learn_bpe_merges(
@@ -99,10 +111,27 @@ def learn_bpe_merges(
     if vocab.rdd.getNumPartitions() > parts:
         vocab = vocab.coalesce(parts).localCheckpoint()
 
+    # the loop keeps a CHECKPOINTED base vocabulary plus the list of
+    # merges learned since the last checkpoint: each round's pair count
+    # re-applies the pending merges inside ONE Arrow-batched UDF on top
+    # of the base (vocab-scale work, one Python crossing), so a round
+    # costs exactly one job — the bounded argmax collect — instead of
+    # the former collect + per-round checkpoint materialization pair.
+    # Every `checkpoint_every` rounds the pending merges are folded
+    # into a new base so lineage (and re-applied work) stays bounded.
+    checkpoint_every = 4
     rules: list[tuple[int, str, str, str, int]] = []
+    pending: list[tuple[str, str]] = []
     for rank in range(1, n_merges + 1):
+        cur = (
+            vocab.select(
+                _merge_udf(pending)(F.col("syms")).alias("syms"), "freq"
+            )
+            if pending
+            else vocab
+        )
         counts = (
-            vocab.filter(F.size("syms") >= 2)
+            cur.filter(F.size("syms") >= 2)
             .select(F.explode(F.expr(_PAIRS)).alias("p"), "freq")
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("n"))
@@ -115,13 +144,13 @@ def learn_bpe_merges(
         if not top:
             break
         left, right, freq = top[0].l, top[0].r, int(top[0].n)
-        merged = left + right
-
-        merge_udf = _merge_udf(left, right, merged)
-        vocab = vocab.select(
-            merge_udf(F.col("syms")).alias("syms"), "freq"
-        ).localCheckpoint()
-        rules.append((rank, left, right, merged, freq))
+        rules.append((rank, left, right, left + right, freq))
+        pending.append((left, right))
+        if len(pending) >= checkpoint_every:
+            vocab = vocab.select(
+                _merge_udf(pending)(F.col("syms")).alias("syms"), "freq"
+            ).localCheckpoint()
+            pending = []
 
     return spark.createDataFrame(
         rules, "rank bigint, left string, right string, merged string, freq bigint"
@@ -153,29 +182,39 @@ def encode_token_counts(
         import re
 
         ws = re.compile(r"\s+")  # mirror the JVM-side \s+ word split
+        # distinct-word memo (the classic BPE corpus trick applied to
+        # the encode side): token count is a pure function of the word,
+        # and corpora repeat words Zipf-style, so each batch encodes a
+        # word once instead of once per occurrence (guide §4.2 — do
+        # less work per batch, not just faster work)
+        memo: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            n_t = memo.get(w)
+            if n_t is not None:
+                return n_t
+            syms = list(w)
+            for left, right in ordered:
+                merged, out, i, n = left + right, [], 0, len(syms)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[w] = len(syms)
+            return memo[w]
 
         def count_tokens(text: str) -> int:
-            total = 0
-            for w in ws.split(text.lower()):
-                if not w:
-                    continue
-                syms = list(w)
-                for left, right in ordered:
-                    merged, out, i, n = left + right, [], 0, len(syms)
-                    while i < n:
-                        if (
-                            i + 1 < n
-                            and syms[i] == left
-                            and syms[i + 1] == right
-                        ):
-                            out.append(merged)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
-                total += len(syms)
-            return total
+            return sum(
+                word_tokens(w) for w in ws.split(text.lower()) if w
+            )
 
         return col.map(count_tokens)
 
