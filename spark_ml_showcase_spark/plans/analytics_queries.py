@@ -1293,21 +1293,38 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = op.agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
+    # baskets, not a self-join (r15): ONE order-keyed exchange builds
+    # the distinct part set per order (collect_set dedupes, replacing
+    # the former distinct + re-keyed self-join pair of exchanges), and
+    # the ordered pairs explode from the sorted array in-task — the
+    # per-order fan-out is bounded by the basket size (≤7 lines in
+    # TPC-H-shaped data), never corpus-sized. Same (a < b) pair
+    # multiset, so support/lift are unchanged.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_parts"))
+        .select("_parts")
     )
-    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    part = F.explode("_parts").alias("l_partkey")
+    pc = baskets.select(part).groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    arr = F.col("_parts")
+    pair_arr = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.greatest(F.size(arr) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("support"))
     )
