@@ -792,12 +792,24 @@ def ivf_index_upsert(
         .select("cand_id", "_cv", F.col("cell").cast("int").alias("_cell"))
     )
     # bounded collect: per-cell add counts, ≤ n_lists rows
-    added = {
-        int(r._cell): int(r.n)
-        for r in new_assigned.groupBy("_cell")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # ONE bounded collect (≤ n_lists rows) covers both per-cell batch
+    # adds AND the index's per-cell populations (r15): the union tags
+    # each side, the agg splits the counts back out. The index side
+    # reads only the _cell partition column; `before` is sliced from
+    # these counts once `touched` is known instead of re-scanning in
+    # its own job.
+    cell_counts = (
+        assigned.select("_cell", F.lit(0).alias("_src"))
+        .unionByName(new_assigned.select("_cell", F.lit(1).alias("_src")))
+        .groupBy("_cell")
+        .agg(
+            F.count(F.when(F.col("_src") == 0, 1)).alias("n_idx"),
+            F.count(F.when(F.col("_src") == 1, 1)).alias("n_add"),
+        )
         .collect()
-    }
+    )
+    added = {int(r._cell): int(r.n_add) for r in cell_counts if r.n_add}
+    idx_counts = {int(r._cell): int(r.n_idx) for r in cell_counts if r.n_idx}
     # exact upsert: cells HOLDING an incoming id are rewritten too, so a
     # re-ingested vector whose nearest cell changed (a split moved the
     # boundary) leaves no stale row. The lookup is a column-pruned scan
@@ -832,13 +844,7 @@ def ivf_index_upsert(
             "cell int, n_before bigint, n_added bigint, n_after bigint, "
             "drift double, action string, new_cells array<int>",
         )
-    before = {
-        int(r._cell): int(r.n)
-        for r in assigned.filter(F.col("_cell").isin(touched))
-        .groupBy("_cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    before = {c: idx_counts[c] for c in touched if c in idx_counts}
     # upsert merge inside touched cells: incoming row wins on id ties
     existing = assigned.filter(F.col("_cell").isin(touched)).withColumn(
         "_prio", F.lit(0)
@@ -900,36 +906,37 @@ def ivf_index_upsert(
     # post-merge bookkeeping on the touched cells only
     assigned, cent_df = load_ivf_index(spark, index_dir)
     touched_rows = assigned.filter(F.col("_cell").isin(touched))
-    after = {
-        int(r._cell): int(r.n)
-        for r in touched_rows.groupBy("_cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
     # drift: L2(post-merge mean, stored centroid), element-wise mean via
-    # posexplode — (cell, pos) agg rows = touched_cells × dim, tiny
+    # posexplode — (cell, pos) agg rows = touched_cells × dim, tiny.
+    # Per-cell post-merge populations ride the SAME aggregation (every
+    # dim position of a cell sees the same row count), so `after` needs
+    # no job of its own (r15).
     dim_means = (
         touched_rows.select("_cell", F.posexplode("_cv").alias("_p", "_x"))
         .groupBy("_cell", "_p")
-        .agg(F.avg("_x").alias("_m"))
+        .agg(F.avg("_x").alias("_m"), F.count(F.lit(1)).alias("_n"))
         .groupBy("_cell")
         .agg(
+            F.max("_n").alias("_n_after"),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_p", "_m"))),
                 lambda s: s["_m"],
             ).alias("_mean")
         )
     )
-    drift = {
-        int(r._cell): float(r.drift)
-        for r in dim_means.join(
+    drift_rows = (
+        dim_means.join(
             F.broadcast(cent_df), dim_means._cell == cent_df.cell
         )
         .select(
-            "_cell", V.l2_distance("_mean", "centroid").alias("drift")
+            "_cell",
+            "_n_after",
+            V.l2_distance("_mean", "centroid").alias("drift"),
         )
         .collect()
-    }
+    )
+    drift = {int(r._cell): float(r.drift) for r in drift_rows}
+    after = {int(r._cell): int(r._n_after) for r in drift_rows}
 
     to_split = [
         c
