@@ -69,14 +69,21 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # attach the out-degree to the edge list ONCE (r15): degrees never
+    # change across iterations, so joining the node-sized deg table
+    # inside the loop paid one extra join per round for a constant —
+    # the checkpointed (src, dst, deg) list removes 'iterations' joins
+    # from the loop at the cost of one 8-byte column on the edges
+    e = (
+        e.join(e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")), "_s")
+        .localCheckpoint()
+    )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     teleport = (1.0 - damping) / n_nodes
     for i in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("id", "_s"), "_s")
-            .join(deg, "_s")
             .select(
                 F.col("_d").alias("id"),
                 (F.col("rank") / F.col("_deg")).alias("_c"),
@@ -124,6 +131,7 @@ def k_core(
     operators/hierarchy.py) so the plan stays round-sized.
     """
     e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    n_prev: int | None = None
     for r in range(rounds):
         deg = (
             e.select(F.explode(F.array("u", "v")).alias("x"))
@@ -138,6 +146,18 @@ def k_core(
         )
         if (r + 1) % checkpoint_every == 0:
             e = e.localCheckpoint(eager=False)
+            # PROVEN fixpoint exit (r15): edges only shrink, so an
+            # unchanged edge count means no node was removed — degrees,
+            # the keep set, and every remaining round are identities,
+            # and the result equals the full fixed-round unroll (the
+            # oracle's) verbatim. The count rides the checkpoint the
+            # final action would materialize anyway; most graphs reach
+            # the true k-core in 2-4 peels, so the saved rounds
+            # outnumber the bounded count jobs.
+            n_now = e.count()
+            if n_prev is not None and n_now == n_prev:
+                break
+            n_prev = n_now
     return (
         e.select(F.explode(F.array("u", "v")).alias("id"))
         .groupBy("id")

@@ -358,11 +358,23 @@ def stream_pyds_docs_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
+        import json as _json
+
+        # poll the query's OWN committed-batch progress, not the memory
+        # table: a collect per poll launches driver jobs that contend
+        # with the stream's micro-batches (measured: a 50 ms collect
+        # poll made the drain SLOWER than the 0.5 s one), while
+        # recentProgress is a driver-side list — zero jobs until the
+        # drain is provably complete, then exactly one final collect
         deadline = time.time() + 120
         while time.time() < deadline:
-            if sum(r["count"] for r in spark.table(name).collect()) >= n:
+            done = sum(
+                int(_json.loads(p.json)["numInputRows"])
+                for p in q.recentProgress
+            )
+            if done >= n:
                 break
-            time.sleep(0.5)
+            time.sleep(0.05)
         got = {r["source"]: r["count"] for r in spark.table(name).collect()}
     finally:
         q.stop()
