@@ -64,6 +64,16 @@ def brute_force_topk(
     c = candidates.select(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("_cv")
     )
+    # the scoring stage (cross × broadcast + cosine + partial window)
+    # runs at the CANDIDATE scan's parallelism — a single-file parquet
+    # fixture is ONE partition, serializing the whole O(|q|·|c|) score
+    # pass on one core (measured: the 1.6 s single-task stage under
+    # rrf_fusion_ivf). Fan narrow scans out to the session's
+    # parallelism; at scale the corpus scan already has ≥ that many
+    # splits and this is a no-op — never a payload reshuffle (r15).
+    par = candidates.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
     if vectorized == "seq":
         cos = cosine_pandas_udf_seq()("_qv", "_cv")
     elif vectorized:
