@@ -125,9 +125,15 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = int(start["idx"])
         hi = min(lo + self.rows_per_batch, self.n)
-        # a LIST, not a generator: the runtime pickles the prefetched
-        # rows to ship them from the driver-side planner to executors
-        return list(_gen(lo, hi, self.n_sources)), {"idx": hi}
+        # materialized (not a lazy generator: the runtime pickles the
+        # prefetched rows driver→executors) but returned as an ITERATOR:
+        # on exhaustion (end == start) pyspark's prefetch cache validates
+        # emptiness with next(it) expecting StopIteration — a bare list
+        # raised TypeError there instead, killing every drained stream
+        # with a spurious PYTHON_STREAMING_DATA_SOURCE_RUNTIME_ERROR
+        # after its final commit (r15 fix; results were unaffected, the
+        # error fired only post-drain).
+        return iter(list(_gen(lo, hi, self.n_sources))), {"idx": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return list(_gen(int(start["idx"]), int(end["idx"]), self.n_sources))
