@@ -43,6 +43,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     score_decimals: int = 6,
     vectorized: bool | str = False,
+    widen: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast(queries) × candidates →
     score → per-query rank window. Returns (query_id, cand_id, cosine,
@@ -71,9 +72,14 @@ def brute_force_topk(
     # rrf_fusion_ivf). Fan narrow scans out to the session's
     # parallelism; at scale the corpus scan already has ≥ that many
     # splits and this is a no-op — never a payload reshuffle (r15).
-    par = candidates.sparkSession.sparkContext.defaultParallelism
-    if c.rdd.getNumPartitions() < par:
-        c = c.repartition(par)
+    # ``widen=False`` opts out for MANY-small-call evidence legs (few
+    # query rows × a small corpus), where per-task Arrow/worker
+    # overhead exceeds the serial compute — measured +1.2 s on
+    # pca_quantized_regimes' four ≤20-query truth passes.
+    if widen:
+        par = candidates.sparkSession.sparkContext.defaultParallelism
+        if c.rdd.getNumPartitions() < par:
+            c = c.repartition(par)
     if vectorized == "seq":
         cos = cosine_pandas_udf_seq()("_qv", "_cv")
     elif vectorized:
@@ -1295,6 +1301,7 @@ def quantized_topk(
     vec_col: str = "embedding",
     score_decimals: int = 6,
     vectorized: bool = False,
+    widen: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k over int8-quantized vectors: quantize both
     sides (:func:`quantize_int8`), then run the same broadcast
@@ -1314,6 +1321,7 @@ def quantized_topk(
         vec_col="_qi",
         score_decimals=score_decimals,
         vectorized=vectorized,
+        widen=widen,
     )
 
 

@@ -2748,7 +2748,8 @@ def pca_quantized_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     def regime_report(corpus: DataFrame, regime: str) -> DataFrame:
         queries_filter = F.col("vec_id") < 20
         truth = similarity.brute_force_topk(
-            corpus, corpus.filter(queries_filter), k, vectorized=True
+            corpus, corpus.filter(queries_filter), k, vectorized=True,
+            widen=False,  # ≤20-query evidence pass ×4 — see brute_force_topk
         ).select("query_id", "cand_id")
         feat = corpus.select(
             "vec_id",
@@ -2763,19 +2764,22 @@ def pca_quantized_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "full64_int8",
                 similarity.quantized_topk(
-                    corpus, corpus.filter(queries_filter), k, vectorized=True
+                    corpus, corpus.filter(queries_filter), k, vectorized=True,
+                    widen=False,
                 ),
             ),
             (
                 "pca16_float",
                 similarity.brute_force_topk(
-                    proj, proj.filter(queries_filter), k, vectorized=True
+                    proj, proj.filter(queries_filter), k, vectorized=True,
+                    widen=False,
                 ),
             ),
             (
                 "pca16_int8",
                 similarity.quantized_topk(
-                    proj, proj.filter(queries_filter), k, vectorized=True
+                    proj, proj.filter(queries_filter), k, vectorized=True,
+                    widen=False,
                 ),
             ),
         ]
