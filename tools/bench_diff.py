@@ -60,6 +60,32 @@ ACKNOWLEDGED_STAGE_DELTAS: dict[str, str] = {
     "subtree_rollup_customers": _EXCHANGE_REUSE,
     "tpch_q16_part_supplier_cnt": _EXCHANGE_REUSE,
     "rrf_fusion_ivf": _EXCHANGE_REUSE + " (r13 close note: 53→81)",
+    # r15 optimization round — INTENTIONAL plan changes, each faster
+    # close-to-close; the new shuffle bytes are the new baseline:
+    "cosine_topk_bruteforce": (
+        "r15 score-stage widening: the 1-partition fixture scan is"
+        " round-robin repartitioned to session parallelism before the"
+        " O(|q|·|c|) cosine pass (+0.8 MB shuffle, 0.58→0.54 s)"
+    ),
+    "quantized_ann_recall": (
+        "r15 score-stage widening inside quantized_topk — same"
+        " mechanism as cosine_topk_bruteforce (+0.5 MB, 1.60→1.44 s)"
+    ),
+    "rbo_sparse_vs_dense": (
+        "r15 sparse_cosine_topk restructure: blocking folded into the"
+        " pair aggregate (shuffle 22.7→18.0 MB, 3.49→2.89 s)"
+    ),
+}
+
+
+#: queries whose SHUFFLE bytes changed by an intentional, documented
+#: plan rework (entry must also carry its justification in
+#: ACKNOWLEDGED_STAGE_DELTAS). Stage-only ACKs never suppress a
+#: shuffle-byte flag unless the name is listed here too.
+ACKNOWLEDGED_PLAN_CHANGES = {
+    "cosine_topk_bruteforce",   # r15 score-stage widening
+    "quantized_ann_recall",     # r15 score-stage widening
+    "rbo_sparse_vs_dense",      # r15 sparse restructure (bytes DOWN)
 }
 
 
@@ -107,7 +133,9 @@ def main() -> int:
         # print it so a cold-build outlier isn't read as a regression
         cache = n.get("cache")
         suffix = f" [cache: {cache}]" if cache else ""
-        if stages_grew and not shuffle_grew and name in ACKNOWLEDGED_STAGE_DELTAS:
+        if name in ACKNOWLEDGED_STAGE_DELTAS and (
+            not shuffle_grew or name in ACKNOWLEDGED_PLAN_CHANGES
+        ):
             print(
                 f"ACK   {name}: {'; '.join(msgs)} — "
                 f"{ACKNOWLEDGED_STAGE_DELTAS[name]}{suffix}"

@@ -64,6 +64,23 @@ NOTES = """\
   `ivf_index_upsert` (isolated 7.55 vs close 5.30). Arbitration reads:
   a close value BELOW the isolated floor is warm-session normal; one
   ABOVE it is worth a plan-metrics look.
+- **r15 optimization round — floors re-recorded for the new top-5**
+  (fresh-session min-of-5 each, SHARED host under moderate external
+  load ~3-4/32, 2026-08-18): `rrf_fusion_ivf` **7.63 s** (old floor
+  7.61 — unchanged posture; the close dropped 6.66 → 5.59 from the
+  sparse-leg restructure + seq Arrow dense leg),
+  `triangle_count_suppliers` **5.81 s** (wedge stage now 32-task; the
+  old [4.45, 5.44] band was an IDLE-box measurement — treat
+  [4.45, 5.81] as the host band), `pca_quantized_regimes` **3.34 s**
+  (close read 4.68 vs r14's 2.57: the isolated floor BELOW both closes
+  proves the delta is host load, not code — a clean A/B of the r15
+  similarity/extensions changes measured 5.38 vs 5.51 on the loaded
+  box, i.e. code-neutral), `ivf_index_upsert` **6.02 s** (was 7.55 —
+  the r15 bookkeeping-collect fusions), `stream_pyds_docs_drain`
+  **3.87 s** (progress-based drain poll). `kcore_supplier_graph`'s
+  close +0.33 s was likewise A/B-arbitrated on the loaded box:
+  early-exit 2.36 vs fixed-rounds 2.56 isolated — the close delta is
+  load, the code is faster.
 - **The ANN family rides the suite-level cached IVF index since r12**:
   `ivf_topk` / `ann_recall_report` / `quantized_ann_recall` /
   `ann_multiprobe_curve` / `rrf_fusion_ivf` / `maxsim_ivf_rerank` share
