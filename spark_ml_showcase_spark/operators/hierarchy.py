@@ -51,7 +51,10 @@ def transitive_closure(
 
     ``unique_paths=True`` (r15): the caller asserts every (node, anc)
     pair is connected by exactly ONE path — true for any forest, where
-    each node has at most one parent. That licenses FRONTIER doubling:
+    each node has at most one parent (VERIFIED with one bounded agg on
+    the checkpointed edge set; duplicate edge rows or a two-parent node
+    raise instead of silently multiplying closure rows — r15 ADVICE).
+    That licenses FRONTIER doubling:
     round k joins only the pairs at distance exactly 2^(k-1) against
     the closure (distance ≤ 2^(k-1)), so every new pair is produced by
     its unique split at position 2^(k-1) — exactly once, at its unique
@@ -67,6 +70,25 @@ def transitive_closure(
     ).localCheckpoint()
     reach = 1
     if unique_paths:
+        # the unique-split invariant is load-bearing (no dedup exists on
+        # this path — r15 ADVICE): verify it instead of trusting the
+        # caller. One bounded agg over the ALREADY-CHECKPOINTED closure
+        # (max fan-up per node — catches both a node with two parents
+        # and duplicate (child, parent) edge rows), no recompute of the
+        # edge derivation.
+        fan_up = (
+            closure.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .first()[0]
+        )
+        if fan_up is not None and fan_up > 1:
+            raise ValueError(
+                "unique_paths=True requires a forest (one parent edge "
+                f"per node); found a node with {fan_up} parent rows — "
+                "use the default min-dist path for DAGs or duplicated "
+                "edge tables"
+            )
         frontier = closure  # pairs at dist == reach exactly
         while reach < max_depth:
             # explicit renames, not DataFrame aliases: on round 1 the

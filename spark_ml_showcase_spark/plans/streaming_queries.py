@@ -365,16 +365,30 @@ def stream_pyds_docs_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with the stream's micro-batches (measured: a 50 ms collect
         # poll made the drain SLOWER than the 0.5 s one), while
         # recentProgress is a driver-side list — zero jobs until the
-        # drain is provably complete, then exactly one final collect
+        # drain is provably complete, then exactly one final collect.
+        # recentProgress is a RING of the last ~100 entries (r15
+        # ADVICE): an unthrottled drained stream emits empty batches
+        # back to back, so a stalled poller could watch the
+        # data-bearing entries get evicted and the per-poll sum DROP —
+        # track the running max across polls instead, and fail loudly
+        # on deadline rather than collecting a possibly mid-batch table
         deadline = time.time() + 120
+        done = 0
         while time.time() < deadline:
-            done = sum(
-                int(_json.loads(p.json)["numInputRows"])
-                for p in q.recentProgress
+            done = max(
+                done,
+                sum(
+                    int(_json.loads(p.json)["numInputRows"])
+                    for p in q.recentProgress
+                ),
             )
             if done >= n:
                 break
             time.sleep(0.05)
+        else:
+            raise TimeoutError(
+                f"stream drained only {done}/{n} rows before the deadline"
+            )
         got = {r["source"]: r["count"] for r in spark.table(name).collect()}
     finally:
         q.stop()

@@ -100,3 +100,22 @@ def test_unique_paths_respects_max_depth_cap(spark):
     )
     assert key(got) == key(gen)
     assert max(r[2] for r in key(got)) == 4
+
+
+def test_unique_paths_rejects_non_forest_edges(spark):
+    """r15 ADVICE: the frontier path has no dedup, so the one-parent
+    invariant is verified — a two-parent node and a duplicated edge row
+    both raise instead of silently multiplying closure rows."""
+    import pytest
+
+    two_parents = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (4, 3)], "child bigint, parent bigint"
+    )
+    with pytest.raises(ValueError, match="unique_paths"):
+        transitive_closure(two_parents, unique_paths=True)
+
+    dup_edge = spark.createDataFrame(
+        [(2, 1), (2, 1)], "child bigint, parent bigint"
+    )
+    with pytest.raises(ValueError, match="unique_paths"):
+        transitive_closure(dup_edge, unique_paths=True)

@@ -81,11 +81,15 @@ ACKNOWLEDGED_STAGE_DELTAS: dict[str, str] = {
 #: queries whose SHUFFLE bytes changed by an intentional, documented
 #: plan rework (entry must also carry its justification in
 #: ACKNOWLEDGED_STAGE_DELTAS). Stage-only ACKs never suppress a
-#: shuffle-byte flag unless the name is listed here too.
-ACKNOWLEDGED_PLAN_CHANGES = {
-    "cosine_topk_bruteforce",   # r15 score-stage widening
-    "quantized_ann_recall",     # r15 score-stage widening
-    "rbo_sparse_vs_dense",      # r15 sparse restructure (bytes DOWN)
+#: shuffle-byte flag unless the name is listed here too. BOUNDED (r15
+#: ADVICE): each name maps to the expected post-change shuffle-write MB
+#: ceiling (committed close value + slack) — growth past the recorded
+#: baseline of the acknowledged change is a NEW regression and flags
+#: normally instead of riding a stale justification forever.
+ACKNOWLEDGED_PLAN_CHANGES: dict[str, float] = {
+    "cosine_topk_bruteforce": 1.0,   # r15 widening; r15 close 0.81 MB
+    "quantized_ann_recall": 0.75,    # r15 widening; r15 close 0.57 MB
+    "rbo_sparse_vs_dense": 16.5,     # r15 sparse restructure; 14.8 MB
 }
 
 
@@ -134,7 +138,8 @@ def main() -> int:
         cache = n.get("cache")
         suffix = f" [cache: {cache}]" if cache else ""
         if name in ACKNOWLEDGED_STAGE_DELTAS and (
-            not shuffle_grew or name in ACKNOWLEDGED_PLAN_CHANGES
+            not shuffle_grew
+            or nsh <= ACKNOWLEDGED_PLAN_CHANGES.get(name, -1.0)
         ):
             print(
                 f"ACK   {name}: {'; '.join(msgs)} — "
