@@ -1,4 +1,4 @@
-"""Dump `explain("formatted")` for named queries → plans/r15/<name>_<tag>.txt.
+"""Dump `explain("formatted")` for named queries → plans/r16/<name>_<tag>.txt.
 
 Optimization-round evidence helper (guide §1): the judge checks plan
 claims (Exchange counts, join strategies, PushedFilters) against these
@@ -29,7 +29,7 @@ def main() -> int:
     spark = get_session("explain_query")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
-    out_dir = os.path.join(REPO, "plans", "r15")
+    out_dir = os.path.join(REPO, "plans", "r16")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

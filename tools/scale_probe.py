@@ -1214,8 +1214,52 @@ def probe_unicode_canonical_2m(spark):
     return n
 
 
+def probe_sparse_stopgram_2m(spark):
+    """Stop-gram guard rehearsal (r15 judge item #3): 2M docs that ALL
+    share one planted stop bigram ("s0 s0", df = 2M) plus 4 rare
+    md5-derived bigrams (df = 10 — docs repeat every 200k ids, so each
+    doc has exactly 9 verbatim twins). The df cap (max(64, 0.1·N) =
+    200k) routes the stop-gram out of the co-occurrence join — the
+    un-capped join would materialize df_q·df = 80k·2M = 1.6e11 rows for
+    that ONE gram key — while its dot contributions ride the per-doc
+    maps. Exactness is asserted through the scores: every query doc's
+    top-3 are twins at cosine exactly 1.0, which REQUIRES the
+    stop-gram products in the dot (they are part of the norms — a
+    dropped high tier would score < 1.0)."""
+    from spark_ml_showcase_spark.operators.ir import sparse_cosine_topk
+
+    n, rep = 2_000_000, 200_000
+    words = [
+        F.substring(
+            F.md5(F.concat((F.col("id") % rep).cast("string"), F.lit(i))),
+            1,
+            6,
+        )
+        for i in range(3)
+    ]
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("s0"), F.lit("s0"), *words).alias("text"),
+    )
+    out = sparse_cosine_topk(
+        docs,
+        k=3,
+        rare_features=3,
+        query_filter=F.col("doc_id") % 25 == 0,
+    )
+    got = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cosine").alias("lo"),
+        F.max("cosine").alias("hi"),
+    ).first()
+    assert got.n == (n // 25) * 3, got.n  # every query doc: 3 twins
+    assert got.lo == 1.0 and got.hi == 1.0, (got.lo, got.hi)
+    return n
+
+
 PROBES = {
     "exact_dedup_50m": probe_exact_dedup_50m,
+    "sparse_stopgram_2m": probe_sparse_stopgram_2m,
     "window_budget_20m": probe_window_budget_20m,
     "skew_join_20m": probe_skew_join_20m,
     "aqe_skew_split_20m": probe_aqe_skew_split_20m,
