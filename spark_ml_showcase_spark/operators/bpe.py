@@ -18,9 +18,10 @@ Scale posture (100 TB corpus):
   O(vocab), not O(corpus).
 - Per round: one exploded pair count (map-side combined — the pair
   space is tiny) + one argmax ``limit(1).collect()`` — a bounded
-  driver sink, one row per round — + one Arrow-batched pandas UDF
-  applying the merge to the symbol arrays. ``localCheckpoint`` per
-  round cuts the growing lineage.
+  driver sink, one row per round. Pending merges apply as nested JVM
+  ``aggregate`` HOFs (no Python boundary in the learn loop at all);
+  every few rounds they fold into a fresh ``localCheckpoint`` base so
+  lineage stays bounded.
 - Determinism: ties in pair frequency break by (left, right) symbol
   order, so the learned merge table is a pure function of the corpus.
 """
@@ -31,7 +32,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
 
 # adjacent symbol pairs of one word: slice(syms, 1, n-1) is the
 # 1-based prefix syms[0..n-2]; transform's lambda index i is 0-based
@@ -56,39 +56,50 @@ def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _merge_udf(rules: list[tuple[str, str]]):
-    """Arrow-batched merge application: apply a LIST of merge rules in
+def _merge_col(col, rules: list[tuple[str, str]]):
+    """JVM-expression merge application: apply a LIST of merge rules in
     learning order, each replacing every adjacent (left, right) with
-    the concatenated symbol. One rule per round was one ArrowEvalPython
-    node (a JVM↔Python round trip) per round; batching the pending
-    rules keeps the whole chain ONE Python crossing however many
-    rounds ran since the last lineage cut (guide §4). Closure factory —
-    binds the rule list by value (a loop-scope lambda would
-    late-bind)."""
-    ordered = [(left, right, left + right) for left, right in rules]
+    the concatenated symbol. The greedy left-to-right scan (a merged
+    token never re-matches as the LEFT of the same rule — the reference
+    loop advances past it) is a left fold: carry the last unmerged
+    symbol; on (carry=left, next=right) emit the merged token and clear
+    the carry. One ``aggregate`` HOF per pending rule, nested ≤
+    ``checkpoint_every`` deep — no Python crossing at all, where the
+    r15 shape paid one ArrowEvalPython round trip (worker attach +
+    Arrow serialization of every symbol array) per learning round
+    (guide §4.1: the win is eliminating the boundary, not speeding the
+    Python). Symbols ride as Column literals, so no SQL-string
+    escaping. Out-degree of the fold state is O(word length) — array
+    appends on ≤ word-length accumulators, vocab-scale rows."""
+    def one_rule(left: str, right: str):
+        # closure factory — binds the rule by value (pyspark inspects
+        # the lambda arity, so the bindings cannot ride default args).
+        # State is the output stack itself: the top of the stack is the
+        # only symbol still eligible to merge (a merged token is
+        # left+right, strictly longer than left, so it can never
+        # re-match as the LEFT of its own rule — exactly the reference
+        # loop's skip past a merge).
+        _l, _r = F.lit(left), F.lit(right)
+        _m = F.lit(left + right)
 
-    def apply_merges(col: pd.Series) -> pd.Series:
-        def one(syms):
-            for left, right, merged in ordered:
-                out = []
-                i, n = 0, len(syms)
-                while i < n:
-                    if (
-                        i + 1 < n
-                        and syms[i] == left
-                        and syms[i + 1] == right
-                    ):
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return syms
+        def step(acc, s):
+            # try_element_at: NULL (not an ANSI error) on the empty
+            # stack — NULL == left is NULL, so the first symbol appends
+            return F.when(
+                (F.try_element_at(acc, F.lit(-1)) == _l) & (s == _r),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                    F.array(_m),
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
 
-        return col.map(one)
+        return step
 
-    return F.pandas_udf(apply_merges, ArrayType(StringType()))
+    out = col
+    init = F.array().cast("array<string>")
+    for left, right in rules:
+        out = F.aggregate(out, init, one_rule(left, right))
+    return out
 
 
 def learn_bpe_merges(
@@ -113,8 +124,8 @@ def learn_bpe_merges(
 
     # the loop keeps a CHECKPOINTED base vocabulary plus the list of
     # merges learned since the last checkpoint: each round's pair count
-    # re-applies the pending merges inside ONE Arrow-batched UDF on top
-    # of the base (vocab-scale work, one Python crossing), so a round
+    # re-applies the pending merges as nested JVM aggregate-HOFs on top
+    # of the base (vocab-scale work, zero Python crossings), so a round
     # costs exactly one job — the bounded argmax collect — instead of
     # the former collect + per-round checkpoint materialization pair.
     # Every `checkpoint_every` rounds the pending merges are folded
@@ -125,7 +136,7 @@ def learn_bpe_merges(
     for rank in range(1, n_merges + 1):
         cur = (
             vocab.select(
-                _merge_udf(pending)(F.col("syms")).alias("syms"), "freq"
+                _merge_col(F.col("syms"), pending).alias("syms"), "freq"
             )
             if pending
             else vocab
@@ -148,7 +159,7 @@ def learn_bpe_merges(
         pending.append((left, right))
         if len(pending) >= checkpoint_every:
             vocab = vocab.select(
-                _merge_udf(pending)(F.col("syms")).alias("syms"), "freq"
+                _merge_col(F.col("syms"), pending).alias("syms"), "freq"
             ).localCheckpoint()
             pending = []
 
