@@ -97,10 +97,15 @@ def _stream_session(spark: SparkSession, shuffle_partitions: int = 8) -> SparkSe
     stream. ``newSession()`` shares the SparkContext but owns its conf,
     so the stream gets a right-sized state layout without mutating (or
     racing — micro-batches plan asynchronously) the caller's session."""
+    import os
+
     s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
+    provider = os.environ.get("SMS_STATESTORE_PROVIDER")
+    if provider:
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     return s
 
 
