@@ -1059,6 +1059,7 @@ def set_similarity_join(
     text_col: str = "text",
     threshold: float = 0.9,
     round_decimals: int = 6,
+    verify_rows_per_task: int = 100_000,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join on token SETS via PREFIX
     FILTERING (the PPJoin family, Xiao et al. WWW'08) — the
@@ -1129,6 +1130,35 @@ def set_similarity_join(
     prefixed = ranked.select(
         "_id", F.explode(F.slice("_toks", 1, p)).alias("_pt")
     )
+    # WORK-AWARE width for the verify stage (r16, the triangle idiom):
+    # AQE coalesces the deduped candidate exchange by its MAP bytes —
+    # bare id pairs, ~3 MB at sf0.1 — leaving the exact
+    # array_intersect verify (the O(candidates) work of the whole
+    # join) at 2 post-shuffle tasks on 32 cores (measured: one 3.8 s
+    # 2-task stage of a ~4 s query). One bounded agg over the already
+    # checkpointed ranked table yields the candidate-incidence bound
+    # Σ_t c_t·(c_t−1)/2 over prefix tokens; width = one task per
+    # ``verify_rows_per_task`` incidences, capped at session
+    # parallelism — swept at sf0.1: width 1/5/9/18 gives wall
+    # 2.9/1.4/1.0/1.0 s at stage CPU 3.7/4.0/4.2/5.5 s, so ~100k
+    # incidences (~0.5 s tasks) takes the 2.9× wall win before the
+    # per-task overhead starts buying nothing — fixture
+    # scale keeps tasks big enough to amortize launch, cluster scale
+    # fans to the whole machine. The repartition sits AFTER the
+    # dedup, so the map-side partial aggregation keeps collapsing
+    # duplicate incidences before any shuffle (widening the dedup
+    # exchange itself measured 6× the stage CPU: every incidence rode
+    # the wire and the final agg un-partialed); only the slim distinct
+    # pairs pay the extra exchange.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    st = (
+        prefixed.groupBy("_pt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - F.lit(1))).alias("w2"))
+        .first()
+    )
+    incid = int(st.w2 or 0) // 2
+    width = max(1, min(par, -(-incid // max(1, verify_rows_per_task))))
     a, b = prefixed.alias("a"), prefixed.alias("b")
     cand_ids = (
         a.join(b, (F.col("a._pt") == F.col("b._pt"))
@@ -1138,6 +1168,8 @@ def set_similarity_join(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if width > 1:
+        cand_ids = cand_ids.repartition(width, "id_a", "id_b")
     cand = cand_ids.join(
         ranked.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")),
         "id_a",
