@@ -223,9 +223,24 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ml_showcase_spark.functions.partitioning import (
+        widen_narrow_scan,
+    )
+
     docs = Catalog(spark, sf_dir).documents
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-    t = docs.select(toks.alias("t"))
+    # raw text widened BEFORE the tokenize: both count legs (unigram
+    # and bigram) ran their split+explode+partial-agg at the scan's
+    # width — ONE task on the single-file fixture, measured as three
+    # ~2 s serial stages of a 4.3 s query (r16 stage profile). The
+    # widened exchange is IDENTICAL under both legs (no leg-specific
+    # filter below it — the old size>=2 pre-filter pushed into one
+    # leg's scan and broke reuse; explode of an empty pair array drops
+    # the row anyway), so the corpus text shuffles once and every
+    # downstream stage runs wide.
+    t = widen_narrow_scan(
+        docs.select("text"), bytes_per_task=32 << 10
+    ).select(toks.alias("t"))
     uni = t.select(F.explode("t").alias("tok")).groupBy("tok").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -234,8 +249,7 @@ def npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s, i: F.struct(s.alias("x"), F.col("t")[i + 1].alias("y")),
     )
     big = (
-        t.filter(F.size("t") >= 2)
-        .select(F.explode(pairs).alias("p"))
+        t.select(F.explode(pairs).alias("p"))
         .select("p.x", "p.y")
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("cxy"))
