@@ -54,7 +54,6 @@ ACKNOWLEDGED_STAGE_DELTAS: dict[str, str] = {
     "frame_sample_stats": _EXCHANGE_REUSE,
     "kcore_supplier_graph": _EXCHANGE_REUSE,
     "market_basket_pairs": _EXCHANGE_REUSE,
-    "npmi_collocations": _EXCHANGE_REUSE,
     "pack_sequences_256": _EXCHANGE_REUSE,
     "sparse_cosine_topk_docs": _EXCHANGE_REUSE,
     "subtree_rollup_customers": _EXCHANGE_REUSE,
@@ -75,6 +74,21 @@ ACKNOWLEDGED_STAGE_DELTAS: dict[str, str] = {
         "r15 sparse_cosine_topk restructure: blocking folded into the"
         " pair aggregate (shuffle 22.7→18.0 MB, 3.49→2.89 s)"
     ),
+    "ivf_index_upsert": (
+        "r16 cache scoping: the r15 close's min run HIT the cross-run"
+        " /tmp fingerprint cache and skipped the KMeans/template build"
+        " (68 stages); builds now run in-process every run — 91 stages"
+        " is the honest per-run plan (shuffle bytes flat)"
+    ),
+    "set_similarity_join_docs": (
+        "r16 work-aware verify width: distinct pairs repartition after"
+        " the dedup so the array_intersect verify runs wide"
+        " (+3.5 MB pair re-shuffle, 3.18→2.01 s close-to-close)"
+    ),
+    "npmi_collocations": (
+        "r16 tokenize-once widen: raw text shuffles once before both"
+        " explode legs (+1.9 MB, 0.68→0.45 s close-to-close)"
+    ),
 }
 
 
@@ -90,6 +104,12 @@ ACKNOWLEDGED_PLAN_CHANGES: dict[str, float] = {
     "cosine_topk_bruteforce": 1.0,   # r15 widening; r15 close 0.81 MB
     "quantized_ann_recall": 0.75,    # r15 widening; r15 close 0.57 MB
     "rbo_sparse_vs_dense": 16.5,     # r15 sparse restructure; 14.8 MB
+    # r16 work-aware verify width: distinct pairs re-shuffle once more
+    # after the dedup (commit c3b85ef); r16 close 6.93 MB, 3.18→2.01 s
+    "set_similarity_join_docs": 7.5,
+    # r16 tokenize-once widen: raw text shuffles once before the
+    # explode legs (commit 3e9c77f); r16 close 1.94 MB, 0.68→0.45 s
+    "npmi_collocations": 2.5,
 }
 
 
