@@ -89,6 +89,12 @@ ACKNOWLEDGED_STAGE_DELTAS: dict[str, str] = {
         "r16 tokenize-once widen: raw text shuffles once before both"
         " explode legs (+1.9 MB, 0.68→0.45 s close-to-close)"
     ),
+    "rrf_fusion_docs": (
+        "r16 sparse stop-gram tier: the df-capped co-occurrence join"
+        " adds static himap legs to every sparse_cosine consumer"
+        " (runtime exchange reuse dedupes them — shuffle bytes flat;"
+        " rbo_sparse_vs_dense carries the same class of ACK)"
+    ),
 }
 
 
